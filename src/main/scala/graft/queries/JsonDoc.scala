@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.Tables
+
+/** JSON / schemaless-document plane — SURVEY.md §2.2 P1-P6, §2.8 F-class,
+  * §2.9 G1-G3, §2.4 A4/A5/A7 — over `events.props` (raw JSON string
+  * column, the `doc jsonb` analog).
+  *
+  * The reference's entire query surface is SQL-over-JSONB
+  * (/root/reference/README.md:100-241); here each construct is the
+  * Spark-native equivalent: get_json_object / from_json / explode /
+  * to_json — all codegen'd built-ins, no UDFs.
+  */
+object JsonDoc {
+
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- P1/P2/P5: ->> extraction + cast + numeric predicate
+    // (README.md:103 `CAST(doc->>'myvar' AS numeric) > 50`).
+    QueryDef(
+      "j1_extract_cast_filter",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .select($"event_id",
+            get_json_object($"props", "$.k").cast("int").as("k"))
+          .filter($"k" > 50)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+             |ORDER BY event_id""".stripMargin),
+      "P2+P5: ->> extraction, cast, numeric filter (README.md:142-155)"),
+
+    // ---- The documented string-vs-numeric ORDER BY pitfall
+    // (README.md:100-157): JSON text sorts lexicographically ("100"<"60").
+    // rank_pos materializes the lexicographic order into row content.
+    QueryDef(
+      "j2_string_order_pitfall",
+      (s, dir) => {
+        import s.implicits._
+        val kStr = get_json_object($"props", "$.k")
+        val w = Window.orderBy(kStr.asc, $"event_id".asc)
+        T(s, dir, "events")
+          .filter($"event_type" === "click")
+          .withColumn("k_str", kStr)
+          .withColumn("rank_pos", row_number().over(w))
+          .select($"rank_pos", $"event_id", $"k_str")
+          .orderBy($"rank_pos")
+      },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY json_extract_string(props, '$.k'), event_id) AS rank_pos,
+             |event_id, json_extract_string(props, '$.k') AS k_str
+             |FROM events WHERE event_type = 'click'
+             |ORDER BY rank_pos""".stripMargin),
+      "README.md:106-111 wrong-order golden: lexicographic JSON-string sort"),
+
+    // ---- Corrected numeric ordering (README.md:142-155).
+    QueryDef(
+      "j3_numeric_order_fix",
+      (s, dir) => {
+        import s.implicits._
+        val kNum = get_json_object($"props", "$.k").cast("int")
+        val w = Window.orderBy(kNum.asc, $"event_id".asc)
+        T(s, dir, "events")
+          .filter($"event_type" === "click")
+          .withColumn("k", kNum)
+          .withColumn("rank_pos", row_number().over(w))
+          .select($"rank_pos", $"event_id", $"k")
+          .orderBy($"rank_pos")
+      },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY CAST(json_extract_string(props, '$.k') AS INTEGER), event_id) AS rank_pos,
+             |event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events WHERE event_type = 'click'
+             |ORDER BY rank_pos""".stripMargin),
+      "README.md:142-155 corrected CAST ordering golden"),
+
+    // ---- G1: jsonb_object_keys — one row per top-level key, DISTINCT
+    // (README.md:226-229 field-set discovery).
+    QueryDef(
+      "j4_object_keys",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .select(explode(expr("json_object_keys(props)")).as("key"))
+          .distinct()
+          .orderBy($"key")
+      },
+      Some("""SELECT DISTINCT k AS key FROM (
+             |  SELECT UNNEST(json_keys(props)) AS k FROM events)
+             |ORDER BY key""".stripMargin),
+      "G1 jsonb_object_keys ≅ explode(json_object_keys)"),
+
+    // ---- G2: json_each — one row per (key, value) pair.
+    QueryDef(
+      "j5_json_each",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .filter($"event_id" < 100)
+          .select($"event_id",
+            explode(from_json($"props", MapType(StringType, StringType))))
+          .withColumnRenamed("key", "k")
+          .withColumnRenamed("value", "v")
+          .orderBy($"event_id", $"k")
+      },
+      Some("""SELECT e.event_id, u.k, json_extract_string(e.props, '$.' || u.k) AS v
+             |FROM events e, UNNEST(json_keys(e.props)) AS u(k)
+             |WHERE e.event_id < 100
+             |ORDER BY e.event_id, u.k""".stripMargin),
+      "G2 json_each ≅ explode(from_json(doc, MAP<STRING,STRING>))"),
+
+    // ---- A4: json_agg — collect to a JSON array (sorted for
+    // cross-engine determinism; SURVEY §7 hard-part (d)).
+    QueryDef(
+      "j6_json_agg",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(to_json(array_sort(collect_list($"event_id"))).as("ids_json"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |'[' || STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) || ']' AS ids_json
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "A4 json_agg ≅ to_json(array_sort(collect_list))"),
+
+    // ---- A5: string_agg.
+    QueryDef(
+      "j7_string_agg",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(array_join(
+            transform(array_sort(collect_list($"event_id")),
+              x => x.cast("string")), ",").as("ids"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "A5 string_agg (README.md:361)"),
+
+    // ---- F6: json_object_set_key — THE reference JSON-mutation UDF
+    // (README.md:357-370), schemaless variant: map_concat replaces/adds
+    // the key, to_json re-serializes. No custom Expression needed.
+    QueryDef(
+      "j8_json_set_key",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .filter($"event_id" < 200)
+          .select($"event_id",
+            to_json(map_concat(
+              from_json($"props", MapType(StringType, StringType)),
+              map(lit("status"), lit("read")))).as("doc"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |CAST(json_object('k', json_extract_string(props, '$.k'), 'status', 'read') AS VARCHAR) AS doc
+             |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin),
+      "F6 json_object_set_key ≅ to_json(map_concat(...)) — README.md:621 read-flag mutation"),
+
+    // ---- F6 typed variant: withField on a parsed struct (preserves
+    // JSON value types, unlike the map variant).
+    QueryDef(
+      "j9_with_field",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .filter($"event_id" < 200)
+          .select($"event_id",
+            to_json(from_json($"props",
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .withField("flag", lit(true))).as("doc"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |CAST(json_object('k', CAST(json_extract_string(props, '$.k') AS INTEGER), 'flag', true) AS VARCHAR) AS doc
+             |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin),
+      "F6 typed: Column.withField on parsed struct (Spark 3.1+ codegen'd)"),
+
+    // ---- A7/F: COALESCE fallback for a missing JSON field
+    // (README.md:360-368 `COALESCE((...), '{}')`).
+    QueryDef(
+      "j10_coalesce_missing",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .filter($"event_id" < 100)
+          .select($"event_id",
+            coalesce(get_json_object($"props", "$.missing"), lit("{}")).as("v"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, COALESCE(json_extract_string(props, '$.missing'), '{}') AS v
+             |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin),
+      "A7 COALESCE on absent field"),
+
+    // ---- F8: revision ordinal parse — rev "N-hash", ordinal before '-'
+    // (lib/index.js:107-108). Synthetic revs from orderkeys; md5 is the
+    // cross-engine hash.
+    QueryDef(
+      "j11_rev_parse",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "orders")
+          .filter($"o_orderkey" < 500)
+          .select($"o_orderkey",
+            concat((($"o_orderkey" % 5) + 1).cast("string"), lit("-"),
+              md5($"o_orderkey".cast("string"))).as("rev"))
+          .select($"o_orderkey", $"rev",
+            split($"rev", "-").getItem(0).cast("long").as("rev_num"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, rev, CAST(split_part(rev, '-', 1) AS BIGINT) AS rev_num
+             |FROM (SELECT o_orderkey,
+             |  CAST(o_orderkey % 5 + 1 AS VARCHAR) || '-' || md5(CAST(o_orderkey AS VARCHAR)) AS rev
+             |  FROM orders WHERE o_orderkey < 500)
+             |ORDER BY o_orderkey""".stripMargin),
+      "F8 rev ordinal parse (lib/index.js:107-108); F3 || concat; F9-ish md5"),
+
+    // ---- F10: name mangling '-'→'_' (lib/index.js:32).
+    QueryDef(
+      "j12_name_mangle",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "part")
+          .filter($"p_partkey" < 300)
+          .select($"p_partkey",
+            regexp_replace(concat($"p_brand", lit("-"), $"p_type"), "[-# ]", "_")
+              .as("mangled"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, regexp_replace(p_brand || '-' || p_type, '[-# ]', '_', 'g') AS mangled
+             |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin),
+      "F10 feed-name mangling (lib/index.js:32, bin/daemon.js:115)"),
+
+    // ---- G3: json_to_recordset — JSON array of objects → typed rows
+    // (README.md:196-199, the view-over-http shape). The JSON array is
+    // built from rows, then parsed back — round-trip through the G3 path.
+    QueryDef(
+      "j13_json_to_recordset",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .filter($"event_id" < 50)
+          .select($"event_id",
+            concat(lit("""[{"key":""""), $"event_type",
+              lit("""","value":"""), $"value".cast("decimal(18,2)").cast("string"),
+              lit("}]")).as("payload"))
+          .select($"event_id",
+            explode(from_json($"payload",
+              org.apache.spark.sql.types.DataType.fromDDL(
+                "ARRAY<STRUCT<key: STRING, value: DOUBLE>>"))).as("rec"))
+          .select($"event_id", $"rec.key".as("key"), $"rec.value".as("value"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type AS key,
+             |CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+             |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin),
+      "G3 json_to_recordset ≅ from_json(ARRAY<STRUCT>) + explode round-trip"),
+
+    // ---- CDC latest-per-key: the T1/T4 per-key last-write-wins dedup
+    // (seq = event_id) expressed on the events table.
+    QueryDef(
+      "j14_cdc_latest_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+        T(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      "SURVEY §2.11 T1: per-key max(seq) last-write-wins dedup"),
+
+    // ---- CDC apply: full upsert decision tree T4 — treating events as a
+    // change feed (key=user_id, seq=event_id, deleted ≅ event_type='error'),
+    // final state = latest change per key, dropped if it is a delete.
+    QueryDef(
+      "j15_cdc_apply_final_state",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+        T(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1 && $"event_type" =!= "error")
+          .select($"user_id", $"event_id", $"event_type", $"value")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin),
+      "SURVEY §2.11 T4 upsert tree batch-collapse (delete wins if latest)")
+  )
+}

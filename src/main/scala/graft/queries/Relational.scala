@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator catalog — SURVEY.md §2.2-2.7 (projections, filters,
+  * joins, aggregations, windows, sorts, set ops) re-expressed Spark-first
+  * over the typed testdata tables.
+  *
+  * Scale notes are attached per query; the general rules:
+  *  - dimension joins (region/nation/supplier-sized) are broadcast;
+  *  - fact-fact joins shuffle on their equi-keys and rely on AQE;
+  *  - unpartitioned windows appear only where the reference semantics
+  *    (global chunk numbering, README.md:518) genuinely require a total
+  *    order, and are flagged.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- A1/A-class aggregation: TPC-H Q1-shaped pricing summary.
+    // Partial (map-side) agg then final agg on 2 low-cardinality keys:
+    // shuffle carries only |groups| x partitions rows — scales to 100 TB.
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"),
+            sum($"l_extendedprice".cast(dec)).cast("double").as("sum_base_price"),
+            sum(($"l_extendedprice".cast(dec) *
+              (lit(BigDecimal(1)).cast(dec) - $"l_discount".cast(dec))))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "SURVEY §2.4 A1 (README.md:208-213 GROUP BY/COUNT shape) on typed columns"),
+
+    // ---- P-class: projection + filter, pushed to the parquet scan.
+    QueryDef(
+      "q2_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem")
+          .filter($"l_shipdate" < lit("1996-01-01").cast("timestamp") &&
+            $"l_quantity" > 48)
+          .select($"l_orderkey", $"l_linenumber",
+            $"l_extendedprice".as("price"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 48
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "SURVEY §2.2 P3/P5 predicate + projection; PushedFilters on the scan"),
+
+    // ---- J-class: 3-way join, revenue per market segment.
+    // customer<->orders shuffle on custkey; orders<->lineitem on orderkey.
+    QueryDef(
+      "q3_join_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val c = T(s, dir, "customer")
+        val o = T(s, dir, "orders")
+        val l = T(s, dir, "lineitem")
+        c.join(o, $"c_custkey" === $"o_custkey")
+          .join(l, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"c_mktsegment")
+          .agg(
+            sum(($"l_extendedprice".cast(dec) *
+              (lit(BigDecimal(1)).cast(dec) - $"l_discount".cast(dec))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_items
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "SURVEY §2.3 equi-joins (generic J2 surface); Catalyst picks SMJ/broadcast"),
+
+    // ---- O-class: global top-k. orderBy+limit compiles to TakeOrdered
+    // (per-partition top-k then driver merge) — no full sort at scale.
+    QueryDef(
+      "q4_topk_orders",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(10)
+          .select($"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      "SURVEY §2.6 sorts/limits (top-k); TakeOrderedAndProject physical op"),
+
+    // ---- A3: DISTINCT projection.
+    QueryDef(
+      "q5_distinct",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "orders").select($"o_orderpriority").distinct()
+          .orderBy($"o_orderpriority")
+      },
+      Some("SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"),
+      "SURVEY §2.4 A3 DISTINCT (README.md:226-229 shape)"),
+
+    // ---- W-class: partitioned window — latest order per customer
+    // (the reference's per-key last-write-wins shape, SURVEY §T1/T4).
+    QueryDef(
+      "q6_window_latest",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        T(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+      "SURVEY §2.5 W1 partitioned variant — scales (hash-partition by key)"),
+
+    // ---- U-class: UNION of two document tables (README.md:664).
+    QueryDef(
+      "q7_union_tables",
+      (s, dir) => {
+        import s.implicits._
+        val c = T(s, dir, "customer")
+          .select($"c_name".as("name"), $"c_acctbal".as("acctbal"))
+        val su = T(s, dir, "supplier")
+          .select($"s_name".as("name"), $"s_acctbal".as("acctbal"))
+        c.unionByName(su).orderBy($"name", $"acctbal")
+      },
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+             |UNION ALL SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
+             |ORDER BY name, acctbal""".stripMargin),
+      "SURVEY §2.7 U2 unionByName"),
+
+    // ---- W1 exact shape: ((ROW_NUMBER() OVER (ORDER BY id)-1)/50)+1
+    // chunk assignment for _bulk_docs batching (README.md:518).
+    // SCALE NOTE: unpartitioned window = single-partition sort, faithful
+    // to the reference's global chunk numbering; the partitioned
+    // alternative (chunk within key) is q6 — documented in SURVEY §7.
+    QueryDef(
+      "q8_bulk_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"o_orderkey")
+        T(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("chunk_no",
+            (floor(($"rn" - 1) / 50.0) + 1).cast("long"))
+          .groupBy($"chunk_no")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"o_orderkey").as("first_id"),
+            max($"o_orderkey").as("last_id"))
+          .orderBy($"chunk_no")
+      },
+      Some("""SELECT chunk_no, COUNT(*) AS n_docs, MIN(o_orderkey) AS first_id,
+             |  MAX(o_orderkey) AS last_id FROM (
+             |  SELECT o_orderkey, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 50.0) + 1 AS BIGINT) AS chunk_no
+             |  FROM orders)
+             |GROUP BY chunk_no ORDER BY chunk_no""".stripMargin),
+      "SURVEY §2.5 W1 — the reference's bulk chunking arithmetic, verbatim semantics"),
+
+    // ---- P7/HAVING: filter on aggregated value (README.md:202,213).
+    QueryDef(
+      "q9_having",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "customer")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_cust"))
+          .where($"n_cust" > 20)
+          .orderBy($"c_nationkey")
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+             |GROUP BY c_nationkey HAVING COUNT(*) > 20
+             |ORDER BY c_nationkey""".stripMargin),
+      "SURVEY §2.2 P7 post-aggregation predicate (HAVING)"),
+
+    // ---- A2: bare count (the nagios count-consistency invariant).
+    QueryDef(
+      "q10_count",
+      (s, dir) => T(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT COUNT(*) AS n FROM lineitem"),
+      "SURVEY §2.4 A2 / §5 count invariant (nagios-check:26-27)"),
+
+    // ---- J-class anti join: NOT EXISTS.
+    QueryDef(
+      "q11_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "customer")
+          .join(T(s, dir, "orders").filter($"o_orderstatus" === "P"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin),
+      "anti-join (NOT EXISTS surface); broadcast-able build side at scale"),
+
+    // ---- J-class semi join: EXISTS.
+    QueryDef(
+      "q12_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "part").filter($"p_size" > 45)
+          .join(T(s, dir, "lineitem"), $"p_partkey" === $"l_partkey", "left_semi")
+          .select($"p_partkey", $"p_name")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_size > 45 AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |ORDER BY p_partkey""".stripMargin),
+      "semi-join (EXISTS surface)"),
+
+    // ---- Broadcast dimension joins: region/nation are tiny at any SF —
+    // explicit broadcast() keeps them off the shuffle even at 100 TB facts.
+    QueryDef(
+      "q13_dim_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = T(s, dir, "customer")
+        val n = T(s, dir, "nation")
+        val r = T(s, dir, "region")
+        c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_cust"),
+            sum($"c_acctbal".cast(dec)).cast("double").as("total_bal"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_cust,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      "star-schema dim joins; broadcast() hint pins BroadcastHashJoin"),
+
+    // ---- G4: generator over split words + count reduce (the couch view
+    // map/emit + _count reduce shape, README.md:184-188).
+    QueryDef(
+      "q14_explode_count",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "part")
+          .select(explode(split($"p_name", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+          .orderBy($"word")
+      },
+      Some("""SELECT w AS word, COUNT(*) AS cnt FROM (
+             |  SELECT UNNEST(string_split(p_name, ' ')) AS w FROM part)
+             |GROUP BY w ORDER BY w""".stripMargin),
+      "SURVEY §2.9 G4 explode + A6 _count reduce"),
+
+    // ---- P4: LIKE prefix/infix predicates.
+    QueryDef(
+      "q15_like",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "part")
+          .filter($"p_name".like("%widget%") && $"p_type".like("PROMO%"))
+          .select($"p_partkey", $"p_name", $"p_type")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+             |WHERE p_name LIKE '%widget%' AND p_type LIKE 'PROMO%'
+             |ORDER BY p_partkey""".stripMargin),
+      "SURVEY §2.2 P4 LIKE predicates (README.md:103,126,143)"),
+
+    // ---- Time-bucket aggregation over the event stream table (batch
+    // analog of a tumbling window; streaming variant in graft.streaming).
+    QueryDef(
+      "q16_time_buckets",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .groupBy(date_trunc("hour", $"ts").as("h"))
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(dec)).cast("double").as("total_value"))
+          .select($"h".cast("string").as("hour"), $"n_events", $"total_value")
+          .orderBy($"hour")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+             |COUNT(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin),
+      "tumbling-window batch analog; event-time bucketing"),
+
+    // ---- Multi-key sort with cast (O2, README.md:142-155 corrected
+    // ordering) — rank column materializes the order so the golden
+    // compare verifies ordering itself, not just the row set.
+    QueryDef(
+      "q17_multikey_sort",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"o_totalprice".cast(dec), $"o_orderkey")
+        T(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .filter($"o_totalprice" < 10000.0)
+          .withColumn("rank_pos", row_number().over(w))
+          .select($"rank_pos", $"o_orderkey", $"o_totalprice")
+          .orderBy($"rank_pos")
+      },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rank_pos,
+             |o_orderkey, o_totalprice
+             |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 10000.0
+             |ORDER BY rank_pos""".stripMargin),
+      "SURVEY §2.6 O2 cast + multi-key ORDER BY; rank makes order hash-visible")
+  )
+}
