@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{JsonDoc, QueryDef, Relational}
+import graft.queries.{JsonDoc, Pipeline, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** Full catalog, in registration order. */
   def catalog: Seq[QueryDef] =
-    Relational.entries ++ JsonDoc.entries
+    Relational.entries ++ JsonDoc.entries ++ Pipeline.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Embeddings are quantized to 64-bit integers (floor(x*1e6)) before any
+  * arithmetic: integer dot products are EXACT, making scores independent
+  * of summation order — reproducible across partitionings, engines, and
+  * re-runs (the DuckDB oracle matches bit-for-bit). The quantization
+  * error (1e-6 per dim) is far below any meaningful similarity delta.
+  */
+object Similarity {
+
+  /** Quantize a float-array embedding column to bigint components.
+    * The float is promoted to double BEFORE the multiply — float32
+    * multiplication would round differently than the oracle's. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact cosine from quantized vectors — deterministic double math:
+    * dot / sqrt(na * nb), all operands exact integers. */
+  def cosine(qa: Column, qb: Column): Column =
+    dot(qa, qb).cast("double") /
+      sqrt(dot(qa, qa).cast("double") * dot(qb, qb).cast("double"))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Baseline path: |queries| x |corpus| scored pairs, per-query top-k
+    * via partitioned window. SCALE: broadcast the (small) query set so
+    * the corpus never shuffles for scoring; only (query, k) survivors
+    * shuffle for the ranking. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Sign-bucket LSH key: sign bits of the first `planes` components
+    * (axis-aligned hyperplane LSH). Coarse but deterministic; the scale
+    * path — corpus is bucketed once, queries probe only their bucket. */
+  def signBucket(qemb: Column, planes: Int): Column =
+    concat((0 until planes).map(i =>
+      when(element_at(qemb, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed ANN: score only within the query's sign bucket.
+    * Approximate (recall < 1) but the scored-pair count drops by ~2^planes.
+    * At scale: corpus pre-partitioned by bucket (write once, probe many). */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+      .withColumn("bucket", signBucket(col("q_emb"), planes)))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("bucket", signBucket(col("c_emb"), planes))
+    val scored = q.join(c,
+      col("q_emb") =!= col("c_emb") && col("query_id") =!= col("neighbor_id")
+        && q("bucket") === c("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine above a threshold, blocked
+    * on a coarse key to avoid all-pairs (here: a provided blocking
+    * column; at scale: LSH buckets or cluster assignments). */
+  def cosinePairs(
+      df: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      quantize(col(embCol)).as("qv"))
+    val a = q.as("a")
+    val b = q.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.qv"), col("b.qv")).as("cos"))
+      .where(col("cos") > threshold)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for large-scale training-data pipelines: tokenizing,
+  * shingling, MinHash signatures, SimHash, fingerprints.
+  *
+  * Design constraints (100 TB discipline):
+  *  - everything is a codegen'd Column expression (built-in functions +
+  *    higher-order lambdas) — no UDFs, no driver round-trips;
+  *  - the only cross-row operations are groupBy/join on FIXED-WIDTH hash
+  *    keys (md5 hex / 64-bit ints), never on raw text, so shuffles carry
+  *    hashes instead of documents;
+  *  - md5 is the deterministic hash everywhere: portable across engines
+  *    (the DuckDB oracle reproduces every signature bit-for-bit).
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (ordered, with duplicates). Documents shorter
+    * than n words yield an empty array. */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
+      .otherwise(array())
+
+  /** One MinHash value: min over shingles of md5(salt:shingle).
+    * A distinct salt per permutation simulates k independent hash
+    * functions; min of md5 hex strings = min-wise order statistic. */
+  def minhash(shingleSet: Column, perm: Int): Column =
+    array_min(transform(shingleSet, s => md5(concat(lit(s"mh$perm:"), s))))
+
+  /** k-permutation MinHash signature as an array column. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map(minhash(shingleSet, _)): _*)
+
+  /** LSH band keys from a signature: bands of r rows hashed together.
+    * Two docs collide in a band iff that band of their signatures is
+    * identical; P(collide) = 1-(1-J^r)^b. */
+  def bandKeys(signature: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until r).map(i => element_at(signature, b * r + i + 1)): _*))
+    }: _*)
+
+  /** 60-bit word hash from md5 (portable: DuckDB reproduces it via
+    * CAST('0x'||substr(md5(w),1,15) AS BIGINT)). */
+  def wordHash(word: Column): Column =
+    conv(substring(md5(word), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over the token multiset: per-bit majority vote of
+    * word hashes. bits = number of signature bits (max 60).
+    *
+    * The bit loop is unrolled at plan-build time (Scala ints, not a
+    * Column lambda) because shiftleft/shiftright take literal shift
+    * amounts; the word hashes are computed once and shared. */
+  def simhash(words: Column, bits: Int = 60): Column =
+    simhashFromHashes(transform(words, wordHash(_)), bits)
+
+  /** SimHash from a precomputed word-hash array column — materialize the
+    * hashes once (withColumn) before calling: the per-bit vote re-reads
+    * the array `bits` times, and hashing words once per bit would be a
+    * 60x waste. */
+  def simhashFromHashes(hashes: Column, bits: Int = 60): Column =
+    (0 until bits).map { b =>
+      when(aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)) > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Jaccard similarity of two array columns (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") /
+      size(array_union(da, db)).cast("double")
+  }
+
+  /** Rolling-hash document fingerprint: min md5 over word 5-gram
+    * shingles — a winnowing-style content fingerprint stable under
+    * small edits at the margins. */
+  def fingerprint(words: Column, n: Int = 5): Column =
+    when(size(words) >= n,
+      array_min(transform(sequence(lit(0), size(words) - n), i =>
+        md5(concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))))
+      .otherwise(md5(concat_ws(" ", words)))
+}

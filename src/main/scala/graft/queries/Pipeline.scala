@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+
+/** Training-data pipeline operator catalog: deduplication, similarity
+  * search, text analysis, multimodal plumbing — the operations a 100 TB
+  * LLM-data pipeline runs on top of the document plane.
+  *
+  * Every oracle reproduces the Spark computation exactly in DuckDB SQL:
+  * md5 signatures bit-for-bit, integer-quantized cosine, identical
+  * banding — so the hash-compare gate verifies the ALGORITHM, not just
+  * row counts.
+  */
+object Pipeline {
+
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  /** Shared DuckDB CTE: tokenized documents. */
+  private val W = "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- Exact dedup on content hash (hash-groupBy; text never shuffles).
+    QueryDef(
+      "p1_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"keep_id")
+      },
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+             |COUNT(*) AS n_copies FROM documents GROUP BY md5(text)
+             |ORDER BY keep_id""".stripMargin),
+      "exact dedup via md5 content hash"),
+
+    // ---- MinHash + LSH near-dup pairs, shingle-set Jaccard verified.
+    QueryDef(
+      "p2_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          nGram = 3, k = 6, bands = 3, threshold = 0.2)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w),
+             |sig AS (SELECT doc_id, ss,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM sh WHERE len(ss) > 0),
+             |bands AS (SELECT doc_id, ss, u.b AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+             |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.2
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "MinHash(k=6) + LSH(3 bands of 2) + exact Jaccard verify — signatures reproduced bit-for-bit"),
+
+    // ---- SimHash signatures (60-bit, md5-derived word hashes).
+    QueryDef(
+      "p3_simhash_sig",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashSignatures(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |h AS (SELECT doc_id, list_transform(words, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS hs FROM w)
+             |SELECT doc_id AS doc,
+             |list_sum(list_transform(range(0,60), b -> CASE WHEN
+             |  list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |  THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS simhash
+             |FROM h ORDER BY doc""".stripMargin),
+      "60-bit SimHash per doc; per-bit majority vote of 60-bit md5 word hashes"),
+
+    // ---- SimHash near-dup pairs via 15-bit chunk banding.
+    QueryDef(
+      "p4_simhash_pairs",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8, chunks = 4)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |h AS (SELECT doc_id, list_transform(words, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS hs FROM w),
+             |sg AS (SELECT doc_id,
+             |  list_sum(list_transform(range(0,60), b -> CASE WHEN
+             |    list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |    THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS simhash FROM h),
+             |ch AS (SELECT doc_id, simhash, u.c AS chunk_id, (simhash >> (u.c*15)) & 32767 AS chunk_val
+             |  FROM sg, UNNEST(range(4)) AS u(c)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |  FROM ch a JOIN ch b ON a.chunk_id=b.chunk_id AND a.chunk_val=b.chunk_val AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "SimHash LSH: 4x15-bit chunk join, Hamming<=8 verify (identical banding in oracle)"),
+
+    // ---- n-gram Jaccard calibration over consecutive doc pairs.
+    QueryDef(
+      "p5_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val sh = d.select($"doc_id",
+          array_distinct(TextOps.shingles(TextOps.tokens($"text"), 3)).as("ss"))
+        val a = sh.as("a")
+        val b = sh.as("b")
+        a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            TextOps.jaccard(col("a.ss"), col("b.ss")).as("jaccard"))
+          .orderBy($"doc_a")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+             |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+             |ORDER BY doc_a""".stripMargin),
+      "3-gram shingle-set Jaccard (exact int/int division)"),
+
+    // ---- Embedding near-dup pairs (quantized cosine, label-blocked).
+    QueryDef(
+      "p6_embed_cosine_pairs",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.cosinePairs(T(s, dir, "embeddings"), "label", 0.4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |     CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |FROM q a, q b WHERE a.label=b.label AND a.vec_id < b.vec_id
+             |AND CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |     CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) > 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      "embedding near-dup: exact integer-quantized cosine, blocked on label"),
+
+    // ---- Brute-force ANN top-k (the exact baseline).
+    QueryDef(
+      "p7_ann_brute",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        Similarity.bruteForceTopK(em.filter($"vec_id" < 10), em, 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM q a, q b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "brute-force cosine top-5 for 10 query vectors (broadcast queries, corpus never shuffles)"),
+
+    // ---- LSH-bucketed ANN (sign-bit hyperplane buckets).
+    QueryDef(
+      "p8_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        Similarity.lshTopK(em.filter($"vec_id" < 10), em, 3, planes = 4)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |bk AS (SELECT vec_id, qv,
+             |  (CASE WHEN qv[1]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[2]>=0 THEN '1' ELSE '0' END)||
+             |  (CASE WHEN qv[3]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[4]>=0 THEN '1' ELSE '0' END) AS bucket FROM q),
+             |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM bk a, bk b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.bucket = b.bucket AND a.qv <> b.qv),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin),
+      "sign-bucket LSH ANN: 2^4 buckets, probe own bucket only (identical bucketing in oracle)"),
+
+    // ---- Token statistics.
+    QueryDef(
+      "p9_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        val words = TextOps.tokens($"text")
+        T(s, dir, "documents")
+          .select($"doc_id",
+            TextAnalysis.tokenCount(words).as("n_tokens"),
+            size(array_distinct(words)).as("n_uniq"),
+            TextAnalysis.subwordCountEstimate($"text").as("subword_est"),
+            length($"text").as("len"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""$W
+              |SELECT w.doc_id, len(words) AS n_tokens,
+              |len(list_distinct(words)) AS n_uniq,
+              |list_sum(list_transform(words, x -> greatest(CAST(ceil(len(x)/6.0) AS BIGINT), 1))) AS subword_est,
+              |len(d.text) AS len
+              |FROM w JOIN documents d ON w.doc_id = d.doc_id
+              |ORDER BY w.doc_id""".stripMargin),
+      "token counting: whitespace + BPE-ish subword estimate"),
+
+    // ---- Quality scoring.
+    QueryDef(
+      "p10_quality",
+      (s, dir) => {
+        import s.implicits._
+        val words = TextOps.tokens($"text")
+        T(s, dir, "documents")
+          .select($"doc_id", TextAnalysis.qualityScore(words).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+             |SELECT doc_id,
+             |0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+             |+ 0.3 * least((CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) / 8.0, 1.0)
+             |+ 0.3 * least((CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) * 3.0, 1.0)
+             |AS quality
+             |FROM w ORDER BY doc_id""".stripMargin),
+      "quality score: repetition + word-length + stopword ratios (deterministic double math)"),
+
+    // ---- Language-ID heuristic.
+    QueryDef(
+      "p11_langid",
+      (s, dir) => {
+        import s.implicits._
+        val words = TextOps.tokens($"text")
+        T(s, dir, "documents")
+          .select($"doc_id", $"lang".as("labeled"),
+            TextAnalysis.predictLang(words).as("pred"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS words FROM documents),
+             |sc AS (SELECT doc_id, lang,
+             |  CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','ein','zu'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_de,
+             |  CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_en,
+             |  CAST(len(list_filter(words, x -> list_contains(['el','la','los','y','es','un','una'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_es,
+             |  CAST(len(list_filter(words, x -> list_contains(['le','la','les','et','est','un','une'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_fr
+             |  FROM w)
+             |SELECT doc_id, lang AS labeled,
+             |CASE WHEN greatest(s_de,s_en,s_es,s_fr) >= 0.05 THEN
+             |  (CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+             |        WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+             |        WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+             |        ELSE 'fr' END)
+             |ELSE 'und' END AS pred
+             |FROM sc ORDER BY doc_id""".stripMargin),
+      "stopword-overlap language heuristic, argmax with evidence floor"),
+
+    // ---- Document fingerprinting.
+    QueryDef(
+      "p12_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select($"doc_id",
+            TextOps.fingerprint(TextOps.tokens($"text")).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+             |SELECT doc_id, CASE WHEN len(words) >= 5 THEN
+             |  list_min(list_transform(range(1, len(words)-3), i ->
+             |    md5(words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4])))
+             |ELSE md5(array_to_string(words,' ')) END AS fp
+             |FROM w ORDER BY doc_id""".stripMargin),
+      "winnowing-style min-hash fingerprint over 5-gram shingles"),
+
+    // ---- Multimodal: binary payload + typed metadata.
+    QueryDef(
+      "p13_media_meta",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.asMedia(T(s, dir, "documents"), "doc_id", "text")
+          .select($"media_id", $"mime", $"n_bytes",
+            upper(hex(substring($"payload", 1, 8))).as("header_hex"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |upper(hex(encode(substring(text, 1, 8)))) AS header_hex
+             |FROM documents ORDER BY media_id""".stripMargin),
+      "opaque binary column + typed metadata (schema plumbing for image/audio payloads)"),
+
+    // ---- Multimodal: decode stub (partition-local batch shape).
+    QueryDef(
+      "p14_decode_stub",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeStub(
+          Multimodal.asMedia(T(s, dir, "documents"), "doc_id", "text"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |16 + octet_length(encode(text)) % 64 AS width,
+             |16 + (ascii(substr(text,1,1)) & 63) AS height,
+             |md5(text) AS feature_hash
+             |FROM documents ORDER BY media_id""".stripMargin),
+      "stubbed decode: deterministic fake features; real mapPartitions batch shape"),
+
+    // ---- Multimodal: frame sampling fan-out.
+    QueryDef(
+      "p15_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents")
+          .select($"doc_id".as("media_id"), ($"n_chars" % 50 + 10).as("n_frames"))
+        Multimodal.sampleFrames(media, "n_frames", 7)
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id, u.f AS frame_idx,
+             |md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.f AS VARCHAR)) AS frame_key
+             |FROM documents, UNNEST(range(0, n_chars % 50 + 10, 7)) AS u(f)
+             |ORDER BY media_id, frame_idx""".stripMargin),
+      "every-7th-frame sampling plan: generator fan-out, deterministic frame keys")
+  )
+}
