@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HTTP write-back sinks — SURVEY.md §2.1 S4/S5: push documents from the
+  * engine back into CouchDB, single-doc PUT and chunked `_bulk_docs`.
+  *
+  * The reference does this with a Postgres trigger (`couchdb_put`,
+  * README.md:336-352: rows written with `from_pg=true` are routed to
+  * `http_post('http://couch/<table>/<id>', doc)` and the local write is
+  * suppressed) and, for bulk, a ROW_NUMBER chunking + `json_agg` +
+  * `http_post('.../_bulk_docs', {"all_or_nothing":true,"docs":[...]})`
+  * recipe (README.md:491-528; 50 works, ~500 safe, 1000 times out —
+  * README.md:504-530).
+  *
+  * Spark-first: the "trigger" is a sink stage — rows destined for
+  * write-back flow through [[BulkDocsSink.post]] instead of the local
+  * store (the `from_pg` column becomes *which sink you call*, SURVEY
+  * §1.1 #2). HTTP itself is behind [[DocPoster]] so tests inject a
+  * recorder (zero-egress environment); the production poster is a thin
+  * `java.net.http` client per executor.
+  */
+trait DocPoster extends Serializable {
+  /** POST body to url; returns HTTP status. */
+  def post(url: String, body: String): Int
+}
+
+object BulkDocsSink {
+
+  /** The reference's chunk arithmetic, verbatim semantics (README.md:518):
+    * `((ROW_NUMBER() OVER (ORDER BY id) - 1) / chunkSize) + 1`.
+    *
+    * SCALE NOTE: a global ROW_NUMBER is a single-partition sort — faithful
+    * to the reference but a bottleneck at 100 TB. `chunkedByPartition`
+    * below is the scale path (chunk within each partition, no global
+    * shuffle); chunk NUMBERS differ but chunk CONTENTS are equivalent for
+    * an order-insensitive bulk API. */
+  def chunked(df: DataFrame, idCol: String, docCol: String,
+      chunkSize: Int = 50): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("chunk_no",
+        (floor((col("__rn") - 1) / chunkSize.toDouble) + 1).cast("long"))
+      .groupBy(col("chunk_no"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // json_agg with deterministic order (SURVEY §7 hard-part (d)):
+        // collect (rn, doc), sort by rn, project docs
+        concat(lit("["),
+          array_join(transform(
+            array_sort(collect_list(struct(col("__rn"), col(docCol)))),
+            s => s.getField(docCol)), ","),
+          lit("]")).as("docs_json"))
+  }
+
+  /** Scale path: chunk within each partition — no global sort, chunk key
+    * = (partition, local chunk). Same payload shape. */
+  def chunkedByPartition(df: DataFrame, idCol: String, docCol: String,
+      chunkSize: Int = 50): DataFrame = {
+    val w = Window.partitionBy(spark_partition_id()).orderBy(col(idCol))
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("chunk_no",
+        (col("__pid").cast("long") * lit(1000000L)) +
+          floor((col("__rn") - 1) / chunkSize.toDouble).cast("long"))
+      .groupBy(col("chunk_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat(lit("["),
+          array_join(transform(
+            array_sort(collect_list(struct(col("__rn"), col(docCol)))),
+            s => s.getField(docCol)), ","),
+          lit("]")).as("docs_json"))
+  }
+
+  /** `_bulk_docs` payload from a chunk (README.md:522-527). */
+  def payload(docsJson: Column): Column =
+    concat(lit("""{"all_or_nothing":true,"docs":"""), docsJson, lit("}"))
+
+  /** POST every chunk to `<baseUrl>/_bulk_docs`; returns (chunk_no,
+    * n_docs, status). Distributed: each executor posts its partitions'
+    * chunks — the driver never sees a document. */
+  def post(chunks: DataFrame, baseUrl: String, poster: DocPoster): DataFrame = {
+    val spark = chunks.sparkSession
+    val url = s"$baseUrl/_bulk_docs"
+    val out = chunks
+      .select(col("chunk_no"), col("n_docs"), payload(col("docs_json")).as("body"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val status = poster.post(url, r.getAs[String]("body"))
+          org.apache.spark.sql.Row(
+            r.getAs[Long]("chunk_no"), r.getAs[Long]("n_docs"), status)
+        }
+      }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "chunk_no BIGINT, n_docs BIGINT, status INT"))
+  }
+
+  /** Single-doc PUT path (S4, the per-row trigger semantics): one HTTP
+    * call per row, executor-side. Small-batch escape hatch; bulk is the
+    * real path. */
+  def putEach(docs: DataFrame, idCol: String, docCol: String,
+      baseUrl: String, poster: DocPoster): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs.select(col(idCol).cast("string").as("id"), col(docCol).as("doc"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[String]("id")
+          val status = poster.post(s"$baseUrl/$id", r.getAs[String]("doc"))
+          org.apache.spark.sql.Row(id, status)
+        }
+      }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType.fromDDL("id STRING, status INT"))
+  }
+}
+
+/** Production poster: JDK HTTP client, one instance per executor JVM.
+  * Not exercised in tests (zero-egress environment). */
+final class JdkHttpPoster(auth: Option[(String, String)] = None)
+    extends DocPoster {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  override def post(url: String, body: String): Int = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    auth.foreach { case (u, p) =>
+      val tok = java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes("UTF-8"))
+      b.header("Authorization", s"Basic $tok")
+    }
+    client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+  }
+}
+
+/** Test poster: records every call into a local spool directory (works
+  * in local[n] where executors share the filesystem). */
+final class SpoolingPoster(spoolDir: String) extends DocPoster {
+  override def post(url: String, body: String): Int = {
+    val dir = java.nio.file.Paths.get(spoolDir)
+    java.nio.file.Files.createDirectories(dir)
+    val name = f"post-${System.nanoTime()}%020d-${
+      Integer.toHexString(url.hashCode)}.json"
+    java.nio.file.Files.write(dir.resolve(name),
+      s"""{"url":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().writeValueAsString(url)},"body":$body}"""
+        .getBytes("UTF-8"))
+    201
+  }
+}

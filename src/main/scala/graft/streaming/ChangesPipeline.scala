@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Wiring for one feed: `_changes` source → rev-guarded merge sink, with
+  * Spark's checkpointLocation as the progress log — the reference's
+  * single-feed client (`bin/index.js:14-104`) as one streaming query.
+  */
+object ChangesPipeline {
+
+  /** Start following a feed into a document store.
+    *
+    * @param feedPath   JSONL `_changes` feed (FileChangesFeed)
+    * @param storeRoot  versioned parquet doc store (MergeSink)
+    * @param checkpoint Spark checkpoint dir (offset/commit log — the
+    *                   native `since_checkpoints`, SURVEY §2.1 S3)
+    * @param since      resume seq (the reference's `since` option)
+    */
+  def start(
+      spark: SparkSession,
+      feedPath: String,
+      storeRoot: String,
+      checkpoint: String,
+      name: String,
+      since: Long = 0L,
+      maxChangesPerTrigger: Option[Long] = None,
+      excludeTypes: Set[String] = Set.empty,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var reader = spark.readStream.format("couch-changes")
+      .option("path", feedPath)
+      .option("since", since.toString)
+    maxChangesPerTrigger.foreach(n =>
+      reader = reader.option("maxChangesPerTrigger", n.toString))
+    reader.load()
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(MergeSink.forBatch(storeRoot, excludeTypes))
+      .start()
+  }
+
+  /** Run a feed to completion (AvailableNow) and wait. */
+  def runOnce(
+      spark: SparkSession,
+      feedPath: String,
+      storeRoot: String,
+      checkpoint: String,
+      name: String = "graft-feed",
+      maxChangesPerTrigger: Option[Long] = None): Unit = {
+    val q = start(spark, feedPath, storeRoot, checkpoint, name,
+      maxChangesPerTrigger = maxChangesPerTrigger)
+    q.awaitTermination()
+  }
+}
+
+/** Compat view of replication progress in the reference's
+  * `since_checkpoints` shape `(pgtable, since, enabled)` (README.md:273-281)
+  * — derived from Spark's checkpoint offset log, which is the actual
+  * source of truth (SURVEY §2.1 S3: "Spark streaming checkpointLocation
+  * is the native equivalent; optional compat view").
+  */
+object SinceCheckpoints {
+
+  /** Last committed seq for one checkpoint dir: reads the newest entry
+    * in <checkpoint>/offsets (Spark's HDFSMetadataLog format: line 1 is
+    * "v1", subsequent lines are per-source offset JSON). */
+  def lastSince(checkpoint: String): Option[Long] = {
+    val dir = Paths.get(checkpoint, "offsets")
+    if (!Files.exists(dir)) return None
+    val batches = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .toSeq.sortBy(_.getFileName.toString.toLong)
+    batches.lastOption.flatMap { p =>
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.toSeq
+      lines.collectFirst {
+        case l if l.contains("\"seq\"") => ChangesOffset.fromJson(l).seq
+      }
+    }
+  }
+
+  /** The registry view over a set of (feedName -> checkpointDir). */
+  def view(
+      spark: SparkSession,
+      feeds: Map[String, String],
+      enabled: Set[String] = Set.empty): DataFrame = {
+    import spark.implicits._
+    feeds.toSeq.sortBy(_._1).map { case (name, ckpt) =>
+      (name, lastSince(ckpt).getOrElse(0L),
+        enabled.isEmpty || enabled(name))
+    }.toDF("pgtable", "since", "enabled")
+  }
+}

@@ -1,0 +1,190 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.ChangeEvent
+
+/** Structured Streaming source for a CouchDB `_changes` feed —
+  * SURVEY.md §2.1 S1 re-expressed as a DataSource V2 `MicroBatchStream`.
+  *
+  * The reference holds one long-lived HTTP socket per feed and applies
+  * changes one at a time (lib/index.js:40, 243-290). Here the feed is a
+  * replayable offset range: the offset IS the CouchDB `seq` (monotonic
+  * per feed, exactly the value the reference checkpoints into
+  * `since_checkpoints`, lib/index.js:76). Spark's offset log gives
+  * exactly-once batch tracking for free; together with the rev-guarded
+  * merge sink ([[MergeSink]]) the pipeline is idempotent end-to-end.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("couch-changes")
+  *     .option("path", feedDir)          // JSONL feed (FileChangesFeed)
+  *     .option("since", "0")             // resume point (default 0)
+  *     .option("maxChangesPerTrigger", "1000")  // admission control (T2)
+  *     .load()
+  * }}}
+  *
+  * Backpressure: the reference pauses the socket while its queue drains
+  * (lib/index.js:256-265, T2). The micro-batch analog is admission
+  * control — `maxChangesPerTrigger` caps each batch via
+  * [[SupportsAdmissionControl]].
+  *
+  * SCALE: one feed is inherently a single ordered stream (CouchDB
+  * assigns seqs serially), so `planInputPartitions` splits the seq RANGE
+  * into `numPartitions` slices — parse/merge parallelism downstream —
+  * while the per-key max(seq) dedup in the sink makes intra-batch order
+  * irrelevant (T1). Many feeds = many independent streams (§ control
+  * plane, [[Supervisor]]).
+  */
+class ChangesTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "couch-changes"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeEvent.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangesTable(properties.asScala.toMap)
+}
+
+final class ChangesTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"couch-changes(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = ChangeEvent.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = ChangeEvent.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ChangesMicroBatchStream(
+          path = options.get("path"),
+          startSince = Option(options.get("since")).map(_.toLong).getOrElse(0L),
+          maxPerTrigger = Option(options.get("maxChangesPerTrigger")).map(_.toLong),
+          numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(4))
+    }
+}
+
+/** Offset = the CouchDB seq high-water mark (SURVEY §1.1 #4). */
+final case class ChangesOffset(seq: Long) extends Offset {
+  override def json(): String = s"""{"seq":$seq}"""
+}
+
+object ChangesOffset {
+  def fromJson(json: String): ChangesOffset = {
+    val n = new ObjectMapper().readTree(json)
+    ChangesOffset(n.get("seq").asLong())
+  }
+}
+
+final class ChangesMicroBatchStream(
+    path: String,
+    startSince: Long,
+    maxPerTrigger: Option[Long],
+    numPartitions: Int)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val feed: ChangesFeed = new FileChangesFeed(path)
+
+  /** Trigger.AvailableNow end bound: changes arriving after the query
+    * starts are left for the next run (SupportsTriggerAvailableNow). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(feed.latestSeq())
+
+  override def initialOffset(): Offset = ChangesOffset(startSince)
+
+  override def deserializeOffset(json: String): Offset =
+    ChangesOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled latest offset: cap the batch at maxRows changes
+    * past `start` (the reference's pause/resume backpressure T2). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val since = start.asInstanceOf[ChangesOffset].seq
+    val cap = availableNowTarget.getOrElse(Long.MaxValue)
+    limit match {
+      case mr: ReadMaxRows =>
+        val seqs = feed.seqsAfter(since).filter(_ <= cap)
+        if (seqs.isEmpty) ChangesOffset(since)
+        else ChangesOffset(seqs.take(mr.maxRows().toInt).last)
+      case _ =>
+        ChangesOffset(math.max(since, math.min(feed.latestSeq(), cap)))
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = ChangesOffset(feed.latestSeq())
+
+  /** Slice the (start, end] seq range into contiguous sub-ranges — range
+    * partitioning on the offset axis; readers fetch their slice only. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[ChangesOffset].seq
+    val hi = end.asInstanceOf[ChangesOffset].seq
+    if (hi <= lo) Array.empty
+    else {
+      val span = hi - lo
+      val n = math.min(numPartitions.toLong, span).toInt
+      (0 until n).map { i =>
+        val s = lo + span * i / n
+        val e = lo + span * (i + 1) / n
+        ChangesInputPartition(path, s, e): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class ChangesInputPartition(path: String, fromSeq: Long, toSeq: Long)
+    extends InputPartition
+
+final class ChangesReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangesInputPartition]
+    new ChangesPartitionReader(p)
+  }
+}
+
+final class ChangesPartitionReader(p: ChangesInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = new FileChangesFeed(p.path).changes(p.fromSeq, p.toSeq)
+  private var current: ChangeEvent = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    current.seq,
+    UTF8String.fromString(current.id),
+    if (current.rev == null) null else UTF8String.fromString(current.rev),
+    current.deleted,
+    if (current.doc == null) null else UTF8String.fromString(current.doc)))
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cdc.ChangeApply
+
+/** The merge-upsert sink — SURVEY.md §2.1 S2 as one set-oriented merge
+  * per micro-batch (`foreachBatch`), replacing the reference's 2-3 SQL
+  * round-trips per change (lib/index.js:96-181; ~625 docs/s ceiling,
+  * BASELINE.md).
+  *
+  * State layout: a versioned parquet document store
+  *
+  *   <root>/v=<n>/          the (id, rev, doc) table, version n
+  *   <root>/_CURRENT        "n <appliedBatchId>" pointer (atomic swap)
+  *
+  * Each batch: read v=n, [[ChangeApply.applyChanges]], write v=n+1, swap
+  * the pointer. Writing a NEW version then renaming a pointer file gives
+  * readers snapshot isolation and makes a crashed write invisible.
+  *
+  * Idempotence / exactly-once: `_CURRENT` records the last applied
+  * foreachBatch batchId; a replayed batch (same id) is a NOOP — together
+  * with the rev-equality NOOP inside the merge (T3/T4) the sink
+  * converges under at-least-once redelivery.
+  *
+  * SCALE: at 100 TB the store is the same algorithm on a bucketed table
+  * (bucket by `id`) or a Delta/Iceberg MERGE — the batch (small) shuffles
+  * to the state's bucketing, the state never fully rewrites. The
+  * versioned-parquet variant here rewrites the snapshot, which is correct
+  * for any size but economical only when state << batch-rate * retention;
+  * the `partitionBy` knob below keeps per-file sizes bounded.
+  */
+object MergeSink {
+
+  /** Read the current state (id, rev, doc); empty if none yet. */
+  def readState(spark: SparkSession, root: String): DataFrame =
+    currentVersion(root) match {
+      case Some((v, _)) => spark.read.parquet(s"$root/v=$v")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id STRING, rev STRING, doc STRING"))
+    }
+
+  /** (version, lastAppliedBatchId) from the _CURRENT pointer. */
+  def currentVersion(root: String): Option[(Long, Long)] = {
+    val p = Paths.get(root, "_CURRENT")
+    if (!Files.exists(p)) None
+    else {
+      val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.split(" ")
+      Some((parts(0).toLong, parts(1).toLong))
+    }
+  }
+
+  /** Apply one micro-batch of change events to the store. Safe to call
+    * with the same batchId twice (replay after failure): second call is
+    * a NOOP. Returns true if the batch was applied. */
+  def applyBatch(
+      root: String,
+      batch: DataFrame,
+      batchId: Long,
+      excludeTypes: Set[String] = Set.empty,
+      numPartitions: Int = 0): Boolean = {
+    val spark = batch.sparkSession
+    val cur = currentVersion(root)
+    if (cur.exists(_._2 >= batchId)) return false // replayed batch: NOOP
+    val v = cur.map(_._1).getOrElse(-1L) + 1
+    val state = readState(spark, root)
+    val merged0 = ChangeApply.applyChanges(state, batch, excludeTypes)
+    val merged =
+      if (numPartitions > 0) merged0.repartition(numPartitions, merged0("id"))
+      else merged0
+    merged.write.mode("overwrite").parquet(s"$root/v=$v")
+    val tmp = Paths.get(root, "_CURRENT.tmp")
+    Files.createDirectories(Paths.get(root))
+    Files.write(tmp, s"$v $batchId".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, "_CURRENT"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // retain only the previous version (crash-recovery window)
+    cur.foreach { case (prev, _) =>
+      if (prev >= 1) deleteRecursive(Paths.get(root, s"v=${prev - 1}"))
+    }
+    true
+  }
+
+  /** foreachBatch hook: writeStream.foreachBatch(MergeSink.forBatch(root)). */
+  def forBatch(root: String, excludeTypes: Set[String] = Set.empty)
+      : (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(root, df, id, excludeTypes); () }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+}
