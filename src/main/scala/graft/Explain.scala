@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: print the formatted physical plan and wall time for
+  * one or more catalog queries. Usage:
+  *   runMain graft.Explain <sfDir> <queryName> [queryName ...]
+  * Pass `-t` as first query name to only time (skip the plan dump).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val (timeOnly, names) =
+      if (args(1) == "-t") (true, args.drop(2)) else (false, args.tail)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (!timeOnly) {
+        println(s"===== $name: plan =====")
+        df.explain("formatted")
+      }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"===== $name: $n rows in $sec%.2f s =====")
+    }
+    spark.stop()
+  }
+}

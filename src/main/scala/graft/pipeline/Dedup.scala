@@ -23,9 +23,14 @@ object Dedup {
     * band keys -> bucket self-join on (band, key) -> exact shingle-set
     * Jaccard verification >= threshold.
     *
-    * SCALE: the self-join shuffles (band_id, band_key, doc_id, shingles);
-    * shingles ride along only for the verify step on *candidates* —
-    * with sane banding the candidate set is ~linear in true duplicates.
+    * SCALE: three stages with deliberately thin shuffles —
+    *  1. candidate generation joins ONLY (band, bkey, doc_id): fixed-width
+    *     hash keys, never text or shingles;
+    *  2. candidate pairs dedup on (doc_a, doc_b) BEFORE any verification,
+    *     so a pair colliding in all bands verifies once, not `bands` times;
+    *  3. the exact-Jaccard verify joins shingle sets back by doc id —
+    *     shingles shuffle once, and only for docs that are in >=1 pair.
+    * With sane banding the candidate set is ~linear in true duplicates.
     */
   def minhashPairs(
       df: DataFrame,
@@ -37,32 +42,38 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     val words = TextOps.tokens(col(textCol))
     val sh = TextOps.shingles(words, nGram)
-    val sig = df.select(
+    val shingleSets = df.select(
       col(idCol).as("doc"),
       array_distinct(sh).as("shingle_set"))
       .where(size(col("shingle_set")) > 0)
+    val buckets = shingleSets
       .withColumn("sig", TextOps.minhashSignature(col("shingle_set"), k))
-      .withColumn("bandkeys", TextOps.bandKeys(col("sig"), bands, k / bands))
-    val buckets = sig.select(
-      col("doc"), col("shingle_set"),
-      posexplode(col("bandkeys")).as(Seq("band", "bkey")))
+      .select(col("doc"),
+        posexplode(TextOps.bandKeys(col("sig"), bands, k / bands))
+          .as(Seq("band", "bkey")))
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b,
+    val candidates = a.join(b,
       col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        TextOps.jaccard(col("a.shingle_set"), col("b.shingle_set")).as("jaccard"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
+    val sa = shingleSets.select(
+      col("doc").as("doc_a"), col("shingle_set").as("ss_a"))
+    val sb = shingleSets.select(
+      col("doc").as("doc_b"), col("shingle_set").as("ss_b"))
+    candidates
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.jaccard(col("ss_a"), col("ss_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash signatures per document (word hashes materialized once). */
+  /** SimHash signatures per document (one codegen'd pass per doc). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame =
     df.select(col(idCol).as("doc"),
-      transform(TextOps.tokens(col(textCol)), TextOps.wordHash(_)).as("hs"))
-      .select(col("doc"), TextOps.simhashFromHashes(col("hs"), bits).as("simhash"))
+      TextOps.simhash(TextOps.tokens(col(textCol)), bits).as("simhash"))
 
   /** SimHash near-duplicate pairs: band the 60-bit signature into
     * `chunks` 15-bit chunks; a pair within Hamming distance d collides

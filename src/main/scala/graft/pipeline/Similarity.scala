@@ -20,14 +20,22 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
 
+  /** Codegen'd integer dot product (graft.functions.DotLongExpr) — the
+    * inner loop of every scoring join. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.Vectors.dotCol(a, b)
 
   /** Exact cosine from quantized vectors — deterministic double math:
     * dot / sqrt(na * nb), all operands exact integers. */
   def cosine(qa: Column, qb: Column): Column =
     dot(qa, qb).cast("double") /
       sqrt(dot(qa, qa).cast("double") * dot(qb, qb).cast("double"))
+
+  /** Cosine with pre-computed self-norms: one dot per pair instead of
+    * three. Norms are per-VECTOR (linear), pairs are quadratic — at any
+    * scale the norms must be computed before the pair join, not in it. */
+  def cosinePrenormed(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    dot(qa, qb).cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * Baseline path: |queries| x |corpus| scored pairs, per-query top-k
@@ -38,12 +46,15 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb")))
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", graft.functions.Vectors.dotCol(col("q_emb"), col("q_emb"))))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", graft.functions.Vectors.dotCol(col("c_emb"), col("c_emb")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        cosinePrenormed(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -66,15 +77,18 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", graft.functions.Vectors.dotCol(col("q_emb"), col("q_emb")))
       .withColumn("bucket", signBucket(col("q_emb"), planes)))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", graft.functions.Vectors.dotCol(col("c_emb"), col("c_emb")))
       .withColumn("bucket", signBucket(col("c_emb"), planes))
     val scored = q.join(c,
       col("q_emb") =!= col("c_emb") && col("query_id") =!= col("neighbor_id")
         && q("bucket") === c("bucket"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        cosinePrenormed(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -90,11 +104,13 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", graft.functions.Vectors.dotCol(col("qv"), col("qv")))
     val a = q.as("a")
     val b = q.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.qv"), col("b.qv")).as("cos"))
+        cosinePrenormed(col("a.qv"), col("b.qv"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
       .where(col("cos") > threshold)
   }
 }

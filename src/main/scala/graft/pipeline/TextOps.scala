@@ -21,12 +21,14 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles (ordered, with duplicates). Documents shorter
-    * than n words yield an empty array. */
+    * than n words yield an empty array.
+    *
+    * Codegen'd single-pass expression (graft.functions.ShinglesExpr);
+    * the equivalent HOF formulation — `transform(sequence(0, size-n),
+    * i => concat_ws(" ", element_at(words, i+1)...))` — is interpreted
+    * (CodegenFallback) and re-evaluates `words` per element. */
   def shingles(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
-      .otherwise(array())
+    graft.functions.Hashing.shinglesCol(words, n)
 
   /** One MinHash value: min over shingles of md5(salt:shingle).
     * A distinct salt per permutation simulates k independent hash
@@ -34,9 +36,14 @@ object TextOps {
   def minhash(shingleSet: Column, perm: Int): Column =
     array_min(transform(shingleSet, s => md5(concat(lit(s"mh$perm:"), s))))
 
-  /** k-permutation MinHash signature as an array column. */
+  /** k-permutation MinHash signature as an array column.
+    *
+    * Codegen'd one-pass expression (graft.functions.MinHashSigExpr) —
+    * bit-identical to `array(minhash(ss,0), ..., minhash(ss,k-1))` but
+    * with a reused digest and byte-wise min; the hot path of MinHash
+    * dedup at scale. */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map(minhash(shingleSet, _)): _*)
+    graft.functions.Hashing.minhashSigCol(shingleSet, k)
 
   /** LSH band keys from a signature: bands of r rows hashed together.
     * Two docs collide in a band iff that band of their signatures is
@@ -55,11 +62,10 @@ object TextOps {
   /** 60-bit SimHash over the token multiset: per-bit majority vote of
     * word hashes. bits = number of signature bits (max 60).
     *
-    * The bit loop is unrolled at plan-build time (Scala ints, not a
-    * Column lambda) because shiftleft/shiftright take literal shift
-    * amounts; the word hashes are computed once and shared. */
+    * Codegen'd one-pass expression (graft.functions.SimHashExpr) —
+    * bit-identical to the HOF formulation in simhashFromHashes. */
   def simhash(words: Column, bits: Int = 60): Column =
-    simhashFromHashes(transform(words, wordHash(_)), bits)
+    graft.functions.Hashing.simhashCol(words, bits)
 
   /** SimHash from a precomputed word-hash array column — materialize the
     * hashes once (withColumn) before calling: the per-bit vote re-reads
@@ -82,10 +88,8 @@ object TextOps {
 
   /** Rolling-hash document fingerprint: min md5 over word 5-gram
     * shingles — a winnowing-style content fingerprint stable under
-    * small edits at the margins. */
+    * small edits at the margins. Codegen'd one-pass expression
+    * (graft.functions.FingerprintExpr). */
   def fingerprint(words: Column, n: Int = 5): Column =
-    when(size(words) >= n,
-      array_min(transform(sequence(lit(0), size(words) - n), i =>
-        md5(concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))))
-      .otherwise(md5(concat_ws(" ", words)))
+    graft.functions.Hashing.fingerprintCol(words, n)
 }

@@ -1,0 +1,260 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** TextOps / Hashing unit specs.
+  *
+  * The codegen'd expressions (graft.functions.Hashing) must be
+  * bit-identical to the interpreted HOF formulations they replaced —
+  * each test computes both and compares exactly.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  import graft.functions.Hashing
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "one two"), // shorter than shingle width
+      (4L, "one two three"), // exactly shingle width
+      (5L, ""), // empty text -> [""] token
+      (6L, "a a a a a a") // all-duplicate tokens
+    ).toDF("doc_id", "text")
+  }
+
+  /** The original interpreted HOF shingle formulation. */
+  private def hofShingles(words: org.apache.spark.sql.Column, n: Int) =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
+      .otherwise(array())
+
+  test("ShinglesExpr == HOF shingles") {
+    val words = TextOps.tokens(col("text"))
+    val rows = docs.select(
+      Hashing.shinglesCol(words, 3).as("fast"),
+      hofShingles(words, 3).as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("MinHashSigExpr == HOF minhash per permutation") {
+    val words = TextOps.tokens(col("text"))
+    val ss = array_distinct(hofShingles(words, 3))
+    val hof = array((0 until 6).map(p =>
+      array_min(transform(ss, s => md5(concat(lit(s"mh$p:"), s))))): _*)
+    val rows = docs.select(
+      Hashing.minhashSigCol(ss, 6).as("fast"), hof.as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("SimHashExpr == HOF per-bit majority vote") {
+    val words = TextOps.tokens(col("text"))
+    val hof = TextOps.simhashFromHashes(
+      transform(words, TextOps.wordHash(_)), 60)
+    val rows = docs.select(
+      Hashing.simhashCol(words, 60).as("fast"), hof.as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("FingerprintExpr == HOF min-md5 over 5-gram shingles") {
+    val words = TextOps.tokens(col("text"))
+    val hof = when(size(words) >= 5,
+      array_min(transform(sequence(lit(0), size(words) - 5), i =>
+        md5(concat_ws(" ", (0 until 5).map(k => element_at(words, i + k + 1)): _*)))))
+      .otherwise(md5(concat_ws(" ", words)))
+    val rows = docs.select(
+      Hashing.fingerprintCol(words, 5).as("fast"), hof.as("ref")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("wordHash60 == conv(substr(md5, 1, 15), 16, 10)") {
+    val words = TextOps.tokens(col("text"))
+    val rows = docs.select(
+      transform(words, TextOps.wordHash(_)).as("ref"),
+      transform(words, w =>
+        graft.functions.Hashing.simhashCol(array(w), 60)).as("single")).collect()
+    // a single-word simhash IS its word hash (majority of one vote)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("jaccard: identical sets -> 1.0, disjoint -> 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b"), 1.0),
+      (Seq("a", "b"), Seq("c", "d"), 0.0),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"), 0.5)
+    ).toDF("x", "y", "expect")
+    val rows = df.select(TextOps.jaccard($"x", $"y").as("j"), $"expect").collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("bandKeys: same signature band -> same key, different -> different") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("h1", "h2", "h3", "h4", "h5", "h6"),
+        Seq("h1", "h2", "x3", "x4", "x5", "x6"))).toDF("a", "b")
+    val r = df.select(
+      TextOps.bandKeys($"a", 3, 2).as("ka"),
+      TextOps.bandKeys($"b", 3, 2).as("kb")).collect().head
+    val (ka, kb) = (r.getSeq[String](0), r.getSeq[String](1))
+    assert(ka.head == kb.head) // band 0 = (h1,h2) identical
+    assert(ka(1) != kb(1) && ka(2) != kb(2))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "totally different content with no overlap at all"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(g.length == 4)
+    val dup = g.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min(1, 4)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      nGram = 3, k = 6, bands = 3, threshold = 0.2)
+      .orderBy("doc_a", "doc_b").collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(found.contains((1L, 2L)) || found.contains((2L, 4L))) // near dup
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = pairs.find(r => (r.getLong(0), r.getLong(1)) == ((1L, 4L))).get
+    assert(exact.getDouble(2) == 1.0)
+  }
+
+  test("simhash: exact dup -> hamming 0; unrelated -> large hamming") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 8, chunks = 4).collect()
+    val m = pairs.map(r =>
+      ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(m(((1L, 4L))) == 0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f, 0.0f), "a"), // close to 1
+      (3L, Array(0.0f, 1.0f, 0.0f), "a"), // orthogonal to 1
+      (4L, Array(-1.0f, 0.0f, 0.0f), "b") // opposite of 1
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val r = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 1), vecs, k = 3).collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L))
+    val cos = r.map(_.getDouble(3))
+    assert(cos(0) > 0.99 && math.abs(cos(1)) < 1e-6 && cos(2) == -1.0)
+  }
+
+  test("quantized cosine is exact for clean vectors") {
+    import spark.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(
+      Similarity.quantize($"a"), Similarity.quantize($"b"))).collect().head.getDouble(0)
+    assert(c == 1.0)
+  }
+
+  test("sign-bucket LSH groups same-orthant vectors") {
+    val r = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 1), vecs, k = 3, planes = 3).collect()
+    // sign bit is 1 for >= 0, so (1,0,0) and (0,1,0) share bucket "111";
+    // only (-1,0,0) -> "011" is excluded
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("quality score favors diverse natural text over repetition") {
+    import spark.implicits._
+    val df = Seq(
+      ("nat", "the cat sat on a mat and it is nice to see the dog"),
+      ("rep", "spam spam spam spam spam spam spam spam")
+    ).toDF("id", "text")
+    val m = df.select($"id",
+      TextAnalysis.qualityScore(TextOps.tokens($"text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("nat") > m("rep"))
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("language prediction: clear stopword signals win; no signal -> und") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat is in the house and it is big"),
+      ("de", "der hund ist ein guter hund und das ist gut"),
+      ("fr", "le chat est un animal et la maison est grande"),
+      ("es", "el perro es un animal y la casa es grande"),
+      ("und", "lorem ipsum dolor sit amet consectetur")
+    ).toDF("expect", "text")
+    val rows = df.select($"expect",
+      TextAnalysis.predictLang(TextOps.tokens($"text")).as("pred")).collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(0)))
+  }
+
+  test("subword estimate: ceil(len/6) per word, min 1") {
+    import spark.implicits._
+    val df = Seq(("abcdefgh xy internationalization", 2L + 1L + 4L))
+      .toDF("text", "expect")
+    val r = df.select(
+      TextAnalysis.subwordCountEstimate($"text").as("n"), $"expect").collect().head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("asMedia wraps text into binary payload with metadata") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((7L, "hello")).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(media.getLong(0) == 7L)
+    assert(new String(media.getAs[Array[Byte]](1), "UTF-8") == "hello")
+    assert(media.getLong(3) == 5L)
+  }
+
+  test("decodeStub is deterministic and partition-local") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "text")
+    val d1 = Multimodal.decodeStub(Multimodal.asMedia(df, "doc_id", "text"))
+      .orderBy("media_id").collect()
+    val d2 = Multimodal.decodeStub(
+      Multimodal.asMedia(df.repartition(3), "doc_id", "text"))
+      .orderBy("media_id").collect()
+    assert(d1.map(_.toString).toSeq == d2.map(_.toString).toSeq)
+    assert(d1.head.getString(3).length == 32) // md5 hex
+  }
+
+  test("sampleFrames emits every step-th frame") {
+    import spark.implicits._
+    val media = Seq((1L, 10L)).toDF("media_id", "n_frames")
+    val frames = Multimodal.sampleFrames(media, "n_frames", 3)
+      .select("frame_idx").collect().map(_.getLong(0)).toSeq
+    assert(frames == Seq(0L, 3L, 6L, 9L))
+  }
+}
