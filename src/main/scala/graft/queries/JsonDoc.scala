@@ -305,6 +305,42 @@ object JsonDoc {
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
              |  FROM events) WHERE rn = 1 AND event_type <> 'error'
              |ORDER BY user_id""".stripMargin),
-      "SURVEY §2.11 T4 upsert tree batch-collapse (delete wins if latest)")
+      "SURVEY §2.11 T4 upsert tree batch-collapse (delete wins if latest)"),
+
+    // ---- CDC merge throughput: the full T4 decision tree
+    // (graft.cdc.ChangeApply) over 2 changes per orders row — insert
+    // then update-or-delete — against empty state. The reference applies
+    // changes one at a time at ~625 docs/s (BASELINE.md); this is the
+    // set-oriented replacement, and its bench time IS the ingest
+    // throughput measure (2x|orders| changes per run).
+    QueryDef(
+      "j16_cdc_merge",
+      (s, dir) => {
+        import s.implicits._
+        val o = T(s, dir, "orders")
+        val idc = $"o_orderkey".cast("string")
+        val v1 = o.select(
+          ($"o_orderkey" * 2).as("seq"), idc.as("id"),
+          concat(lit("1-"), md5(idc)).as("rev"),
+          lit(false).as("deleted"),
+          to_json(struct(idc.as("k"), lit(1).as("v"))).as("doc"))
+        val v2 = o.select(
+          ($"o_orderkey" * 2 + 1).as("seq"), idc.as("id"),
+          concat(lit("2-"), md5(idc)).as("rev"),
+          ($"o_orderkey" % 10 === 0).as("deleted"),
+          to_json(struct(idc.as("k"), lit(2).as("v"))).as("doc"))
+        val empty = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id STRING, rev STRING, doc STRING"))
+        graft.cdc.ChangeApply.applyChanges(empty, v1.unionByName(v2))
+          .select($"id",
+            split($"rev", "-").getItem(0).cast("long").as("rev_num"))
+          .orderBy($"id")
+      },
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS id, CAST(2 AS BIGINT) AS rev_num
+             |FROM orders WHERE o_orderkey % 10 <> 0
+             |ORDER BY id""".stripMargin),
+      "SURVEY §2.11 T3/T4: set-oriented CDC merge, bench-timed ingest throughput")
   )
 }

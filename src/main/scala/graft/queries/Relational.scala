@@ -334,6 +334,119 @@ object Relational {
              |o_orderkey, o_totalprice
              |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 10000.0
              |ORDER BY rank_pos""".stripMargin),
-      "SURVEY §2.6 O2 cast + multi-key ORDER BY; rank makes order hash-visible")
+      "SURVEY §2.6 O2 cast + multi-key ORDER BY; rank makes order hash-visible"),
+
+    // ---- ROLLUP: hierarchical subtotals (built-in Catalyst Expand).
+    // NULL group keys are coalesced to '(all)' so both engines order
+    // and hash them identically.
+    QueryDef(
+      "q18_rollup",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce($"o_orderstatus", lit("(all)")).as("status"),
+            coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+            $"n")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+             |COALESCE(o_orderpriority, '(all)') AS priority, COUNT(*) AS n
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin),
+      "grouping-sets surface (SURVEY §2.4 note): ROLLUP subtotals via Expand"),
+
+    // ---- INTERSECT (set semantics).
+    QueryDef(
+      "q19_intersect",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+          .intersect(T(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      "SURVEY §2.7 set ops: INTERSECT (distinct semantics)"),
+
+    // ---- EXCEPT (set semantics).
+    QueryDef(
+      "q20_except",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "nation").select($"n_nationkey".as("nationkey"))
+          .except(T(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT n_nationkey AS nationkey FROM nation
+             |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      "SURVEY §2.7 set ops: EXCEPT (distinct semantics)"),
+
+    // ---- SQL surface with CTE: the reference's query plane IS SQL
+    // (README.md:194-202 view-as-CTE shape); spark.sql over registered
+    // views, Catalyst parses/optimizes identically to the DataFrame API.
+    QueryDef(
+      "q21_sql_cte",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH seg AS (
+                |  SELECT c_mktsegment AS m, COUNT(*) AS n,
+                |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+                |  FROM customer GROUP BY c_mktsegment)
+                |SELECT m, n, bal FROM seg WHERE n > 10 ORDER BY m""".stripMargin)
+      },
+      Some("""WITH seg AS (
+             |  SELECT c_mktsegment AS m, COUNT(*) AS n,
+             |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+             |  FROM customer GROUP BY c_mktsegment)
+             |SELECT m, n, bal FROM seg WHERE n > 10 ORDER BY m""".stripMargin),
+      "CTE via spark.sql (README.md:194-202); SQL and DataFrame planes share Catalyst"),
+
+    // ---- PIVOT: status columns from rows (explicit value list keeps
+    // output schema static — required for a 100 TB plan anyway).
+    QueryDef(
+      "q22_pivot",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END), 0) AS F,
+             |COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END), 0) AS O,
+             |COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END), 0) AS P
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "pivot with explicit values = conditional aggregation; static schema"),
+
+    // ---- Salted skew join: identical result to the plain equi-join
+    // (the oracle IS the plain join) but the skewed side fans out over
+    // 8 sub-keys — the explicit mitigation when one key dominates.
+    QueryDef(
+      "q23_skew_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val l = T(s, dir, "lineitem")
+        val p = T(s, dir, "part").select($"p_partkey", $"p_brand")
+        graft.operators.SkewJoin.saltedInnerJoin(
+          l, p, $"l_partkey" === $"p_partkey",
+          salts = 8, saltSource = $"l_orderkey" * 8 + $"l_linenumber")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("qty"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_items,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      "salting for skew (SURVEY §4 scale discipline); result == plain join")
   )
 }
