@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.cdc.ChangeEvent
+
+/** Stateful streaming specs: echo suppression across micro-batches and
+  * watermarked windowed aggregation, driven by MemoryStream (the
+  * SURVEY §5 chaos-walkthrough simulations).
+  */
+class StatefulOpsSpec extends SparkSpec {
+
+  private def ev(seq: Long, id: String, rev: String,
+      deleted: Boolean = false): ChangeEvent =
+    ChangeEvent(seq, id, rev, deleted, if (deleted) null else s"""{"r":"$rev"}""")
+
+  test("suppressGroup: echoes NOOP, rev changes pass, deletes need presence") {
+    // fresh insert then echo of same rev -> one emit
+    val s1 = new TestGroupState[String](None)
+    val out1 = StatefulOps.suppressGroup("a",
+      Iterator(ev(1, "a", "1-x"), ev(2, "a", "1-x")), s1).toSeq
+    assert(out1.map(_.seq) == Seq(1L))
+    assert(s1.value.contains("1-x"))
+
+    // update with new rev passes; duplicate of it suppressed
+    val out2 = StatefulOps.suppressGroup("a",
+      Iterator(ev(3, "a", "2-y"), ev(4, "a", "2-y")), s1).toSeq
+    assert(out2.map(_.seq) == Seq(3L))
+
+    // delete emits once; second delete of absent doc suppressed
+    val out3 = StatefulOps.suppressGroup("a",
+      Iterator(ev(5, "a", "3-z", deleted = true),
+        ev(6, "a", "3-z", deleted = true)), s1).toSeq
+    assert(out3.map(_.seq) == Seq(5L))
+    assert(s1.removed)
+
+    // out-of-order arrival within a batch is reordered by seq
+    val s2 = new TestGroupState[String](None)
+    val out4 = StatefulOps.suppressGroup("b",
+      Iterator(ev(9, "b", "2-n"), ev(8, "b", "1-m")), s2).toSeq
+    assert(out4.map(_.rev) == Seq("1-m", "2-n"))
+  }
+
+  test("echoSuppress end-to-end: write-back echo converges (T10)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val suppressed = StatefulOps.echoSuppress(input.toDS())
+    val ckpt = Files.createTempDirectory("t10").toString
+    val q = suppressed.writeStream
+      .format("memory").queryName("t10_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      // batch 1: original write
+      input.addData(ev(1, "d1", "1-a"))
+      q.processAllAvailable()
+      // batch 2: the write-back echo (same rev) + a real update
+      input.addData(ev(2, "d1", "1-a"), ev(3, "d1", "2-b"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT seq FROM t10_out ORDER BY seq")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 3L)) // echo seq=2 suppressed across batches
+    } finally q.stop()
+  }
+
+  test("windowedRates: watermark drops data later than the delay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val ckpt = Files.createTempDirectory("win").toString
+    val q = StatefulOps.windowedRates(df, delay = "10 minutes",
+      windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      input.addData((ts(40), "click", 4.0))
+      q.processAllAvailable()
+      // a straggler for the long-closed first window: dropped
+      input.addData((ts(1), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts(59), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n_events, total_value FROM win_out ORDER BY window_start")
+        .collect()
+      // the finalized 10:00 window has exactly the 2 on-time events
+      assert(rows.nonEmpty)
+      val first = rows.head
+      assert(first.getTimestamp(0) == ts(0))
+      assert(first.getLong(1) == 2L)
+      assert(first.getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+}
+
+/** Minimal GroupState for unit-testing the fold outside a stream. */
+final class TestGroupState[T](initial: Option[T])
+    extends org.apache.spark.sql.streaming.GroupState[T] {
+  private var v: Option[T] = initial
+  var removed: Boolean = false
+  def value: Option[T] = v
+  override def exists: Boolean = v.isDefined
+  override def get: T = v.get
+  override def getOption: Option[T] = v
+  override def update(newValue: T): Unit = { v = Some(newValue); removed = false }
+  override def remove(): Unit = { v = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
