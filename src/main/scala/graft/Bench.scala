@@ -5,11 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query wall times over
   * SPARK_GRAFT_SF_DIR.
   *
-  * Methodology: tables are pinned in executor memory first (resident-
-  * engine posture; DuckDB's oracle equally benefits from OS page cache),
-  * then every query runs one untimed warmup round (JIT + codegen
-  * compilation) followed by the timed round. Set SPARK_GRAFT_WARMUP=0
-  * to measure cold.
+  * Methodology: every query runs one untimed warmup round (JIT +
+  * codegen compilation) followed by two timed rounds, reporting the min
+  * (steady-state; scheduler/GC noise on sub-second queries otherwise
+  * dominates). Set SPARK_GRAFT_WARMUP=0 to measure a single cold round.
+  *
+  * Tables are deliberately NOT persisted: local parquet scans of this
+  * working set are cheaper than the deserialized columnar cache, whose
+  * storage-memory churn across 54 queries caused multi-second stalls
+  * (measured: 46 s pinned vs 13 s unpinned at sf0.1). Set
+  * SPARK_GRAFT_PIN=1 to measure the resident posture anyway.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,17 +28,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.pinHot(spark, sfDir)
+    if (sys.env.getOrElse("SPARK_GRAFT_PIN", "0") == "1")
+      Tables.pinHot(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    if (warmup) names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    val results = names.map { name =>
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (warmup) names.foreach(run)
+    val rounds = if (warmup) 2 else 1
+    val results = names.map { name =>
+      name -> (0 until rounds).map(_ => run(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -36,16 +36,23 @@ object ChangeApply {
     * we keep it denormalized to avoid the read). */
   val stateCols: Seq[String] = Seq("id", "rev", "doc")
 
-  /** T1: collapse a batch to its latest change per key — max(seq) wins.
-    * Duplicate (id, seq) pairs (at-least-once redelivery) also collapse. */
-  def latestPerKey(changes: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("seq").desc, col("deleted").desc)
+  /** T1: collapse a batch to its latest change per key — max(seq) wins;
+    * ties prefer the delete (same order the reference would apply them).
+    * Duplicate (id, seq) pairs (at-least-once redelivery) also collapse.
+    *
+    * Implemented as max_by aggregation, not a row_number window: the
+    * aggregate combines map-side (partial agg), so the shuffle carries
+    * one row per key per partition instead of every change — the
+    * difference between O(batch) and O(keys) network at 100 TB. */
+  def latestPerKey(changes: DataFrame): DataFrame =
     changes
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
-  }
+      .groupBy(col("id"))
+      .agg(max_by(
+        struct(col("seq"), col("rev"), col("deleted"), col("doc")),
+        struct(col("seq"), col("deleted"))).as("__top"))
+      .select(col("id"), col("__top.seq").as("seq"),
+        col("__top.rev").as("rev"), col("__top.deleted").as("deleted"),
+        col("__top.doc").as("doc"))
 
   /** Per-row merge decision — the T4 grid, exposed for tests and for
     * sinks that want NOOP-skipping writes.
