@@ -228,6 +228,27 @@ object JsonDoc {
              |ORDER BY o_orderkey""".stripMargin),
       "F8 rev ordinal parse (lib/index.js:107-108); F3 || concat; F9-ish md5"),
 
+    // ---- F5: json_object from key/value arrays (README.md:58, 89-90:
+    // `json_object('{_id,myvar}','{7654321, 100}')`) — map_from_arrays
+    // + to_json, fully codegen'd.
+    QueryDef(
+      "j17_json_object",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "orders")
+          .filter($"o_orderkey" < 100)
+          .select($"o_orderkey",
+            to_json(map_from_arrays(
+              array(lit("_id"), lit("myvar")),
+              array($"o_orderkey".cast("string"), $"o_orderpriority")))
+              .as("obj"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |'{"_id":"' || CAST(o_orderkey AS VARCHAR) || '","myvar":"' || o_orderpriority || '"}' AS obj
+             |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin),
+      "F5 json_object(keys,values) ≅ to_json(map_from_arrays) (README.md:58)"),
+
     // ---- F10: name mangling '-'→'_' (lib/index.js:32).
     QueryDef(
       "j12_name_mangle",

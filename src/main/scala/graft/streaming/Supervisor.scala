@@ -34,12 +34,20 @@ object FeedConfig {
 
 final class Supervisor(
     spark: SparkSession,
-    trigger: Trigger = Trigger.ProcessingTime("1 second")) {
+    trigger: Trigger = Trigger.ProcessingTime("1 second"),
+    backoff: RestartBackoff = RestartBackoff.default,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   private val running = mutable.Map.empty[String, StreamingQuery]
+  private val failures = mutable.Map.empty[String, FailureRecord]
 
   def activeFeeds: Set[String] = synchronized {
     running.filter(_._2.isActive).keySet.toSet
+  }
+
+  /** Consecutive failure count per feed (restart-backoff state). */
+  def failureCounts: Map[String, Int] = synchronized {
+    failures.map { case (n, r) => n -> r.count }.toMap
   }
 
   /** One finder+watchdog pass (idempotent):
@@ -47,28 +55,57 @@ final class Supervisor(
     *    bin/daemon.js:96-165);
     *  - stop queries whose feed is disabled or gone (reaper,
     *    bin/daemon.js:191-215);
-    *  - forget terminated queries so the next pass restarts them
-    *    (the reference's `alive=false` → respawn path).
+    *  - forget terminated queries so a later pass restarts them
+    *    (the reference's `alive=false` → respawn path), with
+    *    per-feed restart backoff for failed queries (the reference's
+    *    randomized 10-60 s reconnect sleep, lib/index.js:225-229 — T6).
     * Returns (started, stopped) feed names. */
   def reconcile(registry: Seq[FeedConfig]): (Seq[String], Seq[String]) =
     synchronized {
+      val now = clock()
       val enabled = registry.filter(_.enabled)
         .map(f => FeedConfig.mangle(f.name) -> f).toMap
 
-      val dead = running.filter(!_._2.isActive).keys.toSeq
-      dead.foreach(running.remove)
+      // a feed observed healthy resets its backoff; one that died with
+      // an exception escalates it; a clean finish (AvailableNow
+      // completion) restarts freely
+      running.foreach { case (n, q) =>
+        if (q.isActive) failures.remove(n)
+        else {
+          if (q.exception.isDefined) {
+            val rec = failures.getOrElse(n, FailureRecord(0, 0L))
+            failures(n) = FailureRecord(rec.count + 1, now)
+          } else failures.remove(n)
+          running.remove(n)
+        }
+      }
 
       val toStop = running.keys.filterNot(enabled.contains).toSeq
       toStop.foreach { n => running(n).stop(); running.remove(n) }
 
-      val toStart = enabled.filterNot { case (n, _) => running.contains(n) }
-      toStart.foreach { case (n, f) =>
-        running(n) = ChangesPipeline.start(
+      val toStart = enabled
+        .filterNot { case (n, _) => running.contains(n) }
+        .filter { case (n, _) =>
+          failures.get(n).forall(r => now - r.atMillis >= backoff.delayMs(r.count))
+        }
+      val started = toStart.toSeq.flatMap { case (n, f) =>
+        // a feed that fails to START must not kill the finder pass
+        // (the daemon survives per-feed errors, bin/daemon.js:75-94);
+        // it joins the backoff queue like an async failure
+        scala.util.Try(ChangesPipeline.start(
           spark, f.feedPath, f.storeRoot, f.checkpoint, n,
           since = f.since, maxChangesPerTrigger = f.maxChangesPerTrigger,
-          trigger = trigger)
+          trigger = trigger)) match {
+          case scala.util.Success(q) =>
+            running(n) = q
+            Some(n)
+          case scala.util.Failure(_) =>
+            val rec = failures.getOrElse(n, FailureRecord(0, 0L))
+            failures(n) = FailureRecord(rec.count + 1, now)
+            None
+        }
       }
-      (toStart.keys.toSeq.sorted, toStop.sorted)
+      (started.sorted, toStop.sorted)
     }
 
   /** Per-feed status in the daemon's `/_status` shape
@@ -98,6 +135,22 @@ final class Supervisor(
     running.values.foreach(q => if (q.isActive) q.stop())
     running.clear()
   }
+}
+
+final case class FailureRecord(count: Int, atMillis: Long)
+
+/** Restart delay policy — exponential with a cap, standing in for the
+  * reference's randomized 10-60 s sleep (deterministic here so the
+  * supervisor is testable; randomize via a custom instance to avoid
+  * thundering herds across many feeds). */
+final case class RestartBackoff(baseMs: Long, maxMs: Long) {
+  def delayMs(failures: Int): Long =
+    if (failures <= 0) 0L
+    else math.min(maxMs, baseMs << math.min(failures - 1, 10))
+}
+
+object RestartBackoff {
+  val default: RestartBackoff = RestartBackoff(10000L, 60000L)
 }
 
 final case class FeedStatus(
