@@ -290,6 +290,25 @@ object JsonDoc {
              |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin),
       "G3 json_to_recordset ≅ from_json(ARRAY<STRUCT>) + explode round-trip"),
 
+    // ---- Spark 4 VariantType: the schemaless-doc alternative to
+    // get_json_object — parse once into a variant, extract typed fields
+    // (SURVEY §1.2: VariantType for dynamic docs). Same semantics as j1.
+    QueryDef(
+      "j18_variant",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .select($"event_id",
+            try_variant_get(parse_json($"props"), "$.k", "int").as("k"))
+          .filter($"k" > 50)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+             |ORDER BY event_id""".stripMargin),
+      "Spark 4 VariantType path: parse_json + variant_get (binary-encoded JSON)"),
+
     // ---- CDC latest-per-key: the T1/T4 per-key last-write-wins dedup
     // (seq = event_id) expressed on the events table.
     QueryDef(
