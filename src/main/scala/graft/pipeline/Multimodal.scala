@@ -61,6 +61,42 @@ object Multimodal {
     spark.createDataFrame(out, decodedSchema)
   }
 
+  /** Batched decode: the vectorized-codec shape. Payloads are grouped
+    * into fixed-size batches WITHIN each partition and handed to the
+    * codec as one call per batch — exactly how an Arrow-based Python
+    * worker (mapInPandas/mapInArrow) or a JNI image library wants its
+    * input. The stub codec processes a whole batch; swapping in a real
+    * one changes only `codec`, not the plumbing.
+    *
+    * SCALE: batch size bounds peak memory per task (batchSize × payload
+    * size); partitions stream batches, nothing accumulates. */
+  def decodeBatched(
+      media: DataFrame,
+      batchSize: Int = 64,
+      codec: Seq[(Long, Array[Byte])] => Seq[Row] = stubCodec): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .grouped(batchSize)
+        .flatMap(batch => codec(batch))
+    }
+    spark.createDataFrame(out, decodedSchema)
+  }
+
+  /** Stub batch codec — same deterministic fake as decodeStub, but with
+    * the one-call-per-batch signature a real vectorized decoder has. */
+  def stubCodec(batch: Seq[(Long, Array[Byte])]): Seq[Row] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    batch.map { case (id, bytes) =>
+      // ??? <- real codec call (whole batch) goes here
+      val w = 16 + (if (bytes.isEmpty) 0 else (bytes.length % 64))
+      val h = 16 + (if (bytes.isEmpty) 0 else (bytes.head & 0x3f))
+      digest.reset()
+      val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+      Row(id, w, h, hex)
+    }
+  }
+
   /** Frame sampling plan: every `step`-th frame index per media item,
     * exploded to one row per sampled frame with a deterministic feature
     * id. Pure Column expressions — the fan-out is a generator, no UDF. */

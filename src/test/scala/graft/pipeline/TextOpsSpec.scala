@@ -250,6 +250,20 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.head.getString(3).length == 32) // md5 hex
   }
 
+  test("decodeBatched == decodeStub row-for-row, any batch size") {
+    import spark.implicits._
+    val df = (1 to 25).map(i => (i.toLong, s"payload-$i" * i))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "doc_id", "text")
+    val single = Multimodal.decodeStub(media).orderBy("media_id")
+      .collect().map(_.toString).toSeq
+    for (bs <- Seq(1, 4, 64)) {
+      val batched = Multimodal.decodeBatched(media, bs).orderBy("media_id")
+        .collect().map(_.toString).toSeq
+      assert(batched == single, s"batchSize=$bs diverges")
+    }
+  }
+
   test("sampleFrames emits every step-th frame") {
     import spark.implicits._
     val media = Seq((1L, 10L)).toDF("media_id", "n_frames")
