@@ -137,21 +137,18 @@ final class ChangesMicroBatchStream(
 
   override def reportLatestOffset(): Offset = ChangesOffset(feed.latestSeq())
 
-  /** Slice the (start, end] seq range into contiguous sub-ranges — range
-    * partitioning on the offset axis; readers fetch their slice only. */
+  /** One partition per byte-range slice of the feed file(s); every
+    * reader parses ONLY its slice (splittable-text convention) and
+    * filters to the (start, end] seq range. Parse parallelism scales
+    * with file size instead of each reader re-parsing the whole feed. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ChangesOffset].seq
     val hi = end.asInstanceOf[ChangesOffset].seq
     if (hi <= lo) Array.empty
-    else {
-      val span = hi - lo
-      val n = math.min(numPartitions.toLong, span).toInt
-      (0 until n).map { i =>
-        val s = lo + span * i / n
-        val e = lo + span * (i + 1) / n
-        ChangesInputPartition(path, s, e): InputPartition
+    else feed.asInstanceOf[FileChangesFeed].slices(numPartitions)
+      .map { case (file, sb, eb) =>
+        ChangesInputPartition(file, sb, eb, lo, hi): InputPartition
       }.toArray
-    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -161,8 +158,9 @@ final class ChangesMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-final case class ChangesInputPartition(path: String, fromSeq: Long, toSeq: Long)
-    extends InputPartition
+final case class ChangesInputPartition(
+    file: String, startByte: Long, endByte: Long,
+    fromSeq: Long, toSeq: Long) extends InputPartition
 
 final class ChangesReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -173,7 +171,8 @@ final class ChangesReaderFactory extends PartitionReaderFactory {
 
 final class ChangesPartitionReader(p: ChangesInputPartition)
     extends PartitionReader[InternalRow] {
-  private val it = new FileChangesFeed(p.path).changes(p.fromSeq, p.toSeq)
+  private val it = ChangesFeed.readSlice(p.file, p.startByte, p.endByte)
+    .filter(e => e.seq > p.fromSeq && e.seq <= p.toSeq)
   private var current: ChangeEvent = _
 
   override def next(): Boolean =
