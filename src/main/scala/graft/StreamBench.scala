@@ -13,8 +13,13 @@ import graft.streaming.{ChangesPipeline, MergeSink}
   * Yardstick (BASELINE.md): the reference syncs 63.8 k docs in 1 m 42 s
   * ≈ 625 docs/s with per-change SQL round-trips. Usage:
   *
-  *   runMain graft.StreamBench [nDocs] [maxPerTrigger]
+  *   runMain graft.StreamBench [nDocs] [maxPerTrigger] [flat|bucketed]
   *
+  * `bucketed` uses [[graft.streaming.BucketedMergeSink]] (per-batch
+  * cost O(touched buckets)); `flat` (default) rewrites the snapshot.
+  * Optional 4th arg seeds the store with that many docs FIRST (untimed),
+  * so the timed phase measures incremental tail ingest against a large
+  * resident state — the regime where bucketing pays.
   * Prints one JSON line {"metric":"stream_ingest","docs":N,
   * "sec":S,"docs_per_sec":R,"batches":B}.
   */
@@ -22,6 +27,8 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(63840)
     val maxPerTrigger = args.lift(1).map(_.toLong)
+    val bucketed = args.lift(2).contains("bucketed")
+    val seedDocs = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,25 +40,70 @@ object StreamBench {
     val dir = Files.createTempDirectory("streambench")
     val feed = dir.resolve("feed")
     Files.createDirectories(feed)
-    // ~10% deletes, ~20% second revisions — the reference's workload mix
-    val sb = new java.lang.StringBuilder
-    (1 to n).foreach { i =>
-      sb.append(s"""{"seq":$i,"id":"doc${i % (n * 8 / 10)}","changes":[{"rev":"${i % 3 + 1}-r$i"}]""")
-      if (i % 10 == 0) sb.append(""","deleted":true""")
-      else sb.append(s""","doc":{"n":$i,"type":"article","body":"payload $i"}""")
-      sb.append("}\n")
+    def writeChanges(file: String, from: Int, count: Int, idSpace: Int): Unit = {
+      // ~10% deletes, mixed revisions — the reference's workload mix
+      val sb = new java.lang.StringBuilder
+      (from until from + count).foreach { i =>
+        sb.append(s"""{"seq":$i,"id":"doc${i % idSpace}","changes":[{"rev":"${i % 3 + 1}-r$i"}]""")
+        if (i % 10 == 0) sb.append(""","deleted":true""")
+        else sb.append(s""","doc":{"n":$i,"type":"article","body":"payload $i"}""")
+        sb.append("}\n")
+      }
+      Files.writeString(feed.resolve(file), sb.toString)
     }
-    Files.writeString(feed.resolve("changes.jsonl"), sb.toString)
-
+    val idSpace = math.max(seedDocs, n) * 8 / 10
     val store = dir.resolve("store").toString
     val ckpt = dir.resolve("ckpt").toString
+
+    def runPipeline(name: String): Unit =
+      if (bucketed) {
+        var reader = spark.readStream.format("couch-changes")
+          .option("path", feed.toString)
+        maxPerTrigger.foreach(m =>
+          reader = reader.option("maxChangesPerTrigger", m.toString))
+        val q = reader.load().writeStream
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(
+            graft.streaming.BucketedMergeSink.forBatch(store, buckets = 64))
+          .start()
+        q.awaitTermination()
+      } else {
+        ChangesPipeline.runOnce(spark, feed.toString, store, ckpt,
+          name = name, maxChangesPerTrigger = maxPerTrigger)
+      }
+
+    if (seedDocs > 0) {
+      writeChanges("seed.jsonl", 1, seedDocs, idSpace)
+      // seed in one untimed pass regardless of the trigger cap
+      if (bucketed) {
+        val q = spark.readStream.format("couch-changes")
+          .option("path", feed.toString).load().writeStream
+          .queryName("seed")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(
+            graft.streaming.BucketedMergeSink.forBatch(store, buckets = 64))
+          .start()
+        q.awaitTermination()
+      } else ChangesPipeline.runOnce(spark, feed.toString, store, ckpt,
+        name = "seed")
+    }
+    writeChanges("tail.jsonl", seedDocs + 1, n, idSpace)
     val t0 = System.nanoTime()
-    ChangesPipeline.runOnce(spark, feed.toString, store, ckpt,
-      name = "stream-bench", maxChangesPerTrigger = maxPerTrigger)
+    runPipeline("stream-bench")
     val sec = (System.nanoTime() - t0) / 1e9
-    val live = MergeSink.readState(spark, store).count()
-    val batches = MergeSink.currentVersion(store).map(_._2 + 1).getOrElse(0L)
-    println(f"""{"metric":"stream_ingest","docs":$n,"sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f,"live_docs":$live,"batches":$batches}""")
+    val (live, batches) =
+      if (bucketed) (
+        graft.streaming.BucketedMergeSink.readState(spark, store).count(),
+        graft.streaming.BucketedMergeSink.readManifest(store)
+          .map(_.batchId + 1).getOrElse(0L))
+      else (
+        MergeSink.readState(spark, store).count(),
+        MergeSink.currentVersion(store).map(_._2 + 1).getOrElse(0L))
+    val sink = if (bucketed) "bucketed" else "flat"
+    println(f"""{"metric":"stream_ingest","sink":"$sink","docs":$n,"sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f,"live_docs":$live,"batches":$batches}""")
     spark.stop()
   }
 }
