@@ -1,21 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions._
 
-/** SparkSessionExtensions entry point: registers the engine's custom
-  * expressions as SQL functions, so the SQL surface (the reference's
-  * native plane) can call them directly:
+/** The engine's SQL function surface: shingles, minhash_sig, simhash,
+  * doc_fingerprint, dot_long as named SQL functions.
   *
-  *   spark.sql("SELECT minhash_sig(shingles(split(text,' '), 3), 6) ...")
-  *
-  * Activate with .config("spark.sql.extensions", "graft.GraftExtensions")
-  * or spark.sql.extensions=graft.GraftExtensions on any cluster.
+  * Two installation paths:
+  *  - cluster/session startup: `spark.sql.extensions=graft.GraftExtensions`
+  *    (a STATIC conf — must be set before the SparkContext exists);
+  *  - live session (tests, notebooks): `GraftFunctions.install(spark)`.
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
+object GraftFunctions {
 
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -23,32 +22,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be an integer literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("shingles"),
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       (args: Seq[Expression]) =>
-        ShinglesExpr(args.head, intArg(args(1), "n"))))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_sig"),
+        ShinglesExpr(args.head, intArg(args(1), "n"))),
+    (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
-        MinHashSigExpr(args.head, intArg(args(1), "k"))))
-    ext.injectFunction((
-      new FunctionIdentifier("simhash"),
+        MinHashSigExpr(args.head, intArg(args(1), "k"))),
+    (new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
       (args: Seq[Expression]) =>
         SimHashExpr(args.head,
-          if (args.length > 1) intArg(args(1), "bits") else 60)))
-    ext.injectFunction((
-      new FunctionIdentifier("doc_fingerprint"),
+          if (args.length > 1) intArg(args(1), "bits") else 60)),
+    (new FunctionIdentifier("doc_fingerprint"),
       new ExpressionInfo(classOf[FingerprintExpr].getName, "doc_fingerprint"),
       (args: Seq[Expression]) =>
         FingerprintExpr(args.head,
-          if (args.length > 1) intArg(args(1), "n") else 5)))
-    ext.injectFunction((
-      new FunctionIdentifier("dot_long"),
+          if (args.length > 1) intArg(args(1), "n") else 5)),
+    (new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLongExpr].getName, "dot_long"),
       (args: Seq[Expression]) => DotLongExpr(args.head, args(1))))
-  }
+
+  /** Register on an already-running session. */
+  def install(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.Bridge.registerFunctions(spark, all)
+}
+
+/** SparkSessionExtensions entry point (see [[GraftFunctions]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

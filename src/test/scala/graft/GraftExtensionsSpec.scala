@@ -1,22 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The custom expressions are reachable from plain SQL when the
-  * extensions are installed — a dedicated session (the shared test
-  * session has no extensions). */
+/** The custom expressions are reachable from plain SQL once the graft
+  * functions are installed (GraftFunctions.install — the live-session
+  * twin of spark.sql.extensions=graft.GraftExtensions, which being a
+  * static conf cannot apply to an already-running context). */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
   test("custom functions callable from spark.sql") {
+    val spark = SparkSpec.session
+    GraftFunctions.install(spark)
     val r = spark.sql(
       """SELECT
         |  shingles(split('a b c d', ' '), 2) AS sh,
@@ -28,7 +22,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
     assert(r.getSeq[String](1).length == 2)
     assert(r.getLong(4) == 32L)
-    // cross-check simhash against the Column API on the shared impl
+    // cross-check simhash against the Column API (same impl both paths)
     import spark.implicits._
     val viaCol = Seq("hello world").toDF("t")
       .select(graft.functions.Hashing.simhashCol(
