@@ -27,7 +27,8 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(63840)
     val maxPerTrigger = args.lift(1).map(_.toLong)
-    val bucketed = args.lift(2).contains("bucketed")
+    val sinkKind = args.lift(2).getOrElse("flat")
+    val bucketed = sinkKind == "bucketed"
     val seedDocs = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -55,55 +56,50 @@ object StreamBench {
     val store = dir.resolve("store").toString
     val ckpt = dir.resolve("ckpt").toString
 
-    def runPipeline(name: String): Unit =
-      if (bucketed) {
-        var reader = spark.readStream.format("couch-changes")
-          .option("path", feed.toString)
-        maxPerTrigger.foreach(m =>
-          reader = reader.option("maxChangesPerTrigger", m.toString))
-        val q = reader.load().writeStream
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch(
-            graft.streaming.BucketedMergeSink.forBatch(store, buckets = 64))
-          .start()
-        q.awaitTermination()
-      } else {
-        ChangesPipeline.runOnce(spark, feed.toString, store, ckpt,
-          name = name, maxChangesPerTrigger = maxPerTrigger)
-      }
+    val sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit = sinkKind match {
+      case "bucketed" =>
+        graft.streaming.BucketedMergeSink.forBatch(store, buckets = 64)
+      case "delta" =>
+        graft.streaming.DeltaLogMergeSink.forBatch(store, compactEvery = 32)
+      case _ => graft.streaming.MergeSink.forBatch(store)
+    }
+
+    def runPipeline(name: String, cap: Option[Long]): Unit = {
+      var reader = spark.readStream.format("couch-changes")
+        .option("path", feed.toString)
+      cap.foreach(m =>
+        reader = reader.option("maxChangesPerTrigger", m.toString))
+      val q = reader.load().writeStream
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(sinkFn)
+        .start()
+      q.awaitTermination()
+    }
 
     if (seedDocs > 0) {
       writeChanges("seed.jsonl", 1, seedDocs, idSpace)
-      // seed in one untimed pass regardless of the trigger cap
-      if (bucketed) {
-        val q = spark.readStream.format("couch-changes")
-          .option("path", feed.toString).load().writeStream
-          .queryName("seed")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch(
-            graft.streaming.BucketedMergeSink.forBatch(store, buckets = 64))
-          .start()
-        q.awaitTermination()
-      } else ChangesPipeline.runOnce(spark, feed.toString, store, ckpt,
-        name = "seed")
+      runPipeline("seed", None) // one untimed pass regardless of the cap
     }
     writeChanges("tail.jsonl", seedDocs + 1, n, idSpace)
     val t0 = System.nanoTime()
-    runPipeline("stream-bench")
+    runPipeline("stream-bench", maxPerTrigger)
     val sec = (System.nanoTime() - t0) / 1e9
-    val (live, batches) =
-      if (bucketed) (
+    val (live, batches) = sinkKind match {
+      case "bucketed" => (
         graft.streaming.BucketedMergeSink.readState(spark, store).count(),
         graft.streaming.BucketedMergeSink.readManifest(store)
           .map(_.batchId + 1).getOrElse(0L))
-      else (
+      case "delta" => (
+        graft.streaming.DeltaLogMergeSink.readState(spark, store).count(),
+        graft.streaming.DeltaLogMergeSink.readLog(store)
+          .map(_.batchId + 1).getOrElse(0L))
+      case _ => (
         MergeSink.readState(spark, store).count(),
         MergeSink.currentVersion(store).map(_._2 + 1).getOrElse(0L))
-    val sink = if (bucketed) "bucketed" else "flat"
-    println(f"""{"metric":"stream_ingest","sink":"$sink","docs":$n,"sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f,"live_docs":$live,"batches":$batches}""")
+    }
+    println(f"""{"metric":"stream_ingest","sink":"$sinkKind","docs":$n,"sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f,"live_docs":$live,"batches":$batches}""")
     spark.stop()
   }
 }
