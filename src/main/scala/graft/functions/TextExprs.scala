@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-analysis kernels for the training-data pipeline
+  * (p9 token stats, p10 quality scoring, p11 language-ID).
+  *
+  * The higher-order-function formulations (`aggregate`/`filter` lambdas
+  * in TextAnalysis) are CodegenFallback: interpreted per-element
+  * evaluation through megamorphic `Expression.eval` call sites — both
+  * slow at 100 TB (the per-token lambda IS the workload) and a JIT
+  * profile-pollution source that destabilized the round-1 bench. Each
+  * kernel here is a single static pass over the token array; `doGenCode`
+  * emits one call so the projection stays inside whole-stage codegen.
+  *
+  * Double arithmetic reproduces the HOF formulations' operation order
+  * exactly (same IEEE results — the DuckDB oracle hashes match
+  * bit-for-bit).
+  */
+object TextStats {
+
+  private def set(words: String*): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Tiny per-language stopword lists (TextAnalysis.stopwords). */
+  val EN: java.util.HashSet[UTF8String] =
+    set("the", "a", "of", "and", "to", "in", "is", "it")
+  val DE: java.util.HashSet[UTF8String] =
+    set("der", "die", "das", "und", "ist", "ein", "zu")
+  val FR: java.util.HashSet[UTF8String] =
+    set("le", "la", "les", "et", "est", "un", "une")
+  val ES: java.util.HashSet[UTF8String] =
+    set("el", "la", "los", "y", "es", "un", "una")
+
+  /** BPE-ish subword estimate: sum over tokens of
+    * max(ceil(chars/6), 1); null tokens count 1 (greatest(null,1)=1,
+    * matching the HOF formulation). */
+  def subwordEst(words: ArrayData): Long = {
+    val n = words.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w == null) acc += 1L
+      else {
+        val t = (w.numChars() + 5) / 6
+        acc += (if (t < 1) 1L else t.toLong)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** Quality score in [0,1]:
+    * 0.4*distinct-ratio + 0.3*min(meanLen/8,1) + 0.3*min(stopRatio*3,1).
+    * One pass: distinct set, char count, stopword hits. Null tokens
+    * (impossible from split) count as zero-length non-stopwords. */
+  def qualityScore(words: ArrayData): Double = {
+    val n = words.numElements()
+    val distinct = new java.util.HashSet[UTF8String]()
+    var sumLen = 0L
+    var stop = 0L
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        distinct.add(w)
+        sumLen += w.numChars()
+        if (EN.contains(w)) stop += 1
+      } else distinct.add(null)
+      i += 1
+    }
+    val nD = n.toDouble
+    val dr = distinct.size.toDouble / nD
+    val ml = (sumLen.toDouble / nD) / 8.0
+    val sr = (stop.toDouble / nD) * 3.0
+    0.4 * dr + 0.3 * (if (ml < 1.0) ml else 1.0) +
+      0.3 * (if (sr < 1.0) sr else 1.0)
+  }
+
+  /** Language-ID: stopword-overlap ratio per language, argmax with
+    * lexicographic (de,en,es,fr) first-wins tiebreak and an evidence
+    * floor — below the floor returns "und". Matches
+    * TextAnalysis.predictLang's fold exactly. */
+  def predictLang(words: ArrayData, floorPermille: Int): UTF8String = {
+    val n = words.numElements()
+    var cDe = 0L; var cEn = 0L; var cEs = 0L; var cFr = 0L
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        if (DE.contains(w)) cDe += 1
+        if (EN.contains(w)) cEn += 1
+        if (ES.contains(w)) cEs += 1
+        if (FR.contains(w)) cFr += 1
+      }
+      i += 1
+    }
+    val nD = n.toDouble
+    var bestS = cDe.toDouble / nD
+    var bestL = "de"
+    val rEn = cEn.toDouble / nD
+    if (rEn > bestS) { bestS = rEn; bestL = "en" }
+    val rEs = cEs.toDouble / nD
+    if (rEs > bestS) { bestS = rEs; bestL = "es" }
+    val rFr = cFr.toDouble / nD
+    if (rFr > bestS) { bestS = rFr; bestL = "fr" }
+    UTF8String.fromString(
+      if (bestS >= floorPermille / 1000.0) bestL else "und")
+  }
+}
+
+final case class SubwordEstExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextStats.subwordEst(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.subwordEst($c)")
+  override protected def withNewChildInternal(c: Expression): SubwordEstExpr =
+    copy(child = c)
+}
+
+final case class QualityScoreExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextStats.qualityScore(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.qualityScore($c)")
+  override protected def withNewChildInternal(c: Expression): QualityScoreExpr =
+    copy(child = c)
+}
+
+/** floor is carried as permille (int) so the codegen call site is a
+  * primitive constant — no boxed-double reference object needed. */
+final case class PredictLangExpr(child: Expression, floorPermille: Int = 50)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextStats.predictLang(input.asInstanceOf[ArrayData], floorPermille)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStats.predictLang($c, $floorPermille)")
+  override protected def withNewChildInternal(c: Expression): PredictLangExpr =
+    copy(child = c)
+}
+
+/** Column wrappers. */
+object Text {
+  def subwordEst(words: Column): Column =
+    Bridge.column(SubwordEstExpr(Bridge.expression(words)))
+  def qualityScore(words: Column): Column =
+    Bridge.column(QualityScoreExpr(Bridge.expression(words)))
+  def predictLang(words: Column, floorPermille: Int = 50): Column =
+    Bridge.column(PredictLangExpr(Bridge.expression(words), floorPermille))
+}

@@ -16,9 +16,11 @@ object Similarity {
 
   /** Quantize a float-array embedding column to bigint components.
     * The float is promoted to double BEFORE the multiply — float32
-    * multiplication would round differently than the oracle's. */
+    * multiplication would round differently than the oracle's.
+    * Codegen'd one-pass expression (graft.functions.QuantizeExpr); the
+    * `transform` lambda equivalent is CodegenFallback. */
   def quantize(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    graft.functions.Vectors.quantizeCol(emb)
 
   /** Codegen'd integer dot product (graft.functions.DotLongExpr) — the
     * inner loop of every scoring join. */

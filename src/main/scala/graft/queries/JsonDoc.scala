@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{MapType, StringType}
 
 import graft.Tables
+import graft.functions.Json
 
 /** JSON / schemaless-document plane — SURVEY.md §2.2 P1-P6, §2.8 F-class,
   * §2.9 G1-G3, §2.4 A4/A5/A7 — over `events.props` (raw JSON string
@@ -12,8 +13,13 @@ import graft.Tables
   *
   * The reference's entire query surface is SQL-over-JSONB
   * (/root/reference/README.md:100-241); here each construct is the
-  * Spark-native equivalent: get_json_object / from_json / explode /
-  * to_json — all codegen'd built-ins, no UDFs.
+  * Spark-native equivalent. JSON access/serialization uses the
+  * codegen'd expressions in graft.functions.JsonOps rather than the
+  * built-ins (get_json_object / from_json / to_json): the built-ins
+  * route through Jackson and several are CodegenFallback — interpreted
+  * trees whose shared call sites destabilized the round-1 bench
+  * (0.2 s or 50 s for the same query, JIT-profile luck). Semantics are
+  * identical; the DuckDB oracle verifies every byte.
   */
 object JsonDoc {
 
@@ -30,7 +36,7 @@ object JsonDoc {
         import s.implicits._
         T(s, dir, "events")
           .select($"event_id",
-            get_json_object($"props", "$.k").cast("int").as("k"))
+            Json.get($"props", "k").cast("int").as("k"))
           .filter($"k" > 50)
           .orderBy($"event_id")
       },
@@ -47,7 +53,7 @@ object JsonDoc {
       "j2_string_order_pitfall",
       (s, dir) => {
         import s.implicits._
-        val kStr = get_json_object($"props", "$.k")
+        val kStr = Json.get($"props", "k")
         val w = Window.orderBy(kStr.asc, $"event_id".asc)
         T(s, dir, "events")
           .filter($"event_type" === "click")
@@ -67,7 +73,7 @@ object JsonDoc {
       "j3_numeric_order_fix",
       (s, dir) => {
         import s.implicits._
-        val kNum = get_json_object($"props", "$.k").cast("int")
+        val kNum = Json.get($"props", "k").cast("int")
         val w = Window.orderBy(kNum.asc, $"event_id".asc)
         T(s, dir, "events")
           .filter($"event_type" === "click")
@@ -89,7 +95,7 @@ object JsonDoc {
       (s, dir) => {
         import s.implicits._
         T(s, dir, "events")
-          .select(explode(expr("json_object_keys(props)")).as("key"))
+          .select(explode(Json.topKeys($"props")).as("key"))
           .distinct()
           .orderBy($"key")
       },
@@ -106,7 +112,7 @@ object JsonDoc {
         T(s, dir, "events")
           .filter($"event_id" < 100)
           .select($"event_id",
-            explode(from_json($"props", MapType(StringType, StringType))))
+            explode(Json.toStrMap($"props")))
           .withColumnRenamed("key", "k")
           .withColumnRenamed("value", "v")
           .orderBy($"event_id", $"k")
@@ -119,13 +125,18 @@ object JsonDoc {
 
     // ---- A4: json_agg — collect to a JSON array (sorted for
     // cross-engine determinism; SURVEY §7 hard-part (d)).
+    // sort_array (codegen'd) not array_sort (a CodegenFallback HOF);
+    // the long->string element cast replaces the `transform` lambda.
     QueryDef(
       "j6_json_agg",
       (s, dir) => {
         import s.implicits._
         T(s, dir, "events")
           .groupBy($"event_type")
-          .agg(to_json(array_sort(collect_list($"event_id"))).as("ids_json"))
+          .agg(concat(lit("["),
+            array_join(sort_array(collect_list($"event_id"))
+              .cast("array<string>"), ","),
+            lit("]")).as("ids_json"))
           .orderBy($"event_type")
       },
       Some("""SELECT event_type,
@@ -140,9 +151,8 @@ object JsonDoc {
         import s.implicits._
         T(s, dir, "events")
           .groupBy($"event_type")
-          .agg(array_join(
-            transform(array_sort(collect_list($"event_id")),
-              x => x.cast("string")), ",").as("ids"))
+          .agg(array_join(sort_array(collect_list($"event_id"))
+            .cast("array<string>"), ",").as("ids"))
           .orderBy($"event_type")
       },
       Some("""SELECT event_type,
@@ -160,8 +170,8 @@ object JsonDoc {
         T(s, dir, "events")
           .filter($"event_id" < 200)
           .select($"event_id",
-            to_json(map_concat(
-              from_json($"props", MapType(StringType, StringType)),
+            Json.mapToJson(map_concat(
+              Json.toStrMap($"props"),
               map(lit("status"), lit("read")))).as("doc"))
           .orderBy($"event_id")
       },
@@ -170,8 +180,9 @@ object JsonDoc {
              |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin),
       "F6 json_object_set_key ≅ to_json(map_concat(...)) — README.md:621 read-flag mutation"),
 
-    // ---- F6 typed variant: withField on a parsed struct (preserves
-    // JSON value types, unlike the map variant).
+    // ---- F6 typed variant: typed field extraction + appended field
+    // (preserves JSON value types, unlike the map variant: k stays a
+    // bare number in the output).
     QueryDef(
       "j9_with_field",
       (s, dir) => {
@@ -179,9 +190,9 @@ object JsonDoc {
         T(s, dir, "events")
           .filter($"event_id" < 200)
           .select($"event_id",
-            to_json(from_json($"props",
-              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-              .withField("flag", lit(true))).as("doc"))
+            Json.structToJson(struct(
+              Json.get($"props", "k").cast("int").as("k"),
+              lit(true).as("flag"))).as("doc"))
           .orderBy($"event_id")
       },
       Some("""SELECT event_id,
@@ -198,7 +209,7 @@ object JsonDoc {
         T(s, dir, "events")
           .filter($"event_id" < 100)
           .select($"event_id",
-            coalesce(get_json_object($"props", "$.missing"), lit("{}")).as("v"))
+            coalesce(Json.get($"props", "missing"), lit("{}")).as("v"))
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, COALESCE(json_extract_string(props, '$.missing'), '{}') AS v
@@ -238,7 +249,7 @@ object JsonDoc {
         T(s, dir, "orders")
           .filter($"o_orderkey" < 100)
           .select($"o_orderkey",
-            to_json(map_from_arrays(
+            Json.mapToJson(map_from_arrays(
               array(lit("_id"), lit("myvar")),
               array($"o_orderkey".cast("string"), $"o_orderpriority")))
               .as("obj"))
@@ -279,9 +290,7 @@ object JsonDoc {
               lit("""","value":"""), $"value".cast("decimal(18,2)").cast("string"),
               lit("}]")).as("payload"))
           .select($"event_id",
-            explode(from_json($"payload",
-              org.apache.spark.sql.types.DataType.fromDDL(
-                "ARRAY<STRUCT<key: STRING, value: DOUBLE>>"))).as("rec"))
+            explode(Json.kvRecords($"payload")).as("rec"))
           .select($"event_id", $"rec.key".as("key"), $"rec.value".as("value"))
           .orderBy($"event_id")
       },

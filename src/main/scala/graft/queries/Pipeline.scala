@@ -75,9 +75,9 @@ object Pipeline {
       Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
              |h AS (SELECT doc_id, list_transform(words, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS hs FROM w)
              |SELECT doc_id AS doc,
-             |list_sum(list_transform(range(0,60), b -> CASE WHEN
+             |CAST(list_sum(list_transform(range(0,60), b -> CASE WHEN
              |  list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-             |  THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS simhash
+             |  THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
              |FROM h ORDER BY doc""".stripMargin),
       "60-bit SimHash per doc; per-bit majority vote of 60-bit md5 word hashes"),
 
@@ -213,7 +213,7 @@ object Pipeline {
       Some(s"""$W
               |SELECT w.doc_id, len(words) AS n_tokens,
               |len(list_distinct(words)) AS n_uniq,
-              |list_sum(list_transform(words, x -> greatest(CAST(ceil(len(x)/6.0) AS BIGINT), 1))) AS subword_est,
+              |CAST(list_sum(list_transform(words, x -> greatest(CAST(ceil(len(x)/6.0) AS BIGINT), 1))) AS BIGINT) AS subword_est,
               |len(d.text) AS len
               |FROM w JOIN documents d ON w.doc_id = d.doc_id
               |ORDER BY w.doc_id""".stripMargin),

@@ -420,9 +420,9 @@ object Relational {
           .orderBy($"o_orderpriority")
       },
       Some("""SELECT o_orderpriority,
-             |COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END), 0) AS F,
-             |COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END), 0) AS O,
-             |COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END), 0) AS P
+             |CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F,
+             |CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O,
+             |CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       "pivot with explicit values = conditional aggregation; static schema"),
 
