@@ -31,21 +31,42 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_PIN", "0") == "1")
       Tables.pinHot(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // A query that throws must NOT be timed as a ~0 s success — that
+    // would make regressions look like speedups. Failures are reported
+    // per-query on stderr and counted in the JSON line.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[bench] $name FAILED: ${failed(name)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    if (warmup) names.foreach(run)
+    val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
+    if (warmup) names.foreach { n =>
+      val t = run(n)
+      if (verbose) System.err.println(f"[bench] warmup $n%-28s $t%8.3f s")
+    }
     val rounds = if (warmup) 2 else 1
     val results = names.map { name =>
-      name -> (0 until rounds).map(_ => run(name)).min
+      name -> (0 until rounds).map { r =>
+        val t = run(name)
+        if (verbose) System.err.println(f"[bench] round$r $name%-28s $t%8.3f s")
+        t
+      }.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.size},"failed":$errs,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) {
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

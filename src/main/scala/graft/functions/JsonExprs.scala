@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.graft.Bridge
@@ -72,9 +73,18 @@ object JsonOps {
             case 'r'  => sb.append('\r')
             case 't'  => sb.append('\t')
             case 'u' =>
+              // Exactly 4 hex digits — Integer.parseInt would accept a
+              // sign ("\u+12f"), which Jackson rejects.
               if (i + 4 >= s.length) return null
-              try sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
-              catch { case _: NumberFormatException => return null }
+              var cp = 0
+              var k = 1
+              while (k <= 4) {
+                val d = Character.digit(s.charAt(i + k), 16)
+                if (d < 0) return null
+                cp = (cp << 4) | d
+                k += 1
+              }
+              sb.append(cp.toChar)
               i += 4
             case _ => return null
           }
@@ -117,13 +127,48 @@ object JsonOps {
             val c = s.charAt(i)
             c != ',' && c != '}' && c != ']' && !Character.isWhitespace(c)
           }) i += 1
-          i > start
+          i > start && validScalar(start, i)
       }
+    }
+
+    /** The bare token in [from,until) must be a JSON literal or number —
+      * the built-ins (Jackson) return NULL for {"k":truex}, so do we. */
+    private def validScalar(from: Int, until: Int): Boolean = {
+      val len = until - from
+      def is(lit: String): Boolean =
+        len == lit.length && s.regionMatches(from, lit, 0, len)
+      if (is("true") || is("false") || is("null")) return true
+      // number: -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?
+      var j = from
+      def digit: Boolean = j < until && s.charAt(j) >= '0' && s.charAt(j) <= '9'
+      if (j < until && s.charAt(j) == '-') j += 1
+      if (!digit) return false
+      if (s.charAt(j) == '0') j += 1
+      else while (digit) j += 1
+      if (j < until && s.charAt(j) == '.') {
+        j += 1
+        if (!digit) return false
+        while (digit) j += 1
+      }
+      if (j < until && (s.charAt(j) == 'e' || s.charAt(j) == 'E')) {
+        j += 1
+        if (j < until && (s.charAt(j) == '+' || s.charAt(j) == '-')) j += 1
+        if (!digit) return false
+        while (digit) j += 1
+      }
+      j == until
     }
 
     /** Value at the cursor as its ->> string form: unescaped content for
       * strings, raw text for scalars/containers, null for JSON null or
-      * malformed. Sets `bad` on malformed input. */
+      * malformed. Sets `bad` on malformed input.
+      *
+      * Container values are returned as the raw source substring,
+      * interior whitespace preserved — NOT re-minified the way
+      * from_json(doc, MAP<STRING,STRING>) re-serializes nested values.
+      * This matches Postgres ->> (which returns jsonb's stored text for
+      * containers); callers feeding pretty-printed nested JSON should
+      * not expect compact output. */
     var bad: Boolean = false
     def valueAsString(): String = {
       ws()
@@ -141,13 +186,19 @@ object JsonOps {
     }
   }
 
-  /** ->> : top-level key extraction. First match wins. */
+  /** ->> : top-level key extraction. Duplicate keys resolve last-wins,
+    * matching Postgres jsonb (which dedupes keys keeping the last at
+    * parse time) — the whole object is scanned either way, so a late
+    * duplicate costs nothing extra. Malformed documents (even after a
+    * match) return NULL, like the Jackson-backed built-ins. */
   def getField(json: UTF8String, key: String): UTF8String = {
     val sc = new Scanner(json.toString)
     sc.ws()
     if (!sc.eat('{')) return null
     sc.ws()
     if (sc.eat('}')) return null
+    var found: String = null
+    var foundNull = false
     while (true) {
       sc.ws()
       val name = sc.str()
@@ -156,11 +207,15 @@ object JsonOps {
       if (!sc.eat(':')) return null
       if (name == key) {
         val v = sc.valueAsString()
-        return if (sc.bad || v == null) null else UTF8String.fromString(v)
-      }
-      if (!sc.skipValue()) return null
+        if (sc.bad) return null
+        found = v
+        foundNull = v == null
+      } else if (!sc.skipValue()) return null
       sc.ws()
-      if (sc.eat('}')) return null
+      if (sc.eat('}')) {
+        return if (found == null || foundNull) null
+        else UTF8String.fromString(found)
+      }
       if (!sc.eat(',')) return null
     }
     null
@@ -367,7 +422,8 @@ trait JsonStaticCall { self: UnaryExpression =>
 
 /** ->> top-level key extraction (P1/P2, README.md:100-157). */
 final case class JsonGetExpr(child: Expression, key: String)
-    extends UnaryExpression with JsonStaticCall {
+    extends UnaryExpression with JsonStaticCall with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
@@ -384,7 +440,8 @@ final case class JsonGetExpr(child: Expression, key: String)
 
 /** jsonb_object_keys (G1). */
 final case class JsonTopKeysExpr(child: Expression)
-    extends UnaryExpression with JsonStaticCall {
+    extends UnaryExpression with JsonStaticCall with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
@@ -399,7 +456,8 @@ final case class JsonTopKeysExpr(child: Expression)
 
 /** json_each source map (G2). */
 final case class JsonToStrMapExpr(child: Expression)
-    extends UnaryExpression with JsonStaticCall {
+    extends UnaryExpression with JsonStaticCall with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType =
     MapType(StringType, StringType, valueContainsNull = true)
   override def nullable: Boolean = true
@@ -415,7 +473,9 @@ final case class JsonToStrMapExpr(child: Expression)
 
 /** to_json over MAP<STRING,STRING>. */
 final case class StrMapToJsonExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(MapType(StringType, StringType))
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     JsonOps.strMapToJson(input.asInstanceOf[MapData])
@@ -428,6 +488,20 @@ final case class StrMapToJsonExpr(child: Expression)
 /** to_json over a flat struct of primitives (null fields omitted). */
 final case class StructToJsonLiteExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case st: StructType =>
+      val bad = st.filterNot(f => f.dataType match {
+        case StringType | IntegerType | LongType | BooleanType |
+             DoubleType | FloatType => true
+        case _ => false
+      })
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"struct_to_json supports flat primitive structs; unsupported: " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"struct_to_json expects STRUCT, got ${other.simpleString}")
+  }
   override def dataType: DataType = StringType
   private lazy val schema = child.dataType.asInstanceOf[StructType]
   override def nullSafeEval(input: Any): Any =
@@ -444,7 +518,8 @@ final case class StructToJsonLiteExpr(child: Expression)
 
 /** json_to_recordset (G3): ARRAY<STRUCT<key:STRING,value:DOUBLE>>. */
 final case class JsonToKVRecordsExpr(child: Expression)
-    extends UnaryExpression with JsonStaticCall {
+    extends UnaryExpression with JsonStaticCall with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("key", StringType),

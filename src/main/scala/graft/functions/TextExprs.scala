@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -91,7 +91,7 @@ object TextStats {
     * lexicographic (de,en,es,fr) first-wins tiebreak and an evidence
     * floor — below the floor returns "und". Matches
     * TextAnalysis.predictLang's fold exactly. */
-  def predictLang(words: ArrayData, floorPermille: Int): UTF8String = {
+  def predictLang(words: ArrayData, floor: Double): UTF8String = {
     val n = words.numElements()
     var cDe = 0L; var cEn = 0L; var cEs = 0L; var cFr = 0L
     var i = 0
@@ -114,13 +114,13 @@ object TextStats {
     if (rEs > bestS) { bestS = rEs; bestL = "es" }
     val rFr = cFr.toDouble / nD
     if (rFr > bestS) { bestS = rFr; bestL = "fr" }
-    UTF8String.fromString(
-      if (bestS >= floorPermille / 1000.0) bestL else "und")
+    UTF8String.fromString(if (bestS >= floor) bestL else "und")
   }
 }
 
 final case class SubwordEstExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     TextStats.subwordEst(input.asInstanceOf[ArrayData])
@@ -131,7 +131,8 @@ final case class SubwordEstExpr(child: Expression)
 }
 
 final case class QualityScoreExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(input: Any): Any =
     TextStats.qualityScore(input.asInstanceOf[ArrayData])
@@ -141,16 +142,18 @@ final case class QualityScoreExpr(child: Expression)
     copy(child = c)
 }
 
-/** floor is carried as permille (int) so the codegen call site is a
-  * primitive constant — no boxed-double reference object needed. */
-final case class PredictLangExpr(child: Expression, floorPermille: Int = 50)
-    extends UnaryExpression {
+/** The floor is emitted as a Java double literal at the call site
+  * (Double.toString round-trips exactly per JLS 3.10.2) — any caller
+  * floor is honored bit-exactly, no reference object, no quantization. */
+final case class PredictLangExpr(child: Expression, floor: Double = 0.05)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    TextStats.predictLang(input.asInstanceOf[ArrayData], floorPermille)
+    TextStats.predictLang(input.asInstanceOf[ArrayData], floor)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TextStats.predictLang($c, $floorPermille)")
+      s"graft.functions.TextStats.predictLang($c, ${java.lang.Double.toString(floor)}d)")
   override protected def withNewChildInternal(c: Expression): PredictLangExpr =
     copy(child = c)
 }
@@ -161,6 +164,6 @@ object Text {
     Bridge.column(SubwordEstExpr(Bridge.expression(words)))
   def qualityScore(words: Column): Column =
     Bridge.column(QualityScoreExpr(Bridge.expression(words)))
-  def predictLang(words: Column, floorPermille: Int = 50): Column =
-    Bridge.column(PredictLangExpr(Bridge.expression(words), floorPermille))
+  def predictLang(words: Column, floor: Double = 0.05): Column =
+    Bridge.column(PredictLangExpr(Bridge.expression(words), floor))
 }

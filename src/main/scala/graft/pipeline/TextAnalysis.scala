@@ -45,9 +45,9 @@ object TextAnalysis {
 
   /** Codegen'd one-pass argmax (graft.functions.PredictLangExpr):
     * per-language stopword ratios, lexicographic first-wins tiebreak,
-    * `floor` evidence minimum (carried in permille). */
+    * `floor` evidence minimum (passed through bit-exactly). */
   def predictLang(words: Column, floor: Double = 0.05): Column =
-    graft.functions.Text.predictLang(words, (floor * 1000).round.toInt)
+    graft.functions.Text.predictLang(words, floor)
 
   /** BPE-ish subword count estimate: whitespace tokens + extra splits
     * every 6 chars of long words (a cheap, deterministic proxy for

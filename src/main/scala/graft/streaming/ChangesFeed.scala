@@ -22,10 +22,10 @@ import graft.cdc.ChangeEvent
   *    replay feed (one line per change, the wire shape FIXTURES.md §1).
   *    Splittable by byte range, so a large feed file parses in parallel
   *    across partition readers instead of once per reader.
-  *  - an HTTP implementation is a thin drop-in (`GET
-  *    /db/_changes?include_docs=true&since=N&limit=M`) — not included
-  *    here because this environment is zero-egress; nothing else in the
-  *    source changes.
+  *  - [[HttpChangesFeed]] — the real client: `GET
+  *    /db/_changes?include_docs=true&since=N&limit=M` with basic auth
+  *    and an inactivity timeout (reference lib/index.js:243-290),
+  *    exercised against a local stub server (zero-egress).
   */
 trait ChangesFeed extends Serializable {
   /** Highest seq currently available (the feed's `last_seq`). */
@@ -34,9 +34,14 @@ trait ChangesFeed extends Serializable {
   /** Changes with `seq` in (since, until], ordered by seq. */
   def changes(since: Long, until: Long): Iterator[ChangeEvent]
 
-  /** Seqs available in (since, +inf), ascending — used by admission
-    * control to cap a micro-batch at N changes. */
-  def seqsAfter(since: Long): Seq[Long]
+  /** Admission control (T2): the seq of the `n`th change after `since`,
+    * not exceeding `cap` — i.e. the end offset that admits at most `n`
+    * changes into the batch. Returns the highest available seq in
+    * (since, cap] when fewer than `n` exist, and `since` when none do.
+    * Deliberately NOT "all seqs after X": the driver must never
+    * materialize the feed tail (O(feed) heap per trigger at a
+    * 100 M-change feed). */
+  def nthSeqAfter(since: Long, n: Long, cap: Long): Long
 }
 
 object ChangesFeed {
@@ -46,7 +51,13 @@ object ChangesFeed {
   def parseLine(mapper: ObjectMapper, line: String): Option[ChangeEvent] = {
     val trimmed = line.trim
     if (trimmed.isEmpty) return None
-    val n: JsonNode = mapper.readTree(trimmed)
+    parseNode(mapper, mapper.readTree(trimmed))
+  }
+
+  /** One change object `{seq, id, changes:[{rev}], deleted?, doc}` —
+    * shared by the JSONL file feed (one per line) and the HTTP feed
+    * (the elements of a `_changes` response's `results` array). */
+  def parseNode(mapper: ObjectMapper, n: JsonNode): Option[ChangeEvent] = {
     if (!n.has("seq") || !n.has("id")) return None
     val rev =
       if (n.has("changes") && n.get("changes").size() > 0)
@@ -115,7 +126,13 @@ object ChangesFeed {
   * files. Each line is one change event; seq order need not match line
   * order (readers sort their slice). Serializable so executors can
   * re-open it — only the path ships with the task, never the data.
-  * Driver-side seq scans are memoized per (file, mtime, size). */
+  *
+  * SCALE: the driver keeps only a per-file summary (minSeq, maxSeq,
+  * count) — O(files) heap, built in one streaming pass and memoized per
+  * (path, mtime, size). Admission control ([[nthSeqAfter]]) resolves
+  * cumulative counts from summaries and scans ONLY the one boundary
+  * file whose range straddles the answer; a 638 M-change feed costs the
+  * driver a few dozen summary records, not ~5 GB of materialized seqs. */
 final class FileChangesFeed(val path: String) extends ChangesFeed {
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -127,32 +144,42 @@ final class FileChangesFeed(val path: String) extends ChangesFeed {
     else Seq.empty
   }
 
-  // (path, mtime, length) -> sorted seqs; driver calls latestSeq /
-  // seqsAfter once or twice per trigger — without the memo each call
-  // is a full file parse.
-  @transient private lazy val seqCache =
-    scala.collection.mutable.Map.empty[(String, Long, Long), Array[Long]]
+  /** One streaming pass over a file: bounds + count, no seq retained. */
+  private final case class FileSummary(minSeq: Long, maxSeq: Long, count: Long)
 
-  private def seqsOf(f: java.io.File): Array[Long] = synchronized {
+  @transient private lazy val summaryCache =
+    scala.collection.mutable.Map.empty[(String, Long, Long), FileSummary]
+
+  private def summaryOf(f: java.io.File): FileSummary = synchronized {
     val key = (f.getPath, f.lastModified(), f.length())
-    seqCache.getOrElseUpdate(key, {
+    summaryCache.getOrElseUpdate(key, {
+      var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines()
-        .flatMap(ChangesFeed.parseLine(mapper, _)).map(_.seq)
-        .toArray.sorted
-      finally src.close()
+      try src.getLines().flatMap(ChangesFeed.parseLine(mapper, _)).foreach { e =>
+        if (e.seq < mn) mn = e.seq
+        if (e.seq > mx) mx = e.seq
+        n += 1
+      } finally src.close()
+      if (n == 0) FileSummary(0L, 0L, 0L) else FileSummary(mn, mx, n)
     })
   }
 
-  private def allSeqs(): Array[Long] = {
-    val arrs = files().map(seqsOf)
-    if (arrs.isEmpty) Array.empty
-    else if (arrs.size == 1) arrs.head
-    else arrs.flatten.sorted.toArray
+  /** Sorted seqs of ONE file in (since, cap] — transient, only ever
+    * called for the boundary file(s) an answer lands in. */
+  private def seqsIn(f: java.io.File, since: Long, cap: Long): Array[Long] = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines()
+      .flatMap(ChangesFeed.parseLine(mapper, _)).map(_.seq)
+      .filter(s => s > since && s <= cap)
+      .toArray.sorted
+    finally src.close()
   }
 
-  override def latestSeq(): Long =
-    allSeqs().lastOption.getOrElse(0L)
+  override def latestSeq(): Long = {
+    val fs = files()
+    if (fs.isEmpty) 0L
+    else fs.map(f => summaryOf(f).maxSeq).max
+  }
 
   override def changes(since: Long, until: Long): Iterator[ChangeEvent] =
     files().iterator.flatMap(f =>
@@ -160,13 +187,41 @@ final class FileChangesFeed(val path: String) extends ChangesFeed {
       .filter(e => e.seq > since && e.seq <= until)
       .toVector.sortBy(_.seq).iterator
 
-  override def seqsAfter(since: Long): Seq[Long] = {
-    val all = allSeqs()
-    val from = java.util.Arrays.binarySearch(all, since + 1) match {
-      case i if i >= 0 => i
-      case i => -i - 1
+  /** Files are assumed seq-disjoint (rotated feed logs are; CouchDB
+    * seqs are assigned monotonically). Overlapping files still give a
+    * correct cap — counts stay exact per file — but the admitted batch
+    * may land slightly off `n` inside the overlap window, which is fine:
+    * ReadMaxRows is best-effort admission control, not a hard contract. */
+  override def nthSeqAfter(since: Long, n: Long, cap: Long): Long = {
+    if (n <= 0) return since
+    val fs = files()
+      .map(f => f -> summaryOf(f))
+      .filter { case (_, s) => s.count > 0 && s.maxSeq > since && s.minSeq <= cap }
+      .sortBy(_._2.minSeq)
+    var remaining = n
+    var last = since
+    for ((f, s) <- fs) {
+      if (remaining > 0) {
+        val wholeFileInRange = s.minSeq > since && s.maxSeq <= cap
+        if (wholeFileInRange && s.count <= remaining) {
+          remaining -= s.count
+          last = math.max(last, s.maxSeq)
+        } else {
+          // boundary file: the answer (or the range edge) is inside it
+          val seqs = seqsIn(f, since, cap)
+          if (seqs.nonEmpty) {
+            if (seqs.length <= remaining) {
+              remaining -= seqs.length
+              last = math.max(last, seqs.last)
+            } else {
+              last = math.max(last, seqs(remaining.toInt - 1))
+              remaining = 0
+            }
+          }
+        }
+      }
     }
-    all.drop(from).toSeq
+    last
   }
 
   /** Byte-range slices across all files, ~`target` total — the unit of

@@ -73,7 +73,7 @@ final class ChangesTable(props: Map[String, String])
       override def readSchema(): StructType = ChangeEvent.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ChangesMicroBatchStream(
-          path = options.get("path"),
+          conn = FeedConn.fromOptions(k => Option(options.get(k))),
           startSince = Option(options.get("since")).map(_.toLong).getOrElse(0L),
           maxPerTrigger = Option(options.get("maxChangesPerTrigger")).map(_.toLong),
           numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(4))
@@ -92,14 +92,45 @@ object ChangesOffset {
   }
 }
 
+/** Serializable feed coordinates — everything a driver or executor
+  * needs to (re)open the feed. `path` = JSONL file feed; `url`+`db` =
+  * HTTP feed (basic auth via `user`/`password`). */
+final case class FeedConn(
+    path: Option[String],
+    url: Option[String],
+    db: Option[String],
+    user: Option[String],
+    password: Option[String],
+    pageSize: Int,
+    timeoutMs: Long) {
+  def open(): ChangesFeed = (path, url, db) match {
+    case (Some(p), _, _) => new FileChangesFeed(p)
+    case (None, Some(u), Some(d)) =>
+      new HttpChangesFeed(u, d, user, password, pageSize, timeoutMs)
+    case _ => throw new FeedGoneException(
+      "couch-changes needs either option path=<jsonl> or url=+db=")
+  }
+}
+
+object FeedConn {
+  def fromOptions(opt: String => Option[String]): FeedConn = FeedConn(
+    path = opt("path"),
+    url = opt("url"),
+    db = opt("db"),
+    user = opt("user"),
+    password = opt("password"),
+    pageSize = opt("pageSize").map(_.toInt).getOrElse(1000),
+    timeoutMs = opt("timeoutMs").map(_.toLong).getOrElse(30000L))
+}
+
 final class ChangesMicroBatchStream(
-    path: String,
+    conn: FeedConn,
     startSince: Long,
     maxPerTrigger: Option[Long],
     numPartitions: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private val feed: ChangesFeed = new FileChangesFeed(path)
+  private val feed: ChangesFeed = conn.open()
 
   /** Trigger.AvailableNow end bound: changes arriving after the query
     * starts are left for the next run (SupportsTriggerAvailableNow). */
@@ -123,9 +154,7 @@ final class ChangesMicroBatchStream(
     val cap = availableNowTarget.getOrElse(Long.MaxValue)
     limit match {
       case mr: ReadMaxRows =>
-        val seqs = feed.seqsAfter(since).filter(_ <= cap)
-        if (seqs.isEmpty) ChangesOffset(since)
-        else ChangesOffset(seqs.take(mr.maxRows().toInt).last)
+        ChangesOffset(feed.nthSeqAfter(since, mr.maxRows(), cap))
       case _ =>
         ChangesOffset(math.max(since, math.min(feed.latestSeq(), cap)))
     }
@@ -137,18 +166,31 @@ final class ChangesMicroBatchStream(
 
   override def reportLatestOffset(): Offset = ChangesOffset(feed.latestSeq())
 
-  /** One partition per byte-range slice of the feed file(s); every
-    * reader parses ONLY its slice (splittable-text convention) and
-    * filters to the (start, end] seq range. Parse parallelism scales
-    * with file size instead of each reader re-parsing the whole feed. */
+  /** File feed: one partition per byte-range slice — every reader
+    * parses ONLY its slice (splittable-text convention) and filters to
+    * the (start, end] seq range, so parse parallelism scales with file
+    * size instead of each reader re-parsing the whole feed.
+    *
+    * HTTP feed: contiguous seq sub-ranges — each reader pages its own
+    * range from the server with include_docs=true, so document
+    * payloads flow server→executor, never through the driver. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ChangesOffset].seq
     val hi = end.asInstanceOf[ChangesOffset].seq
     if (hi <= lo) Array.empty
-    else feed.asInstanceOf[FileChangesFeed].slices(numPartitions)
-      .map { case (file, sb, eb) =>
-        ChangesInputPartition(file, sb, eb, lo, hi): InputPartition
-      }.toArray
+    else feed match {
+      case f: FileChangesFeed =>
+        f.slices(numPartitions).map { case (file, sb, eb) =>
+          ChangesInputPartition(file, sb, eb, lo, hi): InputPartition
+        }.toArray
+      case _: HttpChangesFeed =>
+        val n = math.max(1, math.min(numPartitions.toLong, hi - lo)).toInt
+        (0 until n).map { i =>
+          val from = lo + (hi - lo) * i / n
+          val to = lo + (hi - lo) * (i + 1) / n
+          HttpChangesInputPartition(conn, from, to): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -162,17 +204,26 @@ final case class ChangesInputPartition(
     file: String, startByte: Long, endByte: Long,
     fromSeq: Long, toSeq: Long) extends InputPartition
 
+/** HTTP reader partition: a contiguous (fromSeq, toSeq] sub-range the
+  * executor pulls itself (connection coordinates, never data). */
+final case class HttpChangesInputPartition(
+    conn: FeedConn, fromSeq: Long, toSeq: Long) extends InputPartition
+
 final class ChangesReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ChangesInputPartition]
-    new ChangesPartitionReader(p)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: ChangesInputPartition =>
+        new ChangesPartitionReader(
+          ChangesFeed.readSlice(p.file, p.startByte, p.endByte)
+            .filter(e => e.seq > p.fromSeq && e.seq <= p.toSeq))
+      case p: HttpChangesInputPartition =>
+        new ChangesPartitionReader(
+          p.conn.open().changes(p.fromSeq, p.toSeq))
+    }
 }
 
-final class ChangesPartitionReader(p: ChangesInputPartition)
+final class ChangesPartitionReader(it: Iterator[ChangeEvent])
     extends PartitionReader[InternalRow] {
-  private val it = ChangesFeed.readSlice(p.file, p.startByte, p.endByte)
-    .filter(e => e.seq > p.fromSeq && e.seq <= p.toSeq)
   private var current: ChangeEvent = _
 
   override def next(): Boolean =

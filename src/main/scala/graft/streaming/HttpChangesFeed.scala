@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.cdc.ChangeEvent
+
+/** The real CouchDB `_changes` HTTP client (S1 completion).
+  *
+  * The reference holds one long-lived socket via `follow.Feed({db,
+  * include_docs: true, since, inactivity_ms: 30000})` with basic-auth
+  * credentials in the db URL (reference lib/index.js:50-53, 243-290).
+  * The micro-batch analog pages the same endpoint statelessly:
+  *
+  *   GET {base}/{db}/_changes?include_docs=true&since=N&limit=M
+  *   GET {base}/{db}                      -> {"update_seq": ...}
+  *
+  * Every request carries `Authorization: Basic ...` when credentials
+  * are configured and a per-request timeout standing in for the feed's
+  * inactivity watchdog (a stalled server surfaces as
+  * `HttpTimeoutException`, which the [[Supervisor]] classifies as
+  * transient — restart with backoff, like the reference's ECONNREFUSED
+  * path). A missing database (HTTP 404, CouchDB's `no_db_file`) throws
+  * [[FeedGoneException]], the fatal class the reference stops the feed
+  * for (lib/index.js:211-223).
+  *
+  * SCALE: the driver only ever asks for bounds ([[latestSeq]]) and the
+  * admission-control cap ([[nthSeqAfter]], one page of bare seqs — no
+  * docs); executors pull their own seq sub-ranges with
+  * `include_docs=true` ([[changes]]), so document payloads never pass
+  * through the driver. State is O(1) per feed.
+  *
+  * Zero-egress note: exercised against a local
+  * `com.sun.net.httpserver` stub (HttpChangesFeedSpec) — the wire
+  * format is CouchDB's documented `_changes` JSON.
+  */
+final class HttpChangesFeed(
+    val baseUrl: String,
+    val db: String,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    pageSize: Int = 1000,
+    timeoutMs: Long = 30000L) extends ChangesFeed {
+
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs))
+    .build()
+
+  /** Basic auth per reference lib/index.js:50 (credentials in db URL). */
+  private def authHeader: Option[String] = user.map { u =>
+    val raw = s"$u:${password.getOrElse("")}"
+    "Basic " + Base64.getEncoder.encodeToString(
+      raw.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def get(pathAndQuery: String): String = {
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$pathAndQuery"))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .GET()
+    authHeader.foreach(b.header("Authorization", _))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 404)
+      throw new FeedGoneException(s"$baseUrl/$db not found (no_db_file)")
+    if (resp.statusCode() >= 400)
+      throw new java.io.IOException(
+        s"GET $pathAndQuery -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** `update_seq` from the db info document. */
+  override def latestSeq(): Long = {
+    val n = mapper.readTree(get(s"/$db"))
+    n.path("update_seq").asLong(0L)
+  }
+
+  /** Page through `_changes` with `include_docs=true` until `until` is
+    * passed. Each page resumes from the previous page's last seq, so a
+    * slow consumer never re-downloads — the stateless analog of the
+    * reference's socket backpressure. */
+  override def changes(since: Long, until: Long): Iterator[ChangeEvent] =
+    new Iterator[ChangeEvent] {
+      private var buf: Iterator[ChangeEvent] = Iterator.empty
+      private var cursor = since
+      private var exhausted = false
+
+      private def fill(): Unit = {
+        while (!buf.hasNext && !exhausted) {
+          val body = get(
+            s"/$db/_changes?include_docs=true&since=$cursor&limit=$pageSize")
+          val n = mapper.readTree(body)
+          val results = n.path("results")
+          if (!results.isArray || results.size() == 0) exhausted = true
+          else {
+            val events = (0 until results.size()).iterator
+              .flatMap(i => ChangesFeed.parseNode(mapper, results.get(i)))
+              .toVector
+            if (events.isEmpty) exhausted = true
+            else {
+              val maxSeq = events.map(_.seq).max
+              // a well-behaved server only returns seq > since; a stuck
+              // cursor would otherwise loop forever
+              if (maxSeq <= cursor) exhausted = true
+              else cursor = maxSeq
+              val inRange = events.filter(e => e.seq > since && e.seq <= until)
+              if (events.exists(_.seq > until)) exhausted = true
+              buf = inRange.sortBy(_.seq).iterator
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { fill(); buf.hasNext }
+      override def next(): ChangeEvent = { fill(); buf.next() }
+    }
+
+  /** One bare page (no docs) answers admission control exactly:
+    * `_changes?since=X&limit=n` returns the next n seqs in feed order. */
+  override def nthSeqAfter(since: Long, n: Long, cap: Long): Long = {
+    if (n <= 0) return since
+    var last = since
+    var remaining = n
+    var cursor = since
+    var done = false
+    while (!done && remaining > 0) {
+      val page = math.min(remaining, pageSize.toLong)
+      val body = get(s"/$db/_changes?since=$cursor&limit=$page")
+      val node = mapper.readTree(body)
+      val results = node.path("results")
+      if (!results.isArray || results.size() == 0) done = true
+      else {
+        val prevCursor = cursor
+        var i = 0
+        while (i < results.size() && remaining > 0) {
+          val seq = results.get(i).path("seq").asLong(Long.MinValue)
+          if (seq > cursor) cursor = seq
+          if (seq > since && seq <= cap) { last = seq; remaining -= 1 }
+          else if (seq > cap) { remaining = 0 }
+          i += 1
+        }
+        if (results.size() < page || cursor == prevCursor) done = true
+      }
+    }
+    last
+  }
+}
+
+/** The fatal feed-error class: the database/feed is gone or
+  * misconfigured — the reference STOPS the feed for these
+  * (`no_db_file`, Postgres `42P01`; lib/index.js:211-223) instead of
+  * retrying forever. */
+final class FeedGoneException(msg: String) extends RuntimeException(msg)
