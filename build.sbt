@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 56-query catalog × (warmup + 2 timed rounds) churns far more
+  // generated classes than the default 100-entry codegen cache holds;
+  // the resulting Janino/C2 recompilation storm backs up the compile
+  // queue for tens of seconds and whole stretches of the bench run
+  // part-interpreted (measured: same query 0.4 s or 18 s depending on
+  // whether it lands in the storm window). Cache every plan once, give
+  // the JIT enough compiler threads and code-cache headroom to drain
+  // bursts fast.
+  "-Dspark.sql.codegen.cache.maxEntries=4000",
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:CICompilerCount=12",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" "))

@@ -91,26 +91,64 @@ object ChangeApply {
         col("s_rev"), col("s_doc"), col("c_rev"), col("c_doc"))
   }
 
+  private def withMapDoc(changes: DataFrame,
+      mapDoc: Option[Column => Column]): DataFrame =
+    mapDoc.fold(changes)(f =>
+      changes.withColumn("doc",
+        when(col("deleted"), col("doc")).otherwise(f(col("doc")))))
+
+  /** A statically-empty plan (LocalRelation with no rows) — the only
+    * case where emptiness is knowable without running a job. An empty
+    * LogicalRDD/parquet scan is NOT detected; use [[initialState]]
+    * directly when the caller knows there is no state yet (first
+    * batch), as [[graft.streaming.MergeSink]] does. */
+  private def isKnownEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
+  /** First-batch fast path: with no existing state the T4 grid needs no
+    * join at all — every surviving change is an INSERT. O(batch): one
+    * partial-agg'd latestPerKey, a filter, zero extra shuffles (the
+    * full-outer merge would shuffle the empty state through every
+    * partition for nothing). Equivalent to
+    * `applyChanges(emptyState, changes, ...)` row-for-row. */
+  def initialState(
+      changes: DataFrame,
+      excludeTypes: Set[String] = Set.empty,
+      mapDoc: Option[Column => Column] = None): DataFrame = {
+    val latest = latestPerKey(withMapDoc(changes, mapDoc))
+    val excluded: Column =
+      if (excludeTypes.isEmpty) lit(false)
+      else get_json_object(col("doc"), "$.type")
+        .isin(excludeTypes.toSeq: _*)
+    latest
+      .where(!col("deleted") && !excluded)
+      .select(col("id"), col("rev"), col("doc"))
+  }
+
   /** Apply one batch of changes to the state, returning the new state
     * (id, rev, doc). Optional per-doc transform hook = the reference's
-    * `opts.map(doc)` (lib/index.js:188-190, P9). */
+    * `opts.map(doc)` (lib/index.js:188-190, P9). A statically-empty
+    * state short-circuits to [[initialState]] (no join). */
   def applyChanges(
       state: DataFrame,
       changes: DataFrame,
       excludeTypes: Set[String] = Set.empty,
-      mapDoc: Option[Column => Column] = None): DataFrame = {
-    val mapped = mapDoc.fold(changes)(f =>
-      changes.withColumn("doc",
-        when(col("deleted"), col("doc")).otherwise(f(col("doc")))))
-    planActions(state, mapped, excludeTypes)
-      .where(col("action").isin("NOOP", "INSERT", "UPDATE"))
-      .select(
-        col("id"),
-        when(col("action") === "NOOP", col("s_rev"))
-          .otherwise(col("c_rev")).as("rev"),
-        when(col("action") === "NOOP", col("s_doc"))
-          .otherwise(col("c_doc")).as("doc"))
-  }
+      mapDoc: Option[Column => Column] = None): DataFrame =
+    if (isKnownEmpty(state)) initialState(changes, excludeTypes, mapDoc)
+    else {
+      planActions(state, withMapDoc(changes, mapDoc), excludeTypes)
+        .where(col("action").isin("NOOP", "INSERT", "UPDATE"))
+        .select(
+          col("id"),
+          when(col("action") === "NOOP", col("s_rev"))
+            .otherwise(col("c_rev")).as("rev"),
+          when(col("action") === "NOOP", col("s_doc"))
+            .otherwise(col("c_doc")).as("doc"))
+    }
 
   /** Fold a sequence of batches (streaming replay / catch-up). */
   def applyAll(state: DataFrame, batches: Seq[DataFrame]): DataFrame =

@@ -378,8 +378,10 @@ object JsonDoc {
           concat(lit("2-"), md5(idc)).as("rev"),
           ($"o_orderkey" % 10 === 0).as("deleted"),
           to_json(struct(idc.as("k"), lit(2).as("v"))).as("doc"))
+        // statically-empty LocalRelation: ChangeApply short-circuits to
+        // the no-join initialState path (first-batch ingest shape)
         val empty = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(
             "id STRING, rev STRING, doc STRING"))
         graft.cdc.ChangeApply.applyChanges(empty, v1.unionByName(v2))

@@ -34,6 +34,12 @@ trait ChangesFeed extends Serializable {
   /** Changes with `seq` in (since, until], ordered by seq. */
   def changes(since: Long, until: Long): Iterator[ChangeEvent]
 
+  /** Current live (non-deleted) document count — CouchDB's `doc_count`.
+    * Feeds that can't answer cheaply may compute it; the ops
+    * count-consistency check ([[graft.CountCheck]]) is the only
+    * caller. */
+  def liveDocCount(): Long
+
   /** Admission control (T2): the seq of the `n`th change after `since`,
     * not exceeding `cap` — i.e. the end offset that admits at most `n`
     * changes into the batch. Returns the highest available seq in
@@ -179,6 +185,21 @@ final class FileChangesFeed(val path: String) extends ChangesFeed {
     val fs = files()
     if (fs.isEmpty) 0L
     else fs.map(f => summaryOf(f).maxSeq).max
+  }
+
+  /** Replay latest-per-id over the files (streaming fold, O(ids) map —
+    * an ops-check convenience; a real deployment asks the server via
+    * [[HttpChangesFeed.liveDocCount]]). */
+  override def liveDocCount(): Long = {
+    val last = scala.collection.mutable.HashMap.empty[String, (Long, Boolean)]
+    files().foreach { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().flatMap(ChangesFeed.parseLine(mapper, _)).foreach { e =>
+        val cur = last.get(e.id)
+        if (cur.forall(_._1 < e.seq)) last(e.id) = (e.seq, e.deleted)
+      } finally src.close()
+    }
+    last.valuesIterator.count(!_._2)
   }
 
   override def changes(since: Long, until: Long): Iterator[ChangeEvent] =

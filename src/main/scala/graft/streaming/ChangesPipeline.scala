@@ -16,7 +16,10 @@ object ChangesPipeline {
 
   /** Start following a feed into a document store.
     *
-    * @param feedPath   JSONL `_changes` feed (FileChangesFeed)
+    * @param feedPath   JSONL `_changes` feed (FileChangesFeed), or an
+    *                   `http(s)://host:port/db` URL (HttpChangesFeed —
+    *                   the last path segment is the database, matching
+    *                   the reference's db-URL config, lib/index.js:50)
     * @param storeRoot  versioned parquet doc store (MergeSink)
     * @param checkpoint Spark checkpoint dir (offset/commit log — the
     *                   native `since_checkpoints`, SURVEY §2.1 S3)
@@ -33,8 +36,13 @@ object ChangesPipeline {
       excludeTypes: Set[String] = Set.empty,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     var reader = spark.readStream.format("couch-changes")
-      .option("path", feedPath)
       .option("since", since.toString)
+    if (feedPath.startsWith("http://") || feedPath.startsWith("https://")) {
+      val cut = feedPath.lastIndexOf('/')
+      reader = reader
+        .option("url", feedPath.substring(0, cut))
+        .option("db", feedPath.substring(cut + 1))
+    } else reader = reader.option("path", feedPath)
     maxChangesPerTrigger.foreach(n =>
       reader = reader.option("maxChangesPerTrigger", n.toString))
     reader.load()

@@ -79,6 +79,14 @@ final class HttpChangesFeed(
     n.path("update_seq").asLong(0L)
   }
 
+  /** `doc_count` from the db info document — exactly what the
+    * reference's nagios check reads (nagios-check_couch_postgres_count:
+    * 25). */
+  override def liveDocCount(): Long = {
+    val n = mapper.readTree(get(s"/$db"))
+    n.path("doc_count").asLong(0L)
+  }
+
   /** Page through `_changes` with `include_docs=true` until `until` is
     * passed. Each page resumes from the previous page's last seq, so a
     * slow consumer never re-downloads — the stateless analog of the

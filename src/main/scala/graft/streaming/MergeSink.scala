@@ -35,13 +35,16 @@ import graft.cdc.ChangeApply
   */
 object MergeSink {
 
-  /** Read the current state (id, rev, doc); empty if none yet. */
+  /** Read the current state (id, rev, doc); empty if none yet. The
+    * empty case is a LocalRelation (statically empty), so downstream
+    * merges short-circuit via [[ChangeApply.initialState]] instead of
+    * joining against nothing. */
   def readState(spark: SparkSession, root: String): DataFrame =
     currentVersion(root) match {
       case Some((v, _)) => spark.read.parquet(s"$root/v=$v")
       case None =>
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(
             "id STRING, rev STRING, doc STRING"))
     }
@@ -70,8 +73,11 @@ object MergeSink {
     val cur = currentVersion(root)
     if (cur.exists(_._2 >= batchId)) return false // replayed batch: NOOP
     val v = cur.map(_._1).getOrElse(-1L) + 1
-    val state = readState(spark, root)
-    val merged0 = ChangeApply.applyChanges(state, batch, excludeTypes)
+    // first batch: no state exists — O(batch) insert path, no join
+    val merged0 =
+      if (cur.isEmpty) ChangeApply.initialState(batch, excludeTypes)
+      else ChangeApply.applyChanges(
+        readState(spark, root), batch, excludeTypes)
     val merged =
       if (numPartitions > 0) merged0.repartition(numPartitions, merged0("id"))
       else merged0

@@ -61,4 +61,52 @@ class BackoffSpec extends SparkSpec {
       assert(sup.failureCounts.get("bad_feed").contains(2))
     } finally sup.stopAll()
   }
+
+  test("JitteredBackoff spreads delays in [min,max) and is stable per attempt") {
+    val b = JitteredBackoff(10000L, 60000L, seed = 42L)
+    assert(b.delayMs("f", 0) == 0L)
+    val delays = (1 to 50).map(i => b.delayMs("feed-a", i))
+    assert(delays.forall(d => d >= 10000L && d < 60000L))
+    assert(delays.distinct.size > 10) // actually spread, not constant
+    // stable: the due-time must not flap between reconcile passes
+    assert(b.delayMs("feed-a", 3) == b.delayMs("feed-a", 3))
+    // desynchronized across feeds at the same failure count (the whole
+    // point of the reference's randomization, lib/index.js:225-229)
+    val across = (1 to 20).map(i => b.delayMs(s"feed-$i", 1))
+    assert(across.distinct.size > 10)
+  }
+
+  test("fatal feed error halts the feed; transient backs off (lib/index.js:205-230)") {
+    val couch = new StubCouch("realdb")
+    val port = couch.start()
+    try {
+      val sup = new Supervisor(spark, trigger = Trigger.AvailableNow())
+      def cfg(name: String, url: String) = FeedConfig(
+        name = name,
+        feedPath = url,
+        storeRoot = Files.createTempDirectory(s"store-$name").toString,
+        checkpoint = Files.createTempDirectory(s"ckpt-$name").toString)
+      // 404 db -> FeedGoneException (no_db_file class) -> halt
+      val gone = cfg("gone-feed", s"http://127.0.0.1:$port/nope")
+      // connection refused -> transient -> backoff queue
+      val down = cfg("down-feed", "http://127.0.0.1:1/db")
+      try {
+        sup.reconcile(Seq(gone, down))
+        val deadline = System.currentTimeMillis() + 30000
+        while (sup.activeFeeds.nonEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        sup.watchdog()
+        assert(sup.haltedFeeds.keySet == Set("gone_feed"))
+        assert(sup.haltedFeeds("gone_feed").contains("no_db_file") ||
+          sup.haltedFeeds("gone_feed").contains("not found"))
+        assert(sup.failureCounts.get("down_feed").exists(_ >= 1))
+        // halted feeds are NOT restarted by the finder
+        val (restarted, _) = sup.reconcile(Seq(gone))
+        assert(restarted.isEmpty)
+        // disabling clears the halt; re-enabling starts fresh
+        sup.reconcile(Seq(gone.copy(enabled = false)))
+        assert(sup.haltedFeeds.isEmpty)
+      } finally sup.stopAll()
+    } finally couch.stop()
+  }
 }

@@ -236,6 +236,21 @@ class SupervisorSpec extends SparkSpec {
       }
       assert(get("/_status") == "[]")
       assert(get("/_finder") == """{"started":[],"stopped":[]}""")
+      assert(get("/_watchdog") ==
+        """{"reaped":[],"newly_halted":[],"halted":{}}""")
     } finally { srv.stop(); sup.stopAll() }
+  }
+
+  test("/_status reports the configured resume point before first progress") {
+    val sup = new Supervisor(spark,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val f = feedCfg("since-feed", 0).copy(since = 7L) // empty-tail feed
+    try {
+      sup.reconcile(Seq(f))
+      // whether or not the (empty) first batch has progressed, the
+      // reported since is the configured resume point, never 0
+      val st = sup.status().find(_.feed == "since_feed")
+      assert(st.forall(_.since == 7L))
+    } finally sup.stopAll()
   }
 }
