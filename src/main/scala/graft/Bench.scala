@@ -50,6 +50,29 @@ object Bench {
       val t = run(n)
       if (verbose) System.err.println(f"[bench] warmup $n%-28s $t%8.3f s")
     }
+    // Let the JIT drain its compile queue before timing: the warmup
+    // pass enqueues hundreds of generated-class compilations (and
+    // deopt/recompile cycles — a thread dump of one sick run showed 48 s
+    // of C2 CPU), and timed rounds racing that backlog measure the
+    // compiler, not the query. Quiescent = <150 ms of new compilation
+    // time in a 500 ms window.
+    def jitSettle(label: String): Unit = {
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (jit != null && jit.isCompilationTimeMonitoringSupported) {
+        val deadline = System.currentTimeMillis() + 60000
+        var prev = jit.getTotalCompilationTime
+        var settled = false
+        while (!settled && System.currentTimeMillis() < deadline) {
+          Thread.sleep(500)
+          val cur = jit.getTotalCompilationTime
+          settled = cur - prev < 150
+          prev = cur
+        }
+        if (verbose) System.err.println(
+          s"[bench] jit $label settled=$settled totalCompileMs=$prev")
+      }
+    }
+    if (warmup) jitSettle("post-warmup")
     val rounds = if (warmup) 2 else 1
     val results0 = names.map { name =>
       name -> (0 until rounds).map { r =>
@@ -63,16 +86,19 @@ object Bench {
     // recovers). Steady-state is what this bench reports, so outliers
     // are re-measured after the sweep — still real end-to-end runs,
     // still min-of-N semantics.
-    val results = if (!warmup) results0 else results0.map { case (n, t0) =>
-      var t = t0
-      var retries = 0
-      while (t > 1.5 && retries < 2) {
-        val r = run(n)
-        if (verbose) System.err.println(f"[bench] retry  $n%-28s $r%8.3f s")
-        t = math.min(t, r)
-        retries += 1
+    val results = if (!warmup) results0 else {
+      if (results0.exists(_._2 > 1.0)) jitSettle("pre-retry")
+      results0.map { case (n, t0) =>
+        var t = t0
+        var retries = 0
+        while (t > 1.0 && retries < 2) {
+          val r = run(n)
+          if (verbose) System.err.println(f"[bench] retry  $n%-28s $r%8.3f s")
+          t = math.min(t, r)
+          retries += 1
+        }
+        n -> t
       }
-      n -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

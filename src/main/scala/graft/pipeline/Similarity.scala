@@ -98,6 +98,71 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Build the persistent ANN index: quantized vectors + self-norms,
+    * written ONCE partitioned by sign bucket (`path/bucket=XXXX/...`).
+    * This is the write-once/probe-many scale path the per-call
+    * [[lshTopK]] re-bucketing can't give: at 100 TB the corpus is
+    * indexed by one batch job and every probe afterwards reads only its
+    * buckets' directories (static partition pruning — the scan never
+    * touches the other 2^planes - |probed| partitions). */
+  def writeBucketedCorpus(
+      corpus: DataFrame, path: String, planes: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    corpus.select(
+      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", dot(col("c_emb"), col("c_emb")))
+      .withColumn("bucket", signBucket(col("c_emb"), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Flip plane `i` (0-based) of a sign-bucket key — the Hamming-1
+    * neighbor bucket on that plane. */
+  private def flipPlane(bucket: Column, i: Int, planes: Int): Column =
+    concat(
+      substring(bucket, 1, i),
+      when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(bucket, i + 2, planes - i - 1))
+
+  /** Probe a pre-bucketed corpus ([[writeBucketedCorpus]]) for top-k
+    * neighbors. `multiProbe` = m additionally probes the Hamming-1
+    * buckets of the first m planes (the standard multi-probe LSH recall
+    * lever: recall lost to an unlucky sign flip near a hyperplane is
+    * recovered without rebuilding the index).
+    *
+    * The probed bucket set is collected driver-side — bounded by
+    * min(|queries| * (1+m), 2^planes), i.e. a handful of fixed-width
+    * keys, NOT data — and pushed into the scan as a partition filter,
+    * so only matching `bucket=` directories are read. Queries broadcast;
+    * the corpus index never shuffles. */
+  def probeBucketedTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, corpusPath: String, k: Int, planes: Int = 4,
+      multiProbe: Int = 0,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q0 = queries.select(
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", dot(col("q_emb"), col("q_emb")))
+      .withColumn("q_bucket", signBucket(col("q_emb"), planes))
+    val probes = array(col("q_bucket") +:
+      (0 until multiProbe).map(i => flipPlane(col("q_bucket"), i, planes)): _*)
+    val q = q0.withColumn("probe_bucket", explode(probes))
+    val buckets = q.select("probe_bucket").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: <= 2^planes keys
+    val c = spark.read.parquet(corpusPath)
+      .where(col("bucket").isin(buckets: _*)) // static partition pruning
+    val scored = broadcast(q).join(c,
+      col("probe_bucket") === col("bucket")
+        && col("query_id") =!= col("neighbor_id")
+        && col("q_emb") =!= col("c_emb"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, blocked
     * on a coarse key to avoid all-pairs (here: a provided blocking
     * column; at scale: LSH buckets or cluster assignments). */

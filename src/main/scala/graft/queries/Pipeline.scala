@@ -196,6 +196,44 @@ object Pipeline {
              |ORDER BY query_id, rank""".stripMargin),
       "sign-bucket LSH ANN: 2^4 buckets, probe own bucket only (identical bucketing in oracle)"),
 
+    // ---- Pre-bucketed ANN index probe (the write-once/probe-many scale
+    // path): corpus indexed ONCE into bucket= partitions, probe reads
+    // only the probed buckets' directories (partition pruning) with
+    // Hamming-1 multi-probe on plane 0 for recall.
+    QueryDef(
+      "p8b_ann_prebucket",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-annidx-" + Integer.toHexString(dir.hashCode) + "-p4")
+        if (!new java.io.File(idx, "_SUCCESS").exists())
+          Similarity.writeBucketedCorpus(em, idx.toString, planes = 4)
+        Similarity.probeBucketedTopK(s, em.filter($"vec_id" < 10),
+          idx.toString, 3, planes = 4, multiProbe = 1)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |bk AS (SELECT vec_id, qv,
+             |  (CASE WHEN qv[1]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[2]>=0 THEN '1' ELSE '0' END)||
+             |  (CASE WHEN qv[3]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[4]>=0 THEN '1' ELSE '0' END) AS bucket FROM q),
+             |qp AS (SELECT vec_id, qv, [bucket,
+             |  (CASE WHEN qv[1]>=0 THEN '0' ELSE '1' END)||substr(bucket, 2)] AS probes
+             |  FROM bk WHERE vec_id < 10),
+             |cand AS (SELECT a.vec_id AS query_id, a.qv AS aqv, u.pb AS pb
+             |  FROM qp a, UNNEST(a.probes) AS u(pb)),
+             |scored AS (SELECT c.query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*c.aqv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM cand c JOIN bk b ON b.bucket = c.pb AND b.vec_id <> c.query_id AND b.qv <> c.aqv),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin),
+      "persisted sign-bucket ANN index: partition-pruned probe + Hamming-1 multi-probe"),
+
     // ---- Token statistics.
     QueryDef(
       "p9_token_stats",

@@ -60,6 +60,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("j16: first-batch CDC merge is join-free (empty-state short-circuit)") {
+    val p = plan("j16_cdc_merge")
+    assert(!p.contains("Join"),
+      s"empty-state merge should skip the full-outer join:\n$p")
+    // and still partial-aggregates the latest-per-key dedup
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2 ||
+      p.linesIterator.count(_.contains("SortAggregate")) >= 2)
+  }
+
+  test("p8b: pre-bucketed ANN probe reads only probed bucket partitions") {
+    val df = SparkEntry.queries("p8b_ann_prebucket")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the index scan must carry the probed-bucket partition filter —
+    // at scale this is the difference between reading |probed| bucket
+    // directories and reading the whole corpus
+    val scanBlock = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters")).mkString("\n")
+    assert(scanBlock.contains("bucket"),
+      s"no partition filter on the bucketed index scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
