@@ -97,4 +97,54 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Near-dup CLUSTER assignment — the step that turns pairwise matches
+    * into "keep one canonical doc per duplicate group": connected
+    * components over the similarity graph, labeling every doc with the
+    * minimum doc id reachable from it (deterministic representative;
+    * singletons label themselves).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels — one equi-join +
+    * partial-agg'd min per round, converging in O(component diameter)
+    * rounds. Near-dup components are shallow (diameter ≤ a few hops),
+    * so 3-5 rounds close real corpora; `maxIter` bounds adversarial
+    * chains. Lineage is cut per round (`localCheckpoint`) so the plan
+    * stays O(1) deep. At extreme scale swap in large-star/small-star
+    * (alternating min-propagation that hangs components off their
+    * minimum directly — same join shape, O(log n) rounds).
+    *
+    * The fixpoint (min reachable id) is unique, so the result is
+    * deterministic regardless of iteration order or partitioning.
+    *
+    * @param ids   one row per doc: (idCol)
+    * @param pairs undirected near-dup pairs: (doc_a, doc_b)
+    * @return (doc_id, cluster_id)
+    */
+  def clusters(
+      ids: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("doc_id"),
+      col(idCol).as("cluster_id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").union(viaNeighbors)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

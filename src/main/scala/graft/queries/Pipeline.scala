@@ -105,6 +105,40 @@ object Pipeline {
              |ORDER BY doc_a, doc_b""".stripMargin),
       "SimHash LSH: 4x15-bit chunk join, Hamming<=8 verify (identical banding in oracle)"),
 
+    // ---- Near-dup cluster assignment: connected components over the
+    // simhash pair graph (min reachable id = canonical representative).
+    // The oracle computes the same fixpoint via a recursive CTE.
+    QueryDef(
+      "p16_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val pairs = Dedup.simhashPairs(d, "doc_id", "text",
+          maxHamming = 8, chunks = 4).select($"doc_a", $"doc_b")
+        Dedup.clusters(d.select($"doc_id"), pairs)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |h AS (SELECT doc_id, list_transform(words, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS hs FROM w),
+             |sg AS (SELECT doc_id,
+             |  list_sum(list_transform(range(0,60), b -> CASE WHEN
+             |    list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |    THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS simhash FROM h),
+             |ch AS (SELECT doc_id, simhash, u.c AS chunk_id, (simhash >> (u.c*15)) & 32767 AS chunk_val
+             |  FROM sg, UNNEST(range(4)) AS u(c)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |  FROM ch a JOIN ch b ON a.chunk_id=b.chunk_id AND a.chunk_val=b.chunk_val AND a.doc_id < b.doc_id),
+             |pr AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= 8),
+             |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+             |reach(src, dst) AS (SELECT src, dst FROM ed
+             |  UNION SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
+             |mr AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY src)
+             |SELECT d.doc_id, least(d.doc_id, coalesce(m.m, d.doc_id)) AS cluster_id
+             |FROM documents d LEFT JOIN mr m ON d.doc_id = m.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      "near-dup cluster assignment: min-label connected components (O(diameter) join rounds)"),
+
     // ---- n-gram Jaccard calibration over consecutive doc pairs.
     QueryDef(
       "p5_ngram_jaccard",
