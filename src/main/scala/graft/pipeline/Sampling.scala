@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators.
+  *
+  * Training pipelines must never sample with `rand()`: results change
+  * per run, per partitioning, and per engine, making experiments
+  * unreproducible and making the train/test boundary leak when data is
+  * reprocessed. Everything here keys on md5(salt:id) — the same doc
+  * lands in the same split on every engine that agrees on md5 (DuckDB
+  * reproduces it exactly), re-runs are idempotent, and changing the
+  * salt re-rolls the assignment intentionally.
+  *
+  * Granularity is permille (md5-derived bucket in [0, 1000)): weights
+  * are quantized to 0.1 %, plenty for split ratios.
+  */
+object Sampling {
+
+  /** md5-derived bucket in [0, 1000): the first 8 hex chars of
+    * md5(salt:id) as an integer, mod 1000. Uniform (md5 avalanche),
+    * deterministic, engine-portable. */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000
+
+  /** Named split assignment, e.g.
+    * `hashSplit($"doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))`.
+    * Weights must sum to 1.0 (±rounding); assignment follows cumulative
+    * permille thresholds over [[hashBucket]]. */
+  def hashSplit(
+      id: Column, weights: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    require(weights.nonEmpty, "hashSplit needs at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-6,
+      s"split weights must sum to 1.0, got ${weights.map(_._2).sum}")
+    val bucket = hashBucket(id, salt)
+    val cum = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 1000)
+    }.tail
+    val cases = weights.map(_._1).zip(cum)
+    cases.init.foldRight(lit(cases.last._1): Column) {
+      case ((name, upper), rest) => when(bucket < upper, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic Bernoulli-style sample: keep iff bucket < fraction
+    * (permille-quantized). Same id always gets the same verdict. */
+  def hashSample(id: Column, fraction: Double,
+      salt: String = "sample"): Column =
+    hashBucket(id, salt) < math.round(fraction * 1000)
+}

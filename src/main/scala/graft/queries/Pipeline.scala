@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -138,6 +138,30 @@ object Pipeline {
              |FROM documents d LEFT JOIN mr m ON d.doc_id = m.doc_id
              |ORDER BY d.doc_id""".stripMargin),
       "near-dup cluster assignment: min-label connected components (O(diameter) join rounds)"),
+
+    // ---- Deterministic train/val/test split + sampling flag. rand()
+    // would be unreproducible across runs/engines/partitionings; the
+    // md5 bucket gives every doc a stable verdict (identical in DuckDB).
+    QueryDef(
+      "p17_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select($"doc_id",
+            Sampling.hashSplit($"doc_id",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+            Sampling.hashSample($"doc_id", 0.25).as("in_quarter_sample"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 AS sb,
+             |  CAST('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 AS pb
+             |  FROM documents)
+             |SELECT doc_id,
+             |CASE WHEN sb < 800 THEN 'train' WHEN sb < 900 THEN 'val' ELSE 'test' END AS split,
+             |pb < 250 AS in_quarter_sample
+             |FROM b ORDER BY doc_id""".stripMargin),
+      "deterministic md5-bucket train/val/test split + Bernoulli sample flag"),
 
     // ---- n-gram Jaccard calibration over consecutive doc pairs.
     QueryDef(
