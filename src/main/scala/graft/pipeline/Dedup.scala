@@ -129,20 +129,35 @@ object Dedup {
       .localCheckpoint()
     var labels = ids.select(col(idCol).as("doc_id"),
       col(idCol).as("cluster_id")).localCheckpoint()
-    var changed = 1L
+    // Labels only ever decrease, so sum(cluster_id) strictly decreases
+    // until the fixpoint — convergence costs one partial-agg'd sum per
+    // round instead of an old-vs-new join.
+    var prevSum = Option(labels.agg(sum("cluster_id")).collect().head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.select("doc_id", "cluster_id").union(viaNeighbors)
+      val propagated = labels.select("doc_id", "cluster_id")
+        .union(viaNeighbors)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // pointer jumping (path halving): label <- label(label). Neighbor
+      // propagation alone walks one hop per round — a chain-shaped
+      // component of diameter d would need d rounds (and a maxIter cap
+      // could stop short of the fixpoint). The jump roughly doubles the
+      // reach per round -> O(log d) rounds, guaranteed fixpoint.
+      val byId = propagated.select(
+        col("doc_id").as("y_id"), col("cluster_id").as("y_cid"))
+      labels = propagated
+        .join(byId, col("cluster_id") === col("y_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("y_cid"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
-      labels = next
+      val curSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
+      converged = curSum == prevSum
+      prevSum = curSum
       i += 1
     }
     labels
