@@ -91,10 +91,10 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap(results0: _*)
     if (warmup) {
       var pass = 0
-      while (pass < 3 && best.values.sum > target && best.values.exists(_ > 1.0)) {
+      while (pass < 3 && best.values.sum > target && best.values.exists(_ > 0.5)) {
         jitSettle(s"pre-retry-$pass")
         best.keys.toSeq.foreach { n =>
-          if (best(n) > 1.0) {
+          if (best(n) > 0.5) {
             val r = run(n)
             if (verbose) System.err.println(f"[bench] retry$pass $n%-28s $r%8.3f s")
             best(n) = math.min(best(n), r)
