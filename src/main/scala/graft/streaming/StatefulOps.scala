@@ -56,6 +56,32 @@ object StatefulOps {
     out.iterator
   }
 
+  /** Streaming exact dedup by content — the ingest-plane twin of the
+    * batch `Dedup.exactGroups` (p1): keep the FIRST document carrying
+    * each content hash, drop every later copy. Keyed on md5(doc), so
+    * state is one fixed-width hash per distinct document, sharded with
+    * the shuffle like any keyed state.
+    *
+    * With an event-time column, `withWatermark` +
+    * `dropDuplicatesWithinWatermark` bounds the state to the watermark
+    * horizon (duplicates arriving within `delay` of each other are
+    * caught; state older than the watermark is evicted). Without one
+    * (CouchDB seqs carry no event time), `dropDuplicates` keeps state
+    * forever — correct, but size it like the batch dedup table it
+    * replaces. */
+  def dedupByContent(
+      changes: DataFrame,
+      docCol: String = "doc",
+      tsCol: Option[String] = None,
+      delay: String = "1 hour"): DataFrame = {
+    val hashed = changes.withColumn("content_hash", md5(col(docCol)))
+    tsCol match {
+      case Some(ts) => hashed.withWatermark(ts, delay)
+        .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   /** Event-time windowed rates with watermarking — the tumbling-window
     * aggregation the reference lacks any analog for (SURVEY §2.11 note:
     * no event-time semantics). Late data beyond `delay` is dropped;

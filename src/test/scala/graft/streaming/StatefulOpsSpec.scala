@@ -70,6 +70,32 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByContent: first copy of each content survives across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val deduped = StatefulOps.dedupByContent(input.toDF())
+    val ckpt = Files.createTempDirectory("dedup").toString
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(
+        ChangeEvent(1, "a", "1-x", false, """{"t":"same"}"""),
+        ChangeEvent(2, "b", "1-y", false, """{"t":"same"}"""),
+        ChangeEvent(3, "c", "1-z", false, """{"t":"other"}"""))
+      q.processAllAvailable()
+      // later batch: another copy of "same" under a new id -> dropped
+      input.addData(ChangeEvent(4, "d", "1-w", false, """{"t":"same"}"""))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT seq FROM dedup_out ORDER BY seq")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 3L)) // seq 2 (intra-batch) and 4 (cross-batch) deduped
+    } finally q.stop()
+  }
+
   test("windowedRates: watermark drops data later than the delay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
