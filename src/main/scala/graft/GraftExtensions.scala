@@ -43,7 +43,45 @@ object GraftFunctions {
           if (args.length > 1) intArg(args(1), "n") else 5)),
     (new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLongExpr].getName, "dot_long"),
-      (args: Seq[Expression]) => DotLongExpr(args.head, args(1))))
+      (args: Seq[Expression]) => DotLongExpr(args.head, args(1))),
+    (FunctionIdentifier("quantize_embedding"),
+      new ExpressionInfo(classOf[QuantizeExpr].getName, "quantize_embedding"),
+      (args: Seq[Expression]) => QuantizeExpr(args.head)),
+    (FunctionIdentifier("json_get"),
+      new ExpressionInfo(classOf[JsonGetExpr].getName, "json_get"),
+      (args: Seq[Expression]) => JsonGetExpr(args.head, args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"json_get key must be a string literal, got $other")
+      })),
+    (FunctionIdentifier("json_top_keys"),
+      new ExpressionInfo(classOf[JsonTopKeysExpr].getName, "json_top_keys"),
+      (args: Seq[Expression]) => JsonTopKeysExpr(args.head)),
+    (FunctionIdentifier("json_to_str_map"),
+      new ExpressionInfo(classOf[JsonToStrMapExpr].getName, "json_to_str_map"),
+      (args: Seq[Expression]) => JsonToStrMapExpr(args.head)),
+    (FunctionIdentifier("str_map_to_json"),
+      new ExpressionInfo(classOf[StrMapToJsonExpr].getName, "str_map_to_json"),
+      (args: Seq[Expression]) => StrMapToJsonExpr(args.head)),
+    (FunctionIdentifier("json_kv_records"),
+      new ExpressionInfo(classOf[JsonToKVRecordsExpr].getName, "json_kv_records"),
+      (args: Seq[Expression]) => JsonToKVRecordsExpr(args.head)),
+    (FunctionIdentifier("subword_est"),
+      new ExpressionInfo(classOf[SubwordEstExpr].getName, "subword_est"),
+      (args: Seq[Expression]) => SubwordEstExpr(args.head)),
+    (FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScoreExpr].getName, "quality_score"),
+      (args: Seq[Expression]) => QualityScoreExpr(args.head)),
+    (FunctionIdentifier("predict_lang"),
+      new ExpressionInfo(classOf[PredictLangExpr].getName, "predict_lang"),
+      (args: Seq[Expression]) =>
+        if (args.size < 2) PredictLangExpr(args.head)
+        else PredictLangExpr(args.head, args(1) match {
+          case Literal(d: Double, _) => d
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"predict_lang floor must be a numeric literal, got $other")
+        })))
 
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit =

@@ -263,9 +263,17 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         val em = T(s, dir, "embeddings")
+        // index path keyed by the corpus FILES (path + mtime + size),
+        // so regenerated testdata can never hit a stale index
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+        val fp = files.sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+          .mkString("|").hashCode
         val idx = new java.io.File(
           sys.props("java.io.tmpdir"),
-          "graft-annidx-" + Integer.toHexString(dir.hashCode) + "-p4")
+          "graft-annidx-" + Integer.toHexString(dir.hashCode) +
+            "-" + Integer.toHexString(fp) + "-p4")
         if (!new java.io.File(idx, "_SUCCESS").exists())
           Similarity.writeBucketedCorpus(em, idx.toString, planes = 4)
         Similarity.probeBucketedTopK(s, em.filter($"vec_id" < 10),

@@ -30,4 +30,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(r.getLong(2) == viaCol)
   }
+
+  test("json/text/vector functions callable from spark.sql") {
+    val spark = SparkSpec.session
+    GraftFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT
+        |  json_get('{"a":1,"b":"x"}', 'b') AS jg,
+        |  json_top_keys('{"a":1,"b":2}') AS jk,
+        |  json_to_str_map('{"a":1}') AS jm,
+        |  str_map_to_json(map('k', 'v')) AS mj,
+        |  json_kv_records('[{"key":"a","value":1.5}]') AS kv,
+        |  subword_est(split('abcdefghijkl xy', ' ')) AS sw,
+        |  quality_score(split('the quick brown fox', ' ')) AS q,
+        |  predict_lang(split('the a of and to in is it', ' ')) AS pl,
+        |  predict_lang(split('zz yy xx', ' '), 0.5) AS pl2,
+        |  quantize_embedding(array(CAST(0.5 AS FLOAT))) AS qe
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "x")
+    assert(r.getSeq[String](1) == Seq("a", "b"))
+    assert(r.getMap[String, String](2) == Map("a" -> "1"))
+    assert(r.getString(3) == """{"k":"v"}""")
+    assert(r.getSeq[org.apache.spark.sql.Row](4).head.getDouble(1) == 1.5)
+    assert(r.getLong(5) == 3L) // ceil(12/6) + 1
+    assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    assert(r.getString(7) == "en")
+    assert(r.getString(8) == "und")
+    assert(r.getSeq[Long](9) == Seq(500000L))
+  }
 }
