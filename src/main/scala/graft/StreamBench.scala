@@ -14,22 +14,28 @@ import graft.streaming.{ChangesPipeline, MergeSink}
   * ≈ 625 docs/s with per-change SQL round-trips. Usage:
   *
   *   runMain graft.StreamBench [nDocs] [maxPerTrigger] [flat|bucketed]
+  *                             [seedDocs] [file|http]
   *
   * `bucketed` uses [[graft.streaming.BucketedMergeSink]] (per-batch
   * cost O(touched buckets)); `flat` (default) rewrites the snapshot.
   * Optional 4th arg seeds the store with that many docs FIRST (untimed),
   * so the timed phase measures incremental tail ingest against a large
   * resident state — the regime where bucketing pays.
+  * 5th arg `http` serves the tail through [[graft.streaming.CouchStubServer]]
+  * and ingests it with the real [[graft.streaming.HttpChangesFeed]]
+  * client (paged GETs, seq-range partitions) — the S1-over-HTTP
+  * throughput number.
   * Prints one JSON line {"metric":"stream_ingest","docs":N,
   * "sec":S,"docs_per_sec":R,"batches":B}.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(63840)
-    val maxPerTrigger = args.lift(1).map(_.toLong)
+    val maxPerTrigger = args.lift(1).map(_.toLong).filter(_ > 0)
     val sinkKind = args.lift(2).getOrElse("flat")
     val bucketed = sinkKind == "bucketed"
     val seedDocs = args.lift(3).map(_.toInt).getOrElse(0)
+    val transport = args.lift(4).getOrElse("file")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,17 +47,18 @@ object StreamBench {
     val dir = Files.createTempDirectory("streambench")
     val feed = dir.resolve("feed")
     Files.createDirectories(feed)
-    def writeChanges(file: String, from: Int, count: Int, idSpace: Int): Unit = {
-      // ~10% deletes, mixed revisions — the reference's workload mix
+    // ~10% deletes, mixed revisions — the reference's workload mix
+    def changeLine(i: Int, idSpace: Int): String = {
       val sb = new java.lang.StringBuilder
-      (from until from + count).foreach { i =>
-        sb.append(s"""{"seq":$i,"id":"doc${i % idSpace}","changes":[{"rev":"${i % 3 + 1}-r$i"}]""")
-        if (i % 10 == 0) sb.append(""","deleted":true""")
-        else sb.append(s""","doc":{"n":$i,"type":"article","body":"payload $i"}""")
-        sb.append("}\n")
-      }
-      Files.writeString(feed.resolve(file), sb.toString)
+      sb.append(s"""{"seq":$i,"id":"doc${i % idSpace}","changes":[{"rev":"${i % 3 + 1}-r$i"}]""")
+      if (i % 10 == 0) sb.append(""","deleted":true""")
+      else sb.append(s""","doc":{"n":$i,"type":"article","body":"payload $i"}""")
+      sb.append("}").toString
     }
+    def writeChanges(file: String, from: Int, count: Int, idSpace: Int): Unit =
+      Files.writeString(feed.resolve(file),
+        (from until from + count).map(changeLine(_, idSpace))
+          .mkString("", "\n", "\n"))
     val idSpace = math.max(seedDocs, n) * 8 / 10
     val store = dir.resolve("store").toString
     val ckpt = dir.resolve("ckpt").toString
@@ -64,9 +71,14 @@ object StreamBench {
       case _ => graft.streaming.MergeSink.forBatch(store)
     }
 
-    def runPipeline(name: String, cap: Option[Long]): Unit = {
+    def runPipeline(name: String, cap: Option[Long], path: String): Unit = {
       var reader = spark.readStream.format("couch-changes")
-        .option("path", feed.toString)
+      if (path.startsWith("http://")) {
+        val cut = path.lastIndexOf('/')
+        reader = reader.option("url", path.substring(0, cut))
+          .option("db", path.substring(cut + 1))
+          .option("numPartitions", cpus)
+      } else reader = reader.option("path", path)
       cap.foreach(m =>
         reader = reader.option("maxChangesPerTrigger", m.toString))
       val q = reader.load().writeStream
@@ -80,12 +92,25 @@ object StreamBench {
 
     if (seedDocs > 0) {
       writeChanges("seed.jsonl", 1, seedDocs, idSpace)
-      runPipeline("seed", None) // one untimed pass regardless of the cap
+      runPipeline("seed", None, feed.toString) // untimed regardless of cap
     }
-    writeChanges("tail.jsonl", seedDocs + 1, n, idSpace)
+    var stub: graft.streaming.CouchStubServer = null
+    val tailPath =
+      if (transport == "http") {
+        // dense seqs 1..(seedDocs+n); the server serves the WHOLE feed,
+        // the source resumes past the seeded prefix via its checkpoint
+        val all = (1 to seedDocs + n).map(changeLine(_, idSpace)).toIndexedSeq
+        stub = new graft.streaming.CouchStubServer("bench", all)
+        val port = stub.start()
+        s"http://127.0.0.1:$port/bench"
+      } else {
+        writeChanges("tail.jsonl", seedDocs + 1, n, idSpace)
+        feed.toString
+      }
     val t0 = System.nanoTime()
-    runPipeline("stream-bench", maxPerTrigger)
+    runPipeline("stream-bench", maxPerTrigger, tailPath)
     val sec = (System.nanoTime() - t0) / 1e9
+    if (stub != null) stub.stop()
     val (live, batches) = sinkKind match {
       case "bucketed" => (
         graft.streaming.BucketedMergeSink.readState(spark, store).count(),

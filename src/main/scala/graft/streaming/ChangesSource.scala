@@ -184,7 +184,11 @@ final class ChangesMicroBatchStream(
           ChangesInputPartition(file, sb, eb, lo, hi): InputPartition
         }.toArray
       case _: HttpChangesFeed =>
-        val n = math.max(1, math.min(numPartitions.toLong, hi - lo)).toInt
+        // don't fan a small admitted range across every reader: each
+        // partition is a paged HTTP pull, so target >=1000 seqs per
+        // reader before using full parallelism
+        val n = math.max(1L, math.min(numPartitions.toLong,
+          (hi - lo + 999) / 1000)).toInt
         (0 until n).map { i =>
           val from = lo + (hi - lo) * i / n
           val to = lo + (hi - lo) * (i + 1) / n

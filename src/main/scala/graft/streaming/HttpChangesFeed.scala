@@ -48,9 +48,8 @@ final class HttpChangesFeed(
     timeoutMs: Long = 30000L) extends ChangesFeed {
 
   @transient private lazy val mapper = new ObjectMapper()
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofMillis(timeoutMs))
-    .build()
+  @transient private lazy val client: HttpClient =
+    HttpChangesFeed.clientFor(timeoutMs)
 
   /** Basic auth per reference lib/index.js:50 (credentials in db URL). */
   private def authHeader: Option[String] = user.map { u =>
@@ -156,6 +155,20 @@ final class HttpChangesFeed(
     }
     last
   }
+}
+
+object HttpChangesFeed {
+  // One HttpClient per timeout config per JVM: HttpClient is thread-safe
+  // and owns a selector thread + connection pool — constructing one per
+  // partition reader per micro-batch dominated ingest cost (measured:
+  // ~3 s/batch fixed overhead at 32 readers).
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Long, HttpClient]()
+  private[streaming] def clientFor(timeoutMs: Long): HttpClient =
+    clients.computeIfAbsent(timeoutMs, t =>
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(t))
+        .build())
 }
 
 /** The fatal feed-error class: the database/feed is gone or
