@@ -164,8 +164,37 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by embedding cosine above a threshold, blocked
+    * on sign-bucket LSH — the label-free scale path for [[cosinePairs]]:
+    * no metadata column needed, candidate pairs are generated only
+    * within each of the 2^planes buckets, never all-pairs.
+    *
+    * SCALE: the self-join shuffles (id, qv, nrm) hashed on a fixed-width
+    * bucket key; pick `planes` so 2^planes is well above the cluster
+    * parallelism (and per-bucket row count fits a task) — e.g. 16-20
+    * planes at 1e9 vectors. Recall: a true near-dup pair straddling a
+    * hyperplane lands in different buckets and is missed — standard
+    * LSH-blocking behavior; raise recall by unioning runs with
+    * independent plane sets (deterministic here, so the catalog oracle
+    * reproduces the exact bucket assignment). */
+  def cosinePairsLsh(
+      df: DataFrame, threshold: Double, planes: Int = 6,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = df.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", graft.functions.Vectors.dotCol(col("qv"), col("qv")))
+      .withColumn("blk", signBucket(col("qv"), planes))
+    val a = q.as("a")
+    val b = q.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosinePrenormed(col("a.qv"), col("b.qv"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .where(col("cos") > threshold)
+  }
+
+  /** Near-duplicate pairs by embedding cosine above a threshold, blocked
     * on a coarse key to avoid all-pairs (here: a provided blocking
-    * column; at scale: LSH buckets or cluster assignments). */
+    * column; at scale: LSH buckets or cluster assignments — see
+    * [[cosinePairsLsh]]). */
   def cosinePairs(
       df: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

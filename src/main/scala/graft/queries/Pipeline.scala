@@ -209,6 +209,32 @@ object Pipeline {
              |ORDER BY id_a, id_b""".stripMargin),
       "embedding near-dup: exact integer-quantized cosine, blocked on label"),
 
+    // ---- Embedding near-dup pairs, LSH-blocked (the label-free scale
+    // path for p6: candidate pairs only within 2^6 sign buckets).
+    QueryDef(
+      "p6b_embed_cosine_lsh",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.cosinePairsLsh(T(s, dir, "embeddings"), 0.4, planes = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |bk AS (SELECT vec_id, qv,
+             |  (CASE WHEN qv[1]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[2]>=0 THEN '1' ELSE '0' END)||
+             |  (CASE WHEN qv[3]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[4]>=0 THEN '1' ELSE '0' END)||
+             |  (CASE WHEN qv[5]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[6]>=0 THEN '1' ELSE '0' END) AS blk FROM q)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |     CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |FROM bk a, bk b WHERE a.blk=b.blk AND a.vec_id < b.vec_id
+             |AND CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |     CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) > 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      "embedding near-dup: exact quantized cosine, sign-bucket LSH blocking (no metadata column)"),
+
     // ---- Brute-force ANN top-k (the exact baseline).
     QueryDef(
       "p7_ann_brute",

@@ -186,6 +186,15 @@ class SimilaritySpec extends SparkSpec {
     // only (-1,0,0) -> "011" is excluded
     assert(r.map(_.getLong(2)).toSeq == Seq(2L, 3L))
   }
+
+  test("LSH-blocked cosine pairs: only same-bucket near-dups survive") {
+    val r = Similarity.cosinePairsLsh(vecs, threshold = 0.4, planes = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // bucket "111": ids 1,2,3 — pair (1,2) cos ~0.994 passes, (1,3)/(2,3)
+    // fail the threshold; id 4 is alone in "011" so its (high-cosine-with-
+    // nothing) row can't appear; no pair crosses buckets
+    assert(r == Set((1L, 2L)))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
