@@ -30,7 +30,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.getOrElse("SPARK_GRAFT_PIN", "0") == "1")
       Tables.pinHot(spark, sfDir)
+    // SPARK_GRAFT_BENCH_ONLY=q1,j16 restricts the sweep (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // A query that throws must NOT be timed as a ~0 s success — that
     // would make regressions look like speedups. Failures are reported
     // per-query on stderr and counted in the JSON line.

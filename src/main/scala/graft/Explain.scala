@@ -21,15 +21,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      // time builder + action together: iterative operators (p16) run
+      // jobs inside the builder, and Bench measures them — so must we
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
       if (!timeOnly) {
         println(s"===== $name: plan =====")
         df.explain("formatted")
       }
-      val t0 = System.nanoTime()
+      val t1 = System.nanoTime()
       val n = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"===== $name: $n rows in $sec%.2f s =====")
+      val tCount = (System.nanoTime() - t1) / 1e9
+      println(f"===== $name: $n rows in ${tBuild + tCount}%.2f s " +
+        f"(build $tBuild%.2f + count $tCount%.2f) =====")
     }
     spark.stop()
   }

@@ -124,42 +124,83 @@ object Dedup {
   def clusters(
       ids: DataFrame, pairs: DataFrame, maxIter: Int = 20,
       idCol: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val spark = ids.sparkSession
+    // Iterate ONLY over nodes that appear in the similarity graph: a doc
+    // with no near-dup edge is a singleton whose label can never change,
+    // so carrying the whole corpus through every join/checkpoint/sum
+    // round is pure waste (near-dup graphs are sparse — edge endpoints
+    // are a small fraction of the corpus at any scale). Singletons are
+    // labeled by one left join at the end.
+    // materialize the edge list ONCE at caller parallelism (pair
+    // generation is the corpus-scale step); count then reads the cache
+    val both = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = ids.select(col(idCol).as("doc_id"),
-      col(idCol).as("cluster_id")).localCheckpoint()
-    // Labels only ever decrease, so sum(cluster_id) strictly decreases
-    // until the fixpoint — convergence costs one partial-agg'd sum per
-    // round instead of an old-vs-new join.
-    var prevSum = Option(labels.agg(sum("cluster_id")).collect().head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val viaNeighbors = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      val propagated = labels.select("doc_id", "cluster_id")
-        .union(viaNeighbors)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-      // pointer jumping (path halving): label <- label(label). Neighbor
-      // propagation alone walks one hop per round — a chain-shaped
-      // component of diameter d would need d rounds (and a maxIter cap
-      // could stop short of the fixpoint). The jump roughly doubles the
-      // reach per round -> O(log d) rounds, guaranteed fixpoint.
-      val byId = propagated.select(
-        col("doc_id").as("y_id"), col("cluster_id").as("y_cid"))
-      labels = propagated
-        .join(byId, col("cluster_id") === col("y_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("y_cid"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val curSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
-      converged = curSum == prevSum
-      prevSum = curSum
-      i += 1
+    val nEdges = both.count()
+    if (nEdges == 0L)
+      return ids.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
+    // The iteration state is graph-sized, not corpus-sized — run the loop
+    // at parallelism proportional to the edge count instead of the
+    // session's shuffle.partitions (32 near-empty tasks per stage, with
+    // AQE materializing every exchange as its own job, cost more than
+    // the rounds' actual work). Scoped to the loop and restored after;
+    // the returned plan (corpus-sized label-back join) executes under the
+    // caller's session settings.
+    val parts = math.max(1L, math.min(2000L, nEdges / 2000000L)).toInt
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val sufKey = "spark.sql.shuffle.partitions"
+    val aqeWas = spark.conf.get(aqeKey)
+    val sufWas = spark.conf.get(sufKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(sufKey, parts.toString)
+    var labels: DataFrame = null
+    try {
+      val edges = both.repartition(parts, col("dst")).localCheckpoint()
+      labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint(eager = false)
+      // Labels only ever decrease, so sum(cluster_id) strictly decreases
+      // until the fixpoint — convergence costs one partial-agg'd sum per
+      // round instead of an old-vs-new join.
+      var prevSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val viaNeighbors = edges
+          .join(labels, edges("dst") === labels("doc_id"))
+          .select(col("src").as("doc_id"), col("cluster_id"))
+        val propagated = labels.select("doc_id", "cluster_id")
+          .union(viaNeighbors)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        // pointer jumping (path halving): label <- label(label). Neighbor
+        // propagation alone walks one hop per round — a chain-shaped
+        // component of diameter d would need d rounds (and a maxIter cap
+        // could stop short of the fixpoint). The jump roughly doubles the
+        // reach per round -> O(log d) rounds, guaranteed fixpoint.
+        val byId = propagated.select(
+          col("doc_id").as("y_id"), col("cluster_id").as("y_cid"))
+        labels = propagated
+          .join(byId, col("cluster_id") === col("y_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("y_cid"), col("cluster_id")).as("cluster_id"))
+          .localCheckpoint(eager = false)
+        // lazy checkpoint: this sum is the action that materializes the
+        // round — one job per round, not a checkpoint job plus a sum job
+        val curSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
+        converged = curSum == prevSum
+        prevSum = curSum
+        i += 1
+      }
+    } finally {
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(sufKey, sufWas)
     }
-    labels
+    // Singletons (no edges) label themselves; graph nodes take the
+    // converged component minimum.
+    ids.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "g_id"),
+        col("doc_id") === col("g_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 }

@@ -368,23 +368,27 @@ object JsonDoc {
         import s.implicits._
         val o = T(s, dir, "orders")
         val idc = $"o_orderkey".cast("string")
-        val v1 = o.select(
-          ($"o_orderkey" * 2).as("seq"), idc.as("id"),
-          concat(lit("1-"), md5(idc)).as("rev"),
-          lit(false).as("deleted"),
-          to_json(struct(idc.as("k"), lit(1).as("v"))).as("doc"))
-        val v2 = o.select(
-          ($"o_orderkey" * 2 + 1).as("seq"), idc.as("id"),
-          concat(lit("2-"), md5(idc)).as("rev"),
-          ($"o_orderkey" % 10 === 0).as("deleted"),
-          to_json(struct(idc.as("k"), lit(2).as("v"))).as("doc"))
+        // one scan: each order fans out to (insert, update-or-delete) via
+        // explode, so id-cast and md5 are computed once per order, and the
+        // orders file is read once instead of twice
+        val changes = o
+          .select($"o_orderkey", idc.as("id"), md5(idc).as("h"),
+            explode(array(
+              struct(($"o_orderkey" * 2).as("seq"), lit(1).as("v"),
+                lit(false).as("deleted")),
+              struct(($"o_orderkey" * 2 + 1).as("seq"), lit(2).as("v"),
+                ($"o_orderkey" % 10 === 0).as("deleted")))).as("c"))
+          .select($"c.seq".as("seq"), $"id",
+            concat($"c.v".cast("string"), lit("-"), $"h").as("rev"),
+            $"c.deleted".as("deleted"),
+            to_json(struct($"id".as("k"), $"c.v".as("v"))).as("doc"))
         // statically-empty LocalRelation: ChangeApply short-circuits to
         // the no-join initialState path (first-batch ingest shape)
         val empty = s.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(
             "id STRING, rev STRING, doc STRING"))
-        graft.cdc.ChangeApply.applyChanges(empty, v1.unionByName(v2))
+        graft.cdc.ChangeApply.applyChanges(empty, changes)
           .select($"id",
             split($"rev", "-").getItem(0).cast("long").as("rev_num"))
           .orderBy($"id")
