@@ -163,6 +163,70 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF(-flat) ANN: the corpus is partitioned into the Voronoi cells of
+    * a small pivot set (cell = argmax cosine to pivot); each query
+    * probes only its `nProbe` highest-affinity cells, so the candidate
+    * count drops to ~nProbe/nPivots of the corpus. The coarse-quantizer
+    * analog of [[lshTopK]]'s sign buckets — data-adaptive where sign
+    * buckets are axis-aligned.
+    *
+    * Pivots are the `nPivots` lowest-id corpus vectors — a deterministic
+    * stand-in for an offline training job (k-means / reservoir sample);
+    * assignment and probing are identical whatever produces the pivots.
+    * They are collected driver-side (bounded: nPivots rows) and folded
+    * into the plan as literals, so cell assignment is ONE codegen'd
+    * projection over the corpus — no join, no shuffle. Only the
+    * (query, candidate) survivors shuffle for the top-k ranking.
+    * At 100 TB: persist the assigned corpus partitioned by cell, the
+    * same write-once/probe-many shape as [[writeBucketedCorpus]]. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nPivots: Int = 8, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(nPivots >= 2 && nProbe >= 1 && nProbe <= nPivots)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", dot(col("c_emb"), col("c_emb")))
+    val piv = c.orderBy(col("neighbor_id")).limit(nPivots)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
+    // per-row affinity structs (cos, tiebreak) against each literal pivot
+    def aff(emb: Column, nrm: Column, tiebreak: Long => Column) = piv.map {
+      case (pid, pemb, pnrm) => struct(
+        cosinePrenormed(emb, typedLit(pemb), nrm, lit(pnrm)).as("cos"),
+        tiebreak(pid).as("tb"))
+    }
+    // cell = argmax (cos, then lowest pivot id): greatest() over the
+    // affinity structs — lexicographic struct comparison, codegen'd
+    val assigned = c.withColumn("cell",
+      -greatest(aff(col("c_emb"), col("c_nrm"), pid => lit(-pid)): _*)
+        .getField("tb"))
+    val q0 = queries.select(
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", dot(col("q_emb"), col("q_emb")))
+    // queries keep their nProbe best cells (query side is small)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("paff.cos").desc, col("paff.tb"))
+    val probes = q0
+      .withColumn("paff",
+        explode(array(aff(col("q_emb"), col("q_nrm"), pid => lit(pid)): _*)))
+      .withColumn("prn", row_number().over(wq))
+      .where(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("paff.tb").as("probe_cell"))
+    val scored = broadcast(probes).join(assigned,
+      col("probe_cell") === col("cell")
+        && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, blocked
     * on sign-bucket LSH — the label-free scale path for [[cosinePairs]]:
     * no metadata column needed, candidate pairs are generated only

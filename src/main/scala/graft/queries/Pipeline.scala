@@ -256,6 +256,40 @@ object Pipeline {
              |ORDER BY query_id, rank""".stripMargin),
       "brute-force cosine top-5 for 10 query vectors (broadcast queries, corpus never shuffles)"),
 
+    // ---- IVF(-flat) ANN: Voronoi cells of a deterministic pivot set,
+    // nProbe-cell probe. The oracle reproduces the identical assignment
+    // (argmax quantized cosine, lowest-pivot tiebreak) in SQL.
+    QueryDef(
+      "p7b_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        Similarity.ivfTopK(em.filter($"vec_id" < 10), em, 3,
+          nPivots = 8, nProbe = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |piv AS (SELECT vec_id AS pivot_id, qv AS pv FROM q WHERE vec_id < 8),
+             |aff AS (SELECT c.vec_id, p.pivot_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> c.qv[i]*p.pv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.qv[i]*c.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> p.pv[i]*p.pv[i])) AS DOUBLE)) AS acos
+             |  FROM q c, piv p),
+             |rnk AS (SELECT vec_id, pivot_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY acos DESC, pivot_id) AS rn FROM aff),
+             |cells AS (SELECT vec_id, pivot_id AS cell FROM rnk WHERE rn = 1),
+             |probes AS (SELECT vec_id, pivot_id AS cell FROM rnk WHERE rn <= 2 AND vec_id < 10),
+             |scored AS (SELECT pr.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qa.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> qb.qv[i]*qb.qv[i])) AS DOUBLE)) AS cos
+             |  FROM probes pr JOIN cells cb ON cb.cell = pr.cell AND cb.vec_id <> pr.vec_id
+             |  JOIN q qa ON qa.vec_id = pr.vec_id JOIN q qb ON qb.vec_id = cb.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin),
+      "IVF ANN: 8 Voronoi cells from deterministic pivots, 2-cell probe, literal-folded assignment (no join)"),
+
     // ---- LSH-bucketed ANN (sign-bit hyperplane buckets).
     QueryDef(
       "p8_ann_lsh",

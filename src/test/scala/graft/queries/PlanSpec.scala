@@ -60,6 +60,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("p7b: IVF cell assignment is a literal-folded projection (no assignment join)") {
+    val p = plan("p7b_ann_ivf")
+    // pivots are folded into the plan as literals: the only join is the
+    // broadcast probe join — corpus-vs-pivot affinity must NOT be a join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(l => l.contains(") BroadcastHashJoin") ||
+      l.contains(") SortMergeJoin") || l.contains(") ShuffledHashJoin")) <= 1,
+      s"cell assignment should be a projection, not a join:\n$p")
+  }
+
   test("j16: first-batch CDC merge is join-free (empty-state short-circuit)") {
     val p = plan("j16_cdc_merge")
     assert(!p.contains("Join"),
