@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextOps}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -162,6 +162,24 @@ object Pipeline {
              |pb < 250 AS in_quarter_sample
              |FROM b ORDER BY doc_id""".stripMargin),
       "deterministic md5-bucket train/val/test split + Bernoulli sample flag"),
+
+    // ---- Token-budget shard packing (distributed two-phase prefix sum;
+    // the oracle's global running window states the same semantics).
+    QueryDef(
+      "p18_pack_shards",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+          .select($"doc_id", size(TextOps.tokens($"text")).as("tokens"))
+        Packing.packShards(d, "doc_id", "tokens", budget = 2000L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS tokens FROM documents),
+             |p AS (SELECT doc_id, tokens,
+             |  CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix FROM t)
+             |SELECT doc_id, tokens, prefix // 2000 AS shard_id,
+             |prefix % 2000 AS shard_offset FROM p ORDER BY doc_id""".stripMargin),
+      "token-budget shard packing: global prefix sum as a distributed two-phase scan, exact integer div/mod"),
 
     // ---- n-gram Jaccard calibration over consecutive doc pairs.
     QueryDef(

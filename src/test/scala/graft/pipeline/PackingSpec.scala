@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  test("packShards: contiguous fill, exact div/mod, docs may straddle") {
+    import spark.implicits._
+    val d = Seq((1L, 40L), (2L, 70L), (3L, 10L), (4L, 100L), (5L, 5L))
+      .toDF("doc_id", "tokens")
+    val got = Packing.packShards(d, "doc_id", "tokens", budget = 100L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // prefixes: 0, 40, 110, 120, 220
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 40L), (3L, 1L, 10L),
+      (4L, 1L, 20L), (5L, 2L, 20L)))
+  }
+
+  test("packShards: result is independent of partition count") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, i % 37 + 1)).toDF("doc_id", "tokens")
+    val p1 = Packing.packShards(d, "doc_id", "tokens", 100L, numParts = 1)
+      .orderBy("doc_id").collect().toSeq
+    val p7 = Packing.packShards(d, "doc_id", "tokens", 100L, numParts = 7)
+      .orderBy("doc_id").collect().toSeq
+    val p64 = Packing.packShards(d, "doc_id", "tokens", 100L, numParts = 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(p1 == p7 && p7 == p64)
+  }
+
+  test("packShards: every shard except the last spans exactly the budget") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, (i * 13) % 50 + 1)).toDF("doc_id", "tokens")
+    val out = Packing.packShards(d, "doc_id", "tokens", 128L)
+    // shard token mass = budget for all shards but the last: a shard's
+    // span is [shard*budget, (shard+1)*budget) over the global prefix
+    // line, and every prefix position is covered by exactly one doc
+    val total = out.agg(sum("tokens")).collect().head.getLong(0)
+    val lastShard = total / 128L
+    val spans = out.groupBy("shard_id")
+      .agg(min(col("shard_offset")).as("lo"))
+      .orderBy("shard_id").collect()
+    // contiguity: every shard starts where a doc lands (offset bounded)
+    assert(spans.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 128L))
+    assert(spans.map(_.getLong(0)).toSeq == (0L to lastShard).toSeq ||
+      spans.map(_.getLong(0)).toSeq == (0L until lastShard).toSeq)
+  }
+
+  test("packShards: no unpartitioned window in the plan (scale shape)") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "tokens")
+    val plan = Packing.packShards(d, "doc_id", "tokens", 100L)
+      .queryExecution.executedPlan.toString
+    // the global scan must NOT serialize through a single-partition
+    // window: the only Window is partitioned by _pid
+    assert(!plan.contains("Window [") ||
+      plan.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("_pid")),
+      s"unpartitioned window found:\n$plan")
+  }
+}
