@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset-split operators.
@@ -50,4 +51,19 @@ object Sampling {
   def hashSample(id: Column, fraction: Double,
       salt: String = "sample"): Column =
     hashBucket(id, salt) < math.round(fraction * 1000)
+
+  /** Repetition capping: keep at most `n` rows per group, ranked by
+    * `order` (pass a deterministic total order — e.g. quality desc then
+    * id — or the survivor set is partition-dependent). The
+    * over-represented-domain quota of web-corpus curation.
+    *
+    * SCALE: one partitioned window — groups rank in parallel, nothing
+    * global. A pathologically hot group (one domain = half the corpus)
+    * skews its task; pre-filter with a cheap per-group count + TABLESAMPLE
+    * before exact ranking if that matters. */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, order: Seq[Column], n: Int): DataFrame =
+    df.withColumn("rk",
+      row_number().over(Window.partitionBy(col(groupCol)).orderBy(order: _*)))
+      .where(col("rk") <= n)
 }

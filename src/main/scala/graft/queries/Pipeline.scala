@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextOps}
+import graft.pipeline.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextOps}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -180,6 +180,59 @@ object Pipeline {
              |SELECT doc_id, tokens, prefix // 2000 AS shard_id,
              |prefix % 2000 AS shard_offset FROM p ORDER BY doc_id""".stripMargin),
       "token-budget shard packing: global prefix sum as a distributed two-phase scan, exact integer div/mod"),
+
+    // ---- Repetition capping: per-source quality quota (partitioned
+    // window — groups rank in parallel; the domain-quota op of
+    // web-corpus curation).
+    QueryDef(
+      "p19_source_cap",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+          .select($"doc_id", $"source",
+            TextAnalysis.qualityScore(TextOps.tokens($"text")).as("quality"))
+        Sampling.capPerGroup(d, "source",
+          Seq($"quality".desc, $"doc_id"), n = 10)
+          .select($"doc_id", $"source", $"quality", $"rk")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text,' ') AS words FROM documents),
+             |q AS (SELECT doc_id, source,
+             |0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+             |+ 0.3 * least((CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) / 8.0, 1.0)
+             |+ 0.3 * least((CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) * 3.0, 1.0)
+             |AS quality FROM w),
+             |r AS (SELECT doc_id, source, quality,
+             |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk FROM q)
+             |SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 10
+             |ORDER BY doc_id""".stripMargin),
+      "repetition capping: top-10 docs per source by quality (parallel partitioned window)"),
+
+    // ---- Benchmark decontamination: training docs sharing >=1 3-gram
+    // with the held-out split (both sides reduced to md5 hashes before
+    // the join; composes p17's deterministic split).
+    QueryDef(
+      "p20_contamination",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+          .withColumn("split", Sampling.hashSplit($"doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        Contamination.shingleHits(
+          d.where($"split" === "train"), d.where($"split" === "test"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sp AS (SELECT doc_id,
+             |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 AS sb FROM documents),
+             |sh AS (SELECT w.doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> md5(words[i]||' '||words[i+1]||' '||words[i+2]))
+             |  ELSE [] END) AS hs FROM w),
+             |tr AS (SELECT s.doc_id, u.h FROM sh s JOIN sp ON sp.doc_id = s.doc_id AND sp.sb < 800, UNNEST(s.hs) AS u(h)),
+             |te AS (SELECT DISTINCT u.h FROM sh s JOIN sp ON sp.doc_id = s.doc_id AND sp.sb >= 900, UNNEST(s.hs) AS u(h))
+             |SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN te ON tr.h = te.h
+             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
+      "decontamination: train docs sharing 3-grams with the test split (hash-only join)"),
 
     // ---- n-gram Jaccard calibration over consecutive doc pairs.
     QueryDef(

@@ -72,6 +72,20 @@ class PlanSpec extends SparkSpec {
       s"cell assignment should be a projection, not a join:\n$p")
   }
 
+  test("p19: capping window is partitioned by group (no global sort)") {
+    val p = plan("p19_source_cap")
+    assert(p.contains("windowspecdefinition(source"),
+      s"capPerGroup window must partition by the group column:\n$p")
+  }
+
+  test("p20: contamination joins on fixed-width hashes only (no text shuffle)") {
+    val p = plan("p20_contamination")
+    assert(!p.contains("CartesianProduct"))
+    // the join key is the md5 column, not document text
+    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("text"), s"join carries text:\n$joinLines")
+  }
+
   test("j16: first-batch CDC merge is join-free (empty-state short-circuit)") {
     val p = plan("j16_cdc_merge")
     assert(!p.contains("Join"),
