@@ -4,23 +4,39 @@ import java.net.InetSocketAddress
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-/** Minimal read-only CouchDB-compatible server over a fixed change
-  * list — the benchmark/demo stand-in for a real CouchDB in this
-  * zero-egress environment (tests use the richer recording stub in
+/** Minimal CouchDB-compatible server over a fixed change list — the
+  * benchmark/demo stand-in for a real CouchDB in this zero-egress
+  * environment (tests use the richer recording stub in
   * HttpChangesFeedSpec; this one is tuned for throughput so the bench
   * measures the CLIENT, not the stub).
   *
-  * Serves the two endpoints [[HttpChangesFeed]] speaks:
-  *   GET /{db}            -> {"update_seq":N,"doc_count":N}
-  *   GET /{db}/_changes   -> {"results":[...],"last_seq":N}
+  * Serves the endpoints [[HttpChangesFeed]] and the write-back sinks
+  * speak:
+  *   GET      /{db}            -> {"update_seq":N,"doc_count":N}
+  *   GET      /{db}/_changes   -> {"results":[...],"last_seq":N}
+  *   POST     /{db}/_bulk_docs -> 201 [] (accepted, counted)
+  *   PUT/POST /{db}/{docid}    -> 201 {"ok":true,...}
   * with since/limit paging. `lines(i)` must be the change object with
   * seq == i+1 (dense seqs), so a page is an array slice — O(1) lookup,
-  * no server-side JSON parsing. */
+  * no server-side JSON parsing. Writes are swallowed after counting
+  * (request tallies + body bytes via [[writeStats]]) — the point is to
+  * exercise the real HTTP write path end-to-end, not to store. */
 final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+  private val bulkPosts = new java.util.concurrent.atomic.LongAdder
+  private val docPuts = new java.util.concurrent.atomic.LongAdder
+  private val bytesIn = new java.util.concurrent.atomic.LongAdder
+
+  /** (bulk _bulk_docs requests, single-doc puts, request-body bytes). */
+  def writeStats: (Long, Long, Long) =
+    (bulkPosts.sum(), docPuts.sum(), bytesIn.sum())
 
   def start(): Int = {
+    // without TCP_NODELAY the small header+body response pairs hit
+    // Nagle vs delayed-ACK: ~40-60 ms PER REQUEST on loopback, which
+    // turns a write-back bench into a latency bench of the kernel timer
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     // a few handler threads so parallel partition readers aren't
     // serialized by the server; daemon so a forgotten stop() can't
@@ -34,8 +50,22 @@ final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
       val params = Option(ex.getRequestURI.getQuery).getOrElse("")
         .split("&").filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val method = ex.getRequestMethod
       val body: (Int, String) =
-        if (path == s"/$db/_changes") {
+        if (method == "POST" && path == s"/$db/_bulk_docs") {
+          val req = ex.getRequestBody.readAllBytes()
+          bulkPosts.increment()
+          bytesIn.add(req.length)
+          (201, "[]")
+        } else if ((method == "PUT" || method == "POST")
+            && path.startsWith(s"/$db/")
+            && !path.substring(db.length + 2).contains("/")) {
+          val req = ex.getRequestBody.readAllBytes()
+          docPuts.increment()
+          bytesIn.add(req.length)
+          val id = path.substring(db.length + 2)
+          (201, s"""{"ok":true,"id":"$id","rev":"1-stub"}""")
+        } else if (path == s"/$db/_changes") {
           val since = params.getOrElse("since", "0").toLong
           val limit = params.getOrElse("limit", Int.MaxValue.toString).toLong
           val from = math.min(math.max(since, 0L), lines.length.toLong).toInt

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The production HTTP write-back path (S4 single PUT / S5 _bulk_docs),
+  * end-to-end through [[JdkHttpPoster]] against the local stub — the
+  * real client, real sockets, zero egress. */
+class WriteBackSpec extends SparkSpec {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      col("id"),
+      concat(lit("""{"_id":"d"""), col("id"), lit("""","v":"""),
+        col("id"), lit("}")).as("doc"))
+  }
+
+  test("bulk _bulk_docs POST: chunked, distributed, all chunks accepted") {
+    val stub = new CouchStubServer("wb", IndexedSeq.empty)
+    val port = stub.start()
+    try {
+      val out = BulkDocsSink.post(
+        BulkDocsSink.chunked(docs(120), "id", "doc", chunkSize = 50),
+        s"http://127.0.0.1:$port/wb", new JdkHttpPoster())
+        .collect()
+      assert(out.length == 3) // 120 docs / 50 per chunk
+      assert(out.forall(_.getInt(2) == 201))
+      assert(out.map(_.getLong(1)).sum == 120L)
+      val (bulk, puts, bytes) = stub.writeStats
+      assert(bulk == 3 && puts == 0 && bytes > 0)
+    } finally stub.stop()
+  }
+
+  test("per-doc PUT path: one request per row, executor-side") {
+    val stub = new CouchStubServer("wb", IndexedSeq.empty)
+    val port = stub.start()
+    try {
+      val out = BulkDocsSink.putEach(docs(10), "id", "doc",
+        s"http://127.0.0.1:$port/wb", new JdkHttpPoster())
+        .collect()
+      assert(out.length == 10)
+      assert(out.forall(_.getInt(1) == 201))
+      val (bulk, puts, _) = stub.writeStats
+      assert(bulk == 0 && puts == 10)
+    } finally stub.stop()
+  }
+
+  test("basic-auth header reaches the server") {
+    // the recording endpoint: a one-off context that echoes the header
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", ex => {
+      seen.set(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(201, 2)
+      ex.getResponseBody.write("[]".getBytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val poster = new JdkHttpPoster(Some(("mike", "secret")))
+      val st = poster.post(
+        s"http://127.0.0.1:${server.getAddress.getPort}/x", "{}")
+      assert(st == 201)
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("mike:secret".getBytes("UTF-8"))
+      assert(seen.get() == expected)
+    } finally server.stop(0)
+  }
+}
