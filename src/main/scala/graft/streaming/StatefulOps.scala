@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.cdc.ChangeEvent
+import graft.pipeline.TextOps
+
+/** One doc's signature landing in one LSH bucket (streaming near-dup). */
+final case class SigEvent(
+    id: String, seq: Long, sig: Long, chunkId: Int, chunkVal: Int)
+
+/** A near-dup detection: doc `id` matches earlier doc `dupOf`. */
+final case class NearDupHit(id: String, seq: Long, dupOf: String, hamming: Int)
+
+/** Per-bucket state: signatures previously seen in this LSH bucket
+  * (parallel arrays — compact in the state store). */
+final case class BucketState(ids: Array[String], sigs: Array[Long])
 
 /** Stateful streaming operators over the change feed.
   *
@@ -81,6 +93,91 @@ object StatefulOps {
       case None => hashed.dropDuplicates("content_hash")
     }
   }
+
+  /** Streaming NEAR-dup detection — the ingest-plane twin of the batch
+    * `Dedup.simhashPairs` (p4): as documents arrive, emit a hit for each
+    * doc whose SimHash is within `maxHamming` of an EARLIER doc sharing
+    * an LSH band (15-bit chunk; pigeonhole guarantees a collision when
+    * hamming < chunks). Output is a candidate stream — up to `chunks`
+    * hits per doc, one per colliding bucket; resolve the per-doc verdict
+    * with [[resolveNearDups]] in the sink's foreachBatch.
+    *
+    * SCALE: state is keyed by (chunk, value) bucket and sharded with the
+    * shuffle like any keyed state; each bucket stores only (id, sig)
+    * pairs — 60-bit signatures, never text. `maxPerBucket` caps a hot
+    * bucket FIFO-style (recall degrades to the newest `cap` docs in that
+    * bucket — the standard online-LSH memory bound; at the default
+    * banding a bucket holding >1024 mutually-non-dup docs means the
+    * corpus outgrew the plane count, so raise `chunks`). CouchDB seqs
+    * carry no event time, so state has no timeout; a real deployment
+    * bounds it at the feed's compaction horizon like [[echoSuppress]].
+    *
+    * Within a micro-batch, events process in seq order, so a dup in the
+    * same batch as its original IS caught (the original is appended to
+    * the bucket before the dup is scanned). */
+  def nearDupCandidates(
+      docs: DataFrame, idCol: String = "id", seqCol: String = "seq",
+      textCol: String = "doc", maxHamming: Int = 8, chunks: Int = 4,
+      maxPerBucket: Int = 1024): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    require(maxHamming < chunks * 15, "banding cannot catch this distance")
+    docs.select(
+      col(idCol).cast("string").as("id"),
+      col(seqCol).cast("long").as("seq"),
+      TextOps.simhash(TextOps.tokens(col(textCol)), bits = 60).as("sig"))
+      .select(col("id"), col("seq"), col("sig"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("sig"), c * 15).bitwiseAND(32767).cast("int")): _*))
+          .as(Seq("chunkId", "chunkVal")))
+      .as[SigEvent]
+      .groupByKey(e => (e.chunkId, e.chunkVal))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        bucketGroup(maxHamming, maxPerBucket))
+  }
+
+  /** Per-bucket fold, exposed for unit tests: each event (seq order)
+    * scans the stored signatures for its best match (min hamming, then
+    * min id — deterministic), then appends itself (FIFO-capped). */
+  def bucketGroup(maxHamming: Int, cap: Int)(
+      key: (Int, Int),
+      events: Iterator[SigEvent],
+      state: GroupState[BucketState]): Iterator[NearDupHit] = {
+    val st = state.getOption.getOrElse(
+      BucketState(Array.empty, Array.empty))
+    val ids = scala.collection.mutable.ArrayBuffer.from(st.ids)
+    val sigs = scala.collection.mutable.ArrayBuffer.from(st.sigs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+    events.toSeq.sortBy(_.seq).foreach { e =>
+      var bestH = maxHamming + 1
+      var bestId: String = null
+      var i = 0
+      while (i < sigs.length) {
+        val h = java.lang.Long.bitCount(sigs(i) ^ e.sig)
+        if (h <= maxHamming &&
+            (h < bestH || (h == bestH && ids(i) < bestId))) {
+          bestH = h
+          bestId = ids(i)
+        }
+        i += 1
+      }
+      if (bestId != null) out += NearDupHit(e.id, e.seq, bestId, bestH)
+      ids += e.id
+      sigs += e.sig
+      if (ids.length > cap) { ids.remove(0); sigs.remove(0) }
+    }
+    state.update(BucketState(ids.toArray, sigs.toArray))
+    out.iterator
+  }
+
+  /** Batch-side verdict resolution for [[nearDupCandidates]] output
+    * (foreachBatch-friendly): one row per detected dup, keeping the best
+    * hit across buckets (min hamming, then min original id). */
+  def resolveNearDups(hits: DataFrame): DataFrame =
+    hits.groupBy(col("id"))
+      .agg(min(struct(col("hamming"), col("dupOf"))).as("best"))
+      .select(col("id"), col("best.dupOf").as("dup_of"),
+        col("best.hamming").as("hamming"))
 
   /** Event-time windowed rates with watermarking — the tumbling-window
     * aggregation the reference lacks any analog for (SURVEY §2.11 note:

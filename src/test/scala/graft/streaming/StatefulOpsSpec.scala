@@ -131,6 +131,73 @@ class StatefulOpsSpec extends SparkSpec {
       assert(first.getDouble(2) == 3.0)
     } finally q.stop()
   }
+
+  test("bucketGroup: best match, same-batch dup, FIFO cap") {
+    def sig(e: SigEvent) = e
+    // same batch: b arrives after a with identical sig -> caught
+    val s1 = new TestGroupState[BucketState](None)
+    val out1 = StatefulOps.bucketGroup(maxHamming = 2, cap = 10)((0, 7),
+      Iterator(SigEvent("a", 1, 0x0F0FL, 0, 7),
+        SigEvent("b", 2, 0x0F0FL, 0, 7)), s1).toSeq
+    assert(out1 == Seq(NearDupHit("b", 2, "a", 0)))
+
+    // later batch: c within hamming 1 of both -> best = min id among ties?
+    // a and b have identical sigs, so hamming ties at 1; min id "a" wins
+    val out2 = StatefulOps.bucketGroup(maxHamming = 2, cap = 10)((0, 7),
+      Iterator(SigEvent("c", 3, 0x0F0EL, 0, 7)), s1).toSeq
+    assert(out2 == Seq(NearDupHit("c", 3, "a", 1)))
+
+    // far signature: no hit, but still appended to state
+    val out3 = StatefulOps.bucketGroup(maxHamming = 2, cap = 10)((0, 7),
+      Iterator(SigEvent("d", 4, 0x7777000000000000L, 0, 7)), s1).toSeq
+    assert(out3.isEmpty)
+    assert(s1.value.get.ids.toSeq == Seq("a", "b", "c", "d"))
+
+    // FIFO cap evicts the oldest entry
+    val s2 = new TestGroupState[BucketState](None)
+    StatefulOps.bucketGroup(maxHamming = 0, cap = 2)((0, 1),
+      Iterator(SigEvent("x", 1, 1L, 0, 1), SigEvent("y", 2, 2L, 0, 1),
+        SigEvent("z", 3, 4L, 0, 1)), s2).toSeq
+    assert(s2.value.get.ids.toSeq == Seq("y", "z"))
+  }
+
+  test("nearDupCandidates end-to-end: dup across micro-batches detected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val docs = input.toDF().toDF("id", "seq", "doc")
+    val hits = StatefulOps.nearDupCandidates(docs)
+    val ckpt = Files.createTempDirectory("ndup").toString
+    val q = hits.writeStream.format("memory").queryName("ndup_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // long doc: one changed word perturbs few simhash bits (a short
+    // doc's majority votes are fragile — single-word edits flip many)
+    val text = (0 until 5).map(i =>
+      s"w$i common filler token text data spark stream batch row")
+      .mkString(" ")
+    try {
+      input.addData(("orig", 1L, text),
+        ("other", 2L, "completely different words about streaming state"))
+      q.processAllAvailable()
+      // near-identical doc in a LATER batch: one word changed
+      input.addData(("dup", 3L, text.replace("w0", "q0")))
+      q.processAllAvailable()
+      val resolved = StatefulOps.resolveNearDups(
+        spark.table("ndup_out")).collect()
+      assert(resolved.length == 1)
+      val r = resolved.head
+      assert(r.getString(0) == "dup" && r.getString(1) == "orig")
+      // exact re-send of the original: hamming 0
+      input.addData(("copy", 4L, text))
+      q.processAllAvailable()
+      val all = StatefulOps.resolveNearDups(
+        spark.table("ndup_out")).collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(all("copy") == ("orig", 0))
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState for unit-testing the fold outside a stream. */
