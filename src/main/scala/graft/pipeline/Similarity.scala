@@ -227,6 +227,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Recall@k of an approximate ANN result against the brute-force
+    * truth: per query, the fraction of true top-k neighbors the
+    * approximate method returned. The tuning metric for every
+    * plane-count / nProbe / multi-probe decision — run it on a sampled
+    * query set before committing an index configuration to the corpus.
+    * Both inputs are (query_id, rank, neighbor_id, cos) as produced by
+    * [[bruteForceTopK]] / [[lshTopK]] / [[probeBucketedTopK]] /
+    * [[ivfTopK]]; left join keeps recall-0 queries visible. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val t = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.where(col("rank") <= k)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    t.join(a, t("query_id") === a("a_qid")
+        && t("neighbor_id") === a("a_nid"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("a_nid")) / lit(k.toDouble)).as("recall"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, blocked
     * on sign-bucket LSH — the label-free scale path for [[cosinePairs]]:
     * no metadata column needed, candidate pairs are generated only

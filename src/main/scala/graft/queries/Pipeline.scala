@@ -385,6 +385,42 @@ object Pipeline {
              |ORDER BY query_id, rank""".stripMargin),
       "sign-bucket LSH ANN: 2^4 buckets, probe own bucket only (identical bucketing in oracle)"),
 
+    // ---- ANN recall evaluation: LSH top-3 scored against brute-force
+    // truth — the tuning metric behind every plane-count decision.
+    QueryDef(
+      "p8c_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        val q = em.filter($"vec_id" < 10)
+        Similarity.recallAtK(
+          Similarity.lshTopK(q, em, 3, planes = 4),
+          Similarity.bruteForceTopK(q, em, 3), k = 3)
+          .orderBy($"query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |bk AS (SELECT vec_id, qv,
+             |  (CASE WHEN qv[1]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[2]>=0 THEN '1' ELSE '0' END)||
+             |  (CASE WHEN qv[3]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[4]>=0 THEN '1' ELSE '0' END) AS bucket FROM q),
+             |bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM q a, q b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+             |truth AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bscored) WHERE rank <= 3),
+             |lscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM bk a, bk b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.bucket = b.bucket AND a.qv <> b.qv),
+             |approx AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM lscored) WHERE rank <= 3)
+             |SELECT t.query_id, CAST(COUNT(a.neighbor_id) AS DOUBLE)/3.0 AS recall
+             |FROM truth t LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+             |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+      "ANN recall@3: sign-bucket LSH vs brute-force truth per query"),
+
     // ---- Pre-bucketed ANN index probe (the write-once/probe-many scale
     // path): corpus indexed ONCE into bucket= partitions, probe reads
     // only the probed buckets' directories (partition pruning) with
