@@ -227,6 +227,74 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Persist the IVF index: quantized corpus + self-norms written ONCE
+    * partitioned by Voronoi cell (`path/cell=N/...`) — [[ivfTopK]]'s
+    * assignment, made write-once/probe-many like [[writeBucketedCorpus]].
+    * Pivots are recoverable from the index itself (a pivot is assigned
+    * to its own cell), so probes need no side-channel metadata. */
+  def writeIvfCorpus(
+      corpus: DataFrame, path: String, nPivots: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", dot(col("c_emb"), col("c_emb")))
+    val piv = c.orderBy(col("neighbor_id")).limit(nPivots)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
+    val affs = piv.map { case (pid, pemb, pnrm) => struct(
+      cosinePrenormed(col("c_emb"), typedLit(pemb), col("c_nrm"),
+        lit(pnrm)).as("cos"),
+      lit(-pid).as("tb")) }
+    c.withColumn("cell", -greatest(affs: _*).getField("tb"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe a persisted IVF index ([[writeIvfCorpus]]) for top-k
+    * neighbors: queries rank the pivots (recovered from the index —
+    * bounded driver collect), and the probed cell set is pushed into
+    * the scan as a partition filter, so only `nProbe * |queries|` cell
+    * directories are read. Queries broadcast; the index never shuffles. */
+  def probeIvfTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, indexPath: String, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    // pivots self-assign (cos=1 with themselves beats any tiebreak), so
+    // the pivot set is exactly the self-assigned index rows
+    val piv = idx.where(col("neighbor_id") === col("cell"))
+      .select(col("neighbor_id"), col("c_emb"), col("c_nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
+    val paffs = piv.map { case (pid, pemb, pnrm) => struct(
+      cosinePrenormed(col("q_emb"), typedLit(pemb), col("q_nrm"),
+        lit(pnrm)).as("cos"),
+      lit(pid).as("tb")) }
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("paff.cos").desc, col("paff.tb"))
+    val probes = queries.select(
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", dot(col("q_emb"), col("q_emb")))
+      .withColumn("paff", explode(array(paffs: _*)))
+      .withColumn("prn", row_number().over(wq))
+      .where(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("paff.tb").as("probe_cell"))
+    val cells = probes.select("probe_cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: <= nPivots cells
+    val c = idx.where(col("cell").isin(cells: _*)) // partition pruning
+    val scored = broadcast(probes).join(c,
+      col("probe_cell") === col("cell")
+        && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Recall@k of an approximate ANN result against the brute-force
     * truth: per query, the fraction of true top-k neighbors the
     * approximate method returned. The tuning metric for every

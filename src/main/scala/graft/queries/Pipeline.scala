@@ -361,6 +361,53 @@ object Pipeline {
              |ORDER BY query_id, rank""".stripMargin),
       "IVF ANN: 8 Voronoi cells from deterministic pivots, 2-cell probe, literal-folded assignment (no join)"),
 
+    // ---- Persisted IVF index probe: assignment written once into
+    // cell= partitions, probes read only the probed cells' directories.
+    // Same assignment semantics as p7b -> same oracle.
+    QueryDef(
+      "p7c_ann_ivf_prebucket",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        // index keyed by the corpus FILES (path + mtime + size), so
+        // regenerated testdata can never hit a stale index
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+        val fp = files.sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+          .mkString("|").hashCode
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-ivfidx-" + Integer.toHexString(dir.hashCode) +
+            "-" + Integer.toHexString(fp) + "-p8")
+        if (!new java.io.File(idx, "_SUCCESS").exists())
+          Similarity.writeIvfCorpus(em, idx.toString, nPivots = 8)
+        Similarity.probeIvfTopK(s, em.filter($"vec_id" < 10),
+          idx.toString, 3, nProbe = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |piv AS (SELECT vec_id AS pivot_id, qv AS pv FROM q WHERE vec_id < 8),
+             |aff AS (SELECT c.vec_id, p.pivot_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> c.qv[i]*p.pv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.qv[i]*c.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> p.pv[i]*p.pv[i])) AS DOUBLE)) AS acos
+             |  FROM q c, piv p),
+             |rnk AS (SELECT vec_id, pivot_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY acos DESC, pivot_id) AS rn FROM aff),
+             |cells AS (SELECT vec_id, pivot_id AS cell FROM rnk WHERE rn = 1),
+             |probes AS (SELECT vec_id, pivot_id AS cell FROM rnk WHERE rn <= 2 AND vec_id < 10),
+             |scored AS (SELECT pr.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qa.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> qb.qv[i]*qb.qv[i])) AS DOUBLE)) AS cos
+             |  FROM probes pr JOIN cells cb ON cb.cell = pr.cell AND cb.vec_id <> pr.vec_id
+             |  JOIN q qa ON qa.vec_id = pr.vec_id JOIN q qb ON qb.vec_id = cb.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin),
+      "persisted IVF index: cell-partitioned corpus, partition-pruned nProbe probe"),
+
     // ---- LSH-bucketed ANN (sign-bit hyperplane buckets).
     QueryDef(
       "p8_ann_lsh",

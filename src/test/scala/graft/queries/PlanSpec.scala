@@ -72,6 +72,16 @@ class PlanSpec extends SparkSpec {
       s"cell assignment should be a projection, not a join:\n$p")
   }
 
+  test("p7c: persisted IVF probe reads only probed cell partitions") {
+    val df = SparkEntry.queries("p7c_ann_ivf_prebucket")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val scanBlock = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters")).mkString("\n")
+    assert(scanBlock.contains("cell"),
+      s"no partition filter on the IVF index scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("p19: capping window is partitioned by group (no global sort)") {
     val p = plan("p19_source_cap")
     assert(p.contains("windowspecdefinition(source"),
