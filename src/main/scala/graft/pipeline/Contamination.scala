@@ -40,4 +40,38 @@ object Contamination {
     tr.join(te, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Per-document boilerplate fraction: the share of a doc's distinct
+    * n-gram shingles that are corpus-frequent (appearing in >= `minDf`
+    * docs) — the "repeated template/navigation text" signal web-corpus
+    * curation drops docs on. Docs shorter than `nGram` words have no
+    * shingles and are absent from the result.
+    *
+    * SCALE: document frequency is a hash-keyed groupBy (shingles are
+    * distinct per doc, so count(*) IS the doc frequency), and the
+    * join back to per-doc shingles carries (doc_id, hash, df) only —
+    * no text shuffles anywhere.
+    *
+    * @return (doc_id, n_shingles, n_boiler, boiler_frac)
+    */
+  def boilerplateStats(
+      docs: DataFrame, nGram: Int = 5, minDf: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    // doc frequency as an unordered window count over the hash: ONE
+    // computation of the shingle table and one h-shuffle, instead of a
+    // groupBy + join that rebuilds the scan/shingle/md5 subtree twice
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))))
+    withDf.groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles"))
+  }
 }

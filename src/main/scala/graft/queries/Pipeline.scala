@@ -234,6 +234,28 @@ object Pipeline {
              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
       "decontamination: train docs sharing 3-grams with the test split (hash-only join)"),
 
+    // ---- Boilerplate fraction: corpus-frequent shingles per doc (the
+    // repeated-template signal; document frequency = hash groupBy).
+    QueryDef(
+      "p21_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        Contamination.boilerplateStats(T(s, dir, "documents"),
+          nGram = 5, minDf = 10)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT w.doc_id, u.h FROM w, UNNEST(list_distinct(CASE WHEN len(words)>=5
+             |  THEN list_transform(range(1, len(words)-3), i -> md5(words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]))
+             |  ELSE [] END)) AS u(h)),
+             |df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+             |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+             |CAST(SUM(CASE WHEN df.df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             |CAST(SUM(CASE WHEN df.df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS boiler_frac
+             |FROM sh JOIN df ON df.h = sh.h GROUP BY sh.doc_id
+             |ORDER BY sh.doc_id""".stripMargin),
+      "boilerplate fraction: share of corpus-frequent 5-gram shingles per doc"),
+
     // ---- n-gram Jaccard calibration over consecutive doc pairs.
     QueryDef(
       "p5_ngram_jaccard",
