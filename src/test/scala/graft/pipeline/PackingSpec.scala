@@ -47,6 +47,33 @@ class PackingSpec extends SparkSpec {
       spans.map(_.getLong(0)).toSeq == (0L until lastShard).toSeq)
   }
 
+  test("property: distributed scan equals the sequential prefix sum") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 50 + rng.nextInt(300)
+      val budget = 1L + rng.nextInt(500)
+      val parts = 1 + rng.nextInt(40)
+      // non-contiguous ids, arbitrary token counts (incl. > budget)
+      val docs = (1 to n).map(i =>
+        (i * 7L + rng.nextInt(5), rng.nextInt(3 * budget.toInt).toLong))
+        .distinctBy(_._1)
+      val got = Packing.packShards(docs.toDF("doc_id", "tokens"),
+        "doc_id", "tokens", budget, numParts = parts)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      // sequential oracle: running exclusive prefix in id order
+      var prefix = 0L
+      val expect = docs.sortBy(_._1).map { case (id, tk) =>
+        val row = (id, prefix / budget, prefix % budget)
+        prefix += tk
+        row
+      }
+      assert(got.toSeq == expect,
+        s"trial $trial (n=$n budget=$budget parts=$parts) diverged")
+    }
+  }
+
   test("packShards: no unpartitioned window in the plan (scale shape)") {
     import spark.implicits._
     val d = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "tokens")
