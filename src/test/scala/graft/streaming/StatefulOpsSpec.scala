@@ -198,6 +198,56 @@ class StatefulOpsSpec extends SparkSpec {
       assert(all("copy") == ("orig", 0))
     } finally q.stop()
   }
+
+  test("streaming near-dup set equals batch simhashPairs, any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with exact copies, near-copies, and unrelated docs
+    val base = (0 until 4).map(i =>
+      s"b$i alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+    val docs: Seq[(String, Long, String)] = (0 until 24).map { i =>
+      val text = i % 4 match {
+        case 0 => base(i % base.length)                      // copies
+        case 1 => base(i % base.length).replace("mu", s"m$i") // near
+        case _ => s"unique doc $i " + (0 until 20)
+          .map(j => s"w${i * 31 + j}").mkString(" ")          // unrelated
+      }
+      (f"d$i%02d", i.toLong, text)
+    }
+    // batch truth: every doc with a simhash pair to an EARLIER doc
+    val expected = graft.pipeline.Dedup.simhashPairs(
+      docs.toDF("id", "seq", "doc"), "id", "doc",
+      maxHamming = 8, chunks = 4)
+      .collect()
+      .map(r => if (r.getString(0) < r.getString(1)) r.getString(1)
+                else r.getString(0))
+      .toSet
+    // streaming, split into 3 uneven micro-batches
+    val input = MemoryStream[(String, Long, String)]
+    val hits = StatefulOps.nearDupCandidates(
+      input.toDF().toDF("id", "seq", "doc"))
+    val ckpt = Files.createTempDirectory("ndeq").toString
+    val q = hits.writeStream.format("memory").queryName("ndeq_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(docs.take(5))
+      q.processAllAvailable()
+      input.addData(docs.slice(5, 6))
+      q.processAllAvailable()
+      input.addData(docs.drop(6))
+      q.processAllAvailable()
+      val detected = StatefulOps.resolveNearDups(spark.table("ndeq_out"))
+        .collect().map(_.getString(0)).toSet
+      // identical candidate generation (chunk collision) + identical
+      // verification (hamming <= 8): the detected set must match exactly
+      assert(detected == expected,
+        s"streaming=$detected batch=$expected")
+      assert(expected.nonEmpty) // the corpus genuinely contains dups
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState for unit-testing the fold outside a stream. */
