@@ -447,6 +447,34 @@ object Relational {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
-      "salting for skew (SURVEY §4 scale discipline); result == plain join")
+      "salting for skew (SURVEY §4 scale discipline); result == plain join"),
+
+    // ---- Exact grouped percentiles: interpolated (percentile ==
+    // quantile_cont) and discrete (percentile_approx at max accuracy ==
+    // quantile_disc). Sort-based, sum-free -> deterministic across
+    // partitionings; NOT the sketch path (approx_percentile at default
+    // accuracy trades exactness for mergeable state at scale).
+    QueryDef(
+      "q24_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            percentile($"l_quantity", lit(0.25)).as("q25"),
+            percentile($"l_quantity", lit(0.5)).as("q50"),
+            percentile($"l_quantity", lit(0.9)).as("q90"),
+            percentile_approx($"l_extendedprice", lit(0.5),
+              lit(Int.MaxValue)).as("p50_disc"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.25) AS q25,
+             |quantile_cont(l_quantity, 0.5) AS q50,
+             |quantile_cont(l_quantity, 0.9) AS q90,
+             |quantile_disc(l_extendedprice, 0.5) AS p50_disc
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      "exact grouped percentiles: interpolated + discrete median")
   )
 }
