@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q24: percentiles partial-aggregate map-side (ObjectHashAggregate)") {
+    val p = plan("q24_percentiles")
+    assert(p.contains("partial_percentile"),
+      s"percentile must combine map-side before the shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains(") ObjectHashAggregate")) == 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$p")
+  }
+
   test("p19: capping window is partitioned by group (no global sort)") {
     val p = plan("p19_source_cap")
     assert(p.contains("windowspecdefinition(source"),
