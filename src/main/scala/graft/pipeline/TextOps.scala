@@ -86,6 +86,25 @@ object TextOps {
       size(array_union(da, db)).cast("double")
   }
 
+  /** Email pattern shared by scrubber and detector — kept to syntax
+    * valid in both Java regex and RE2 (no backrefs, no lookarounds) so
+    * the DuckDB oracle runs the identical pattern. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrubbing: masks email addresses then digit runs (phone/SSN/
+    * account-number shapes) with typed placeholders. Pure codegen'd
+    * `regexp_replace` chain — the pattern compiles once per task, rows
+    * never leave the projection, nothing shuffles. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit("[0-9]+"), lit("<NUM>"))
+
+  /** Count of digit characters (pre-scrub audit metric). */
+  def digitCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, lit("[0-9]"), lit(""))))
+      .cast("long")
+
   /** Rolling-hash document fingerprint: min md5 over word 5-gram
     * shingles — a winnowing-style content fingerprint stable under
     * small edits at the margins. Codegen'd one-pass expression

@@ -670,6 +670,63 @@ object Pipeline {
              |md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.f AS VARCHAR)) AS frame_key
              |FROM documents, UNNEST(range(0, n_chars % 50 + 10, 7)) AS u(f)
              |ORDER BY media_id, frame_idx""".stripMargin),
-      "every-7th-frame sampling plan: generator fan-out, deterministic frame keys")
+      "every-7th-frame sampling plan: generator fan-out, deterministic frame keys"),
+
+    // ---- Corpus vocabulary: top-100 tokens by total frequency with
+    // document frequency. Tokens partial-aggregate map-side, so the
+    // shuffle carries (token, counts) bounded by vocabulary size.
+    QueryDef(
+      "p22_vocab",
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Vocab.topVocab(T(s, dir, "documents"), "doc_id", "text", 100)
+      },
+      Some("""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |      FROM documents) t
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin),
+      "corpus vocabulary: term + document frequency, top-100 by tf"),
+
+    // ---- Per-document distinctive terms: rank-based tf-idf (tf desc,
+    // corpus df asc) — no float logarithms, bit-exact across engines.
+    // The vocabulary-sized df table broadcasts back onto per-doc counts.
+    QueryDef(
+      "p23_top_terms",
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Vocab.topTermsPerDoc(T(s, dir, "documents"), "doc_id", "text", 3)
+          .orderBy($"doc", $"rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+             |pd AS (SELECT doc_id AS doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dft AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+             |r AS (SELECT pd.doc, pd.token, pd.tf, dft.df,
+             |  ROW_NUMBER() OVER (PARTITION BY pd.doc
+             |    ORDER BY pd.tf DESC, dft.df ASC, pd.token) AS rank
+             |  FROM pd JOIN dft USING (token))
+             |SELECT doc, rank, token, tf, df FROM r WHERE rank <= 3
+             |ORDER BY doc, rank""".stripMargin),
+      "per-doc top-3 distinctive terms: rank-based tf-idf, broadcast df join"),
+
+    // ---- PII scrubbing: email + digit-run masking over the raw JSON
+    // props (codegen'd regexp_replace chain; identical RE2-safe patterns
+    // run in the oracle). n_digits audits how much was masked.
+    QueryDef(
+      "p24_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .select($"event_id",
+            graft.pipeline.TextOps.scrubPii($"props").as("scrubbed"),
+            graft.pipeline.TextOps.digitCount($"props").as("n_digits"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |regexp_replace(regexp_replace(props,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '[0-9]+', '<NUM>', 'g') AS scrubbed,
+             |CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+             |FROM events ORDER BY event_id""".stripMargin),
+      "PII scrub: email + digit-run masking, digit-count audit")
   )
 }

@@ -475,6 +475,67 @@ object Relational {
              |quantile_disc(l_extendedprice, 0.5) AS p50_disc
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin),
-      "exact grouped percentiles: interpolated + discrete median")
+      "exact grouped percentiles: interpolated + discrete median"),
+
+    // ---- Backward as-of join (the time-series join Spark lacks as a
+    // built-in; the oracle IS DuckDB's native ASOF JOIN). Each purchase
+    // picks up the most recent prior-or-simultaneous view of the same
+    // user. Union + key-partitioned running-last — ONE shuffle on
+    // user_id, no (left x earlier-right) pair blow-up; see
+    // operators/AsOfJoin.scala for the plan rationale.
+    QueryDef(
+      "q25_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = T(s, dir, "events")
+        val p = e.filter($"event_type" === "purchase")
+        val v = e.filter($"event_type" === "view")
+          .select($"user_id", $"ts", $"event_id")
+        graft.operators.AsOfJoin.backward(
+          p, v, key = "user_id", leftTime = "ts", rightTime = "ts",
+          carry = Seq("event_id", "ts"))
+          .select($"event_id", $"user_id",
+            $"asof_event_id".as("view_id"),
+            (unix_timestamp($"ts") - unix_timestamp($"asof_ts")).as("lag_s"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+             |     v AS (SELECT * FROM events WHERE event_type='view')
+             |SELECT p.event_id, p.user_id, v.event_id AS view_id,
+             |  date_diff('second', v.ts, p.ts) AS lag_s
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin),
+      "backward as-of join vs DuckDB native ASOF JOIN; union + running-last plan"),
+
+    // ---- Gap-based sessionization (30-min gap): lag + running sum over
+    // key-partitioned windows, then a per-session rollup. The batch
+    // analog of Structured Streaming's session_window, and the classic
+    // event-analytics operator the reference's events table implies.
+    QueryDef(
+      "q26_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sessionize.rollup(
+          T(s, dir, "events"), key = "user_id", ts = "ts",
+          gapMicros = 1800L * 1000000L,
+          flag = $"event_type" === "purchase",
+          tiebreak = Seq("event_id"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS starts
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts, event_type,
+             |    SUM(starts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_id FROM e)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events,
+             |  date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
+             |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      "gap-based sessionization: lag + running sum, per-session rollup")
   )
 }

@@ -126,6 +126,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q25: as-of join plans as keyed window, not a join") {
+    val p = plan("q25_asof_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join"), s"as-of must not plan a pair join:\n$p")
+    assert(p.contains("windowspecdefinition(__k"), s"window not keyed:\n$p")
+  }
+
+  test("q26: sessionization windows partition by user (no global sort)") {
+    val p = plan("q26_sessionize")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"session window must partition by user_id:\n$p")
+    assert(!p.contains("No Partition Defined"))
+  }
+
+  test("p22: vocab aggregates partially map-side and top-k via TakeOrdered") {
+    val p = plan("p22_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 should TakeOrdered:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("p23: corpus df table broadcasts onto per-doc counts") {
+    val p = plan("p23_top_terms")
+    assert(p.contains("BroadcastHashJoin"), s"df join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p24: PII scrub is a pure projection — no shuffle before the sort") {
+    val p = plan("p24_pii_scrub")
+    // exactly one exchange: the final global ORDER BY; scrubbing itself
+    // must not repartition anything
+    assert(p.linesIterator.count(_.contains(") Exchange")) <= 1,
+      s"scrub should not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
