@@ -179,6 +179,40 @@ object StatefulOps {
       .select(col("id"), col("best.dupOf").as("dup_of"),
         col("best.hamming").as("hamming"))
 
+  /** Streaming gap-based sessionization — the streaming twin of the
+    * batch `Sessionize.rollup` (q26), on Spark's built-in
+    * `session_window`: per key, events within `gap` of the session's
+    * trailing edge merge into one window; the state store holds one
+    * open window per (key, session), sharded by the groupBy shuffle.
+    *
+    * `session_start` equals the session's min event time, so rows align
+    * 1:1 with the batch operator's sessions (SessionizeEquivSpec pins
+    * the equivalence). Boundary caveat: session_window's trailing edge
+    * is end-EXCLUSIVE — an event at exactly `prev + gap` starts a new
+    * session here, while the batch operator's strict-> keeps it (a
+    * microsecond-exact boundary hit; impossible-in-practice input).
+    *
+    * With a watermark (append mode), sessions finalize and state evicts
+    * once the watermark passes their trailing edge; pass `delay=None`
+    * only for complete-mode sinks (state then never evicts — batch
+    * semantics at streaming cost, test use only). */
+  def sessionRollup(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      delay: Option[String] = Some("1 hour"),
+      flag: org.apache.spark.sql.Column = lit(false)): DataFrame = {
+    val in = delay.fold(events)(d => events.withWatermark(tsCol, d))
+    in.groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("duration_s"),
+        sum(when(flag, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("n_events"), col("duration_s"), col("n_flagged"))
+  }
+
   /** Event-time windowed rates with watermarking — the tumbling-window
     * aggregation the reference lacks any analog for (SURVEY §2.11 note:
     * no event-time semantics). Late data beyond `delay` is dropped;
