@@ -727,6 +727,27 @@ object Pipeline {
              |  '[0-9]+', '<NUM>', 'g') AS scrubbed,
              |CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
              |FROM events ORDER BY event_id""".stripMargin),
-      "PII scrub: email + digit-run masking, digit-count audit")
+      "PII scrub: email + digit-run masking, digit-count audit"),
+
+    // ---- Corpus length histogram (100-char buckets) with per-bucket
+    // token totals — the length-filter calibration view every data
+    // pipeline starts from. Pure partial-agg'd groupBy on a derived
+    // integer key; shuffle carries |buckets| rows.
+    QueryDef(
+      "p25_length_hist",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .groupBy(floor($"n_chars" / 100).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(graft.pipeline.TextOps.tokens($"text")).cast("long"))
+              .as("n_tokens"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+             |COUNT(*) AS n_docs,
+             |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "document length histogram: 100-char buckets, doc + token counts")
   )
 }

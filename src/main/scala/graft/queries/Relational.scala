@@ -536,6 +536,40 @@ object Relational {
              |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin),
-      "gap-based sessionization: lag + running sum, per-session rollup")
+      "gap-based sessionization: lag + running sum, per-session rollup"),
+
+    // ---- Range join as a range-frame window: for each purchase, count
+    // the same user's views in the preceding hour. The naive plan is an
+    // inequality join (every purchase x every earlier view, filtered) —
+    // O(n·m) pairs per user. Union + RANGE frame over integer
+    // microseconds streams each key group once: ONE shuffle on user_id,
+    // no pair materialization, scales like any keyed window.
+    QueryDef(
+      "q27_range_count",
+      (s, dir) => {
+        import s.implicits._
+        val e = T(s, dir, "events")
+        val marked = e.select($"event_id", $"user_id", $"ts",
+          unix_micros($"ts").as("__us"),
+          when($"event_type" === "view", 1L).otherwise(0L).as("__isView"),
+          ($"event_type" === "purchase").as("__isPurchase"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"__us")
+          .rangeBetween(-3600L * 1000000L, -1L)
+        marked
+          .withColumn("n_views_1h",
+            coalesce(sum($"__isView").over(w), lit(0L)))
+          .filter($"__isPurchase")
+          .select($"event_id", $"user_id", $"n_views_1h")
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+             |     v AS (SELECT * FROM events WHERE event_type='view')
+             |SELECT p.event_id, p.user_id, COUNT(v.event_id) AS n_views_1h
+             |FROM p LEFT JOIN v ON v.user_id = p.user_id
+             |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+             |GROUP BY p.event_id, p.user_id
+             |ORDER BY p.event_id""".stripMargin),
+      "range join via RANGE-frame window (no pair blow-up); oracle is the inequality join")
   )
 }

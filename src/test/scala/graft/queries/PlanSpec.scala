@@ -161,6 +161,19 @@ class PlanSpec extends SparkSpec {
       s"scrub should not shuffle:\n$p")
   }
 
+  test("q27: range count plans as keyed RANGE-frame window, not a pair join") {
+    val p = plan("q27_range_count")
+    assert(!p.contains("Join"), s"range count must not materialize pairs:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"), s"window not keyed:\n$p")
+    assert(p.contains("specifiedwindowframe(RangeFrame"), s"no range frame:\n$p")
+  }
+
+  test("p25: length histogram partial-aggregates map-side") {
+    val p = plan("p25_length_hist")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
