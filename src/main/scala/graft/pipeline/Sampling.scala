@@ -52,6 +52,32 @@ object Sampling {
       salt: String = "sample"): Column =
     hashBucket(id, salt) < math.round(fraction * 1000)
 
+  /** Stratified balanced sampling: deterministically thin each group to
+    * ~`cap` rows in expectation — the language/domain rebalancing step
+    * of corpus curation (down-weight over-represented strata; groups at
+    * or under the cap are untouched).
+    *
+    * A row survives iff `hashBucket(id) < (min(cap, n_g) * 1000) DIV
+    * n_g` — a per-group Bernoulli keep-rate of ~cap/n_g quantized to
+    * permille. Deterministic per (id, salt): re-runs and engines agree
+    * row-for-row, and the survivor set of a smaller cap is a subset of
+    * a larger cap's (nested samples, the property curriculum-mixing
+    * jobs need).
+    *
+    * SCALE: group counts are a tiny aggregate (|groups| rows) joined
+    * back by broadcast — the data itself never shuffles; one scan, one
+    * map-side filter. Exact-count quotas would need a per-group rank
+    * (see [[capPerGroup]]) and shuffle everything. */
+  def balancedSample(
+      df: DataFrame, groupCol: String, idCol: String, cap: Long,
+      salt: String = "balance"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    df.join(broadcast(counts), groupCol)
+      .where(hashBucket(col(idCol), salt) <
+        expr(s"(least(CAST($cap AS BIGINT), __n) * 1000) DIV __n"))
+      .drop("__n")
+  }
+
   /** Repetition capping: keep at most `n` rows per group, ranked by
     * `order` (pass a deterministic total order — e.g. quality desc then
     * id — or the survivor set is partition-dependent). The

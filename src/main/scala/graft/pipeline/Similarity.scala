@@ -295,6 +295,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** kNN label propagation: predict each query vector's label as the
+    * majority label among its k nearest labeled neighbors by cosine
+    * (ties toward more votes, then the smaller label — deterministic).
+    * The standard weak-labeling step for extending a small hand-labeled
+    * seed set over an unlabeled corpus.
+    *
+    * SCALE: reuses [[bruteForceTopK]]'s shape (queries broadcast, the
+    * labeled corpus never shuffles for scoring); the label join-back
+    * broadcasts the k·|queries| survivor set against the corpus, so the
+    * corpus side streams map-side there too. Swap the inner call for
+    * [[probeBucketedTopK]]/[[probeIvfTopK]] when the labeled set is
+    * itself indexed. */
+  def knnClassify(
+      queries: DataFrame, labeled: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(queries, labeled, k, idCol, embCol)
+    val lab = labeled.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nbr_label"))
+    val votes = broadcast(nn).join(lab, "neighbor_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nbr_label"))
+    votes.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("query_id"), col("nbr_label").as("pred_label"),
+        col("votes"))
+  }
+
   /** Recall@k of an approximate ANN result against the brute-force
     * truth: per query, the fraction of true top-k neighbors the
     * approximate method returned. The tuning metric for every

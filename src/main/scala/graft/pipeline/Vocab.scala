@@ -32,6 +32,40 @@ object Vocab {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** Per-document mean unigram log-probability — the cheap perplexity
+    * proxy used to quality-filter web corpora (low mean log-prob under
+    * the corpus's own unigram LM = token soup / boilerplate / wrong
+    * language; the poor man's KenLM score).
+    *
+    * Model: add-one-smoothed corpus unigram LM, p(t) = (tf+1)/(N+V).
+    * Determinism: each token's log-prob is quantized to integer
+    * micro-nats (floor(ln p * 1e6)) BEFORE the per-doc sum — integer
+    * sums are order-free, so scores are bit-identical across
+    * partitionings, engines, and re-runs; the mean is one final double
+    * division. (A raw double sum would depend on reduction order.)
+    *
+    * SCALE: the LM is vocabulary-sized (≪ corpus) and broadcast onto
+    * the exploded token stream, which partial-aggregates back to one
+    * row per doc — the only shuffle carries (doc, count, sum) triples,
+    * never text. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val totals = vocab.agg(sum(col("tf")).as("n"), count(lit(1)).as("vsz"))
+    val lm = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        floor(log((col("tf").cast("double") + lit(1.0d)) /
+          (col("n").cast("double") + col("vsz").cast("double"))) * lit(1e6))
+          .cast("long").as("lpq"))
+    toks.join(broadcast(lm), "token")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lpq")).as("lp_sum"))
+      .select(col("doc").as(idCol), col("n_tokens"), col("lp_sum"),
+        (col("lp_sum").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double")).as("mean_logprob"))
+  }
+
   /** Per-document top-k distinctive terms: rank by within-doc frequency
     * descending, then corpus document-frequency ascending (rarer-in-
     * corpus wins the tie — the rank-based analog of tf-idf without

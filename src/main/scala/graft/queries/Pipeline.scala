@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextOps}
+import graft.pipeline.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextOps, Vocab}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -748,6 +748,79 @@ object Pipeline {
              |COUNT(*) AS n_docs,
              |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
              |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin),
-      "document length histogram: 100-char buckets, doc + token counts")
+      "document length histogram: 100-char buckets, doc + token counts"),
+
+    // ---- Stratified balanced sampling: thin over-represented languages
+    // to ~cap docs each via the md5 keep-rate (group counts broadcast
+    // back; the corpus never shuffles — one scan + map-side filter).
+    QueryDef(
+      "p26_balanced_sample",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.balancedSample(T(s, dir, "documents"), "lang", "doc_id", 50)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+             |t AS (SELECT lang, (least(CAST(50 AS BIGINT), n) * 1000) // n AS th FROM c),
+             |b AS (SELECT doc_id, lang,
+             |  CAST('0x'||substr(md5('balance:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 AS hb
+             |  FROM documents)
+             |SELECT b.doc_id, b.lang FROM b JOIN t USING(lang)
+             |WHERE b.hb < t.th ORDER BY b.doc_id""".stripMargin),
+      "language rebalancing: deterministic md5 keep-rate thins each lang to ~50 docs, no data shuffle"),
+
+    // ---- Unigram-LM quality score (perplexity proxy): add-one-smoothed
+    // corpus unigram LM, per-doc mean log-prob. Token log-probs are
+    // quantized to integer micro-nats before summing, so the score is
+    // order-free and engine-exact; the LM is vocab-sized and broadcast.
+    QueryDef(
+      "p27_unigram_logprob",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT w.doc_id, u.tok FROM w, UNNEST(w.ws) AS u(tok)),
+             |v AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok),
+             |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n, COUNT(*) AS vsz FROM v),
+             |lp AS (SELECT tok,
+             |  CAST(floor(ln((CAST(tf AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(vsz AS DOUBLE))) * 1000000.0) AS BIGINT) AS lpq
+             |  FROM v, tot)
+             |SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(lp.lpq) AS BIGINT) AS lp_sum,
+             |CAST(SUM(lp.lpq) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logprob
+             |FROM t JOIN lp ON t.tok = lp.tok
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+      "perplexity-proxy quality score: mean unigram log-prob in exact micro-nats (broadcast LM)"),
+
+    // ---- kNN label propagation: majority label of the 5 nearest
+    // labeled neighbors (exact quantized cosine; queries broadcast, the
+    // labeled corpus never shuffles for scoring).
+    QueryDef(
+      "p28_knn_label",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        Similarity.knnClassify(
+          em.filter($"vec_id" % 10 === 0), em.filter($"vec_id" % 10 =!= 0), 5)
+          .orderBy($"query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nbr_label,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM q a JOIN q b ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0),
+             |ranked AS (SELECT query_id, neighbor_id, nbr_label,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored),
+             |votes AS (SELECT query_id, nbr_label, COUNT(*) AS votes FROM ranked
+             |  WHERE rank <= 5 GROUP BY query_id, nbr_label),
+             |best AS (SELECT query_id, nbr_label, votes,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS rk FROM votes)
+             |SELECT query_id, nbr_label AS pred_label, votes FROM best WHERE rk = 1
+             |ORDER BY query_id""".stripMargin),
+      "kNN label propagation: majority vote of 5 nearest labeled neighbors, smaller-label tiebreak")
   )
 }

@@ -571,5 +571,90 @@ object Relational {
              |GROUP BY p.event_id, p.user_id
              |ORDER BY p.event_id""".stripMargin),
       "range join via RANGE-frame window (no pair blow-up); oracle is the inequality join")
+    ,
+
+    // ---- Global rank buckets: customer spend deciles (ntile) +
+    // cumulative distribution. The ranking set is the AGGREGATED
+    // customer table (|customers| rows, not |orders|): the sum shuffles
+    // partial-agg'd on custkey first, and only the collapsed table pays
+    // the global sort. Unpartitioned window by necessity — deciles are
+    // a total order; at 1000 executors the agg output is still tiny
+    // relative to the fact table.
+    QueryDef(
+      "q28_ntile",
+      (s, dir) => {
+        import s.implicits._
+        val tot = T(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast(dec)).as("__t"))
+        val w = Window.orderBy($"__t".desc, $"o_custkey")
+        tot.select($"o_custkey", $"__t".cast("double").as("total_spend"),
+            ntile(10).over(w).as("decile"),
+            cume_dist().over(w).as("cume"))
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH t AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tt
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT o_custkey, CAST(tt AS DOUBLE) AS total_spend,
+             |CAST(NTILE(10) OVER (ORDER BY tt DESC, o_custkey) AS INTEGER) AS decile,
+             |CUME_DIST() OVER (ORDER BY tt DESC, o_custkey) AS cume
+             |FROM t ORDER BY o_custkey""".stripMargin),
+      "customer spend deciles: ntile + cume_dist over the aggregated (small) ranking set"),
+
+    // ---- CUBE: all grouping-set combinations of (returnflag,
+    // linestatus) in one pass — Spark expands the sets map-side and
+    // partial-aggregates each, so the shuffle still carries only
+    // (key-combo, partials). grouping_id() disambiguates subtotal rows
+    // (DuckDB: GROUPING() bits composed in the same column order).
+    QueryDef(
+      "q29_cube",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"))
+          .select($"gid",
+            coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+            coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+            $"n", $"sum_qty")
+          .orderBy($"gid", $"returnflag", $"linestatus")
+      },
+      Some("""SELECT CAST(2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |COALESCE(l_returnflag, 'ALL') AS returnflag,
+             |COALESCE(l_linestatus, 'ALL') AS linestatus,
+             |COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, returnflag, linestatus""".stripMargin),
+      "CUBE grouping sets with grouping_id disambiguation (one pass, partial-agg'd)"),
+
+    // ---- ROWS-frame moving average: per-user 4-event sliding mean.
+    // Values are quantized to integer micro-units BEFORE the frame sum
+    // (order-free, engine-exact); ONE shuffle on user_id, each user's
+    // frame slides in parallel.
+    QueryDef(
+      "q30_moving_avg",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-3, 0)
+        T(s, dir, "events")
+          .select($"event_id", $"user_id",
+            round($"value" * lit(1e6)).cast("long").as("__vq"), $"ts")
+          .select($"event_id", $"user_id",
+            (sum($"__vq").over(w).cast("double") / lit(1e6) /
+              count(lit(1)).over(w).cast("double")).as("moving_avg"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH q AS (SELECT event_id, user_id, ts,
+             |  CAST(round(value * 1000000.0) AS BIGINT) AS vq FROM events)
+             |SELECT event_id, user_id,
+             |CAST(SUM(vq) OVER w AS DOUBLE) / 1000000.0 / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg
+             |FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      "per-user sliding mean over a ROWS frame, micro-unit-quantized for exact cross-engine sums")
   )
 }

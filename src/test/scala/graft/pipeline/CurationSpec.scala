@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation operators added in round 3:
+  * balanced stratified sampling, unigram-LM scoring, kNN labeling. */
+class CurationSpec extends SparkSpec {
+
+  test("balancedSample: under-cap groups untouched, over-cap groups thinned") {
+    import spark.implicits._
+    // group "big": 400 rows; group "small": 5 rows; cap 100
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 405L).map(i => (i, "small"))).toDF("id", "g")
+    val kept = Sampling.balancedSample(df, "g", "id", 100)
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small group: keep-rate permille = 1000 -> all 5 survive
+    assert(byG("small") == 5)
+    // big group: keep-rate 250/1000 -> ~100 in expectation, md5-uniform
+    assert(byG("big") > 60 && byG("big") < 140)
+  }
+
+  test("balancedSample: deterministic and nested (smaller cap ⊂ larger cap)") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, "g")).toDF("id", "g")
+    val k50 = Sampling.balancedSample(df, "g", "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k150 = Sampling.balancedSample(df, "g", "id", 150)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k50again = Sampling.balancedSample(df, "g", "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k50 == k50again)
+    assert(k50.subsetOf(k150))
+  }
+
+  test("unigramLogProb: frequent-token docs score higher than rare-token docs") {
+    import spark.implicits._
+    // "the" dominates the corpus; doc 3 is all rare tokens
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the the cat sat"),
+      (3L, "zyx qwv jkl pqr")).toDF("doc_id", "text")
+    val got = Vocab.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val score = got.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(score(1L) > score(2L) && score(2L) > score(3L))
+    // n_tokens and the quantized sum are exact
+    assert(got.forall(_.getLong(1) == 4L))
+    val lpSum = got.map(_.getLong(2))
+    assert(lpSum.forall(_ < 0L)) // log-probs are negative
+  }
+
+  test("unigramLogProb: score is partitioning-invariant (integer quantization)") {
+    import spark.implicits._
+    val docs = (1L to 50L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} the a of tok${i % 11}"))
+      .toDF("doc_id", "text")
+    val a = Vocab.unigramLogProb(docs.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val b = Vocab.unigramLogProb(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("knnClassify: majority label wins; tie breaks to smaller label") {
+    import spark.implicits._
+    // 1-D embeddings padded to 2 dims; query at 0.95: neighbors at
+    // 1.0(l=1), 0.9(l=1), 0.8(l=2) -> k=3 majority 1
+    def emb(x: Double) = Array(x.toFloat, 1.0f)
+    val labeled = Seq(
+      (10L, emb(1.0), 1), (11L, emb(0.9), 1), (12L, emb(0.8), 2),
+      (13L, emb(-1.0), 2), (14L, emb(-0.9), 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, emb(0.95), 0), (2L, emb(-0.95), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(queries, labeled, 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1, 2L), (2L, 2, 3L)))
+  }
+}

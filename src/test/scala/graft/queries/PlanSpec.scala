@@ -174,6 +174,49 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregation:\n$p")
   }
 
+  test("p26: balanced sample broadcasts group counts (data never shuffles)") {
+    val p = plan("p26_balanced_sample")
+    assert(p.contains("BroadcastHashJoin"), s"counts join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"document side must not shuffle for the counts join:\n$p")
+  }
+
+  test("p27: unigram LM broadcasts onto the token stream; text never shuffles") {
+    val p = plan("p27_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"LM join should broadcast:\n$p")
+    // the only exchanges are for the vocab/doc aggregates (hash keys +
+    // partial counts) and the final sort — none may carry the text column
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges.forall(!_.contains("text")), s"text shuffles:\n$p")
+  }
+
+  test("p28: kNN scoring broadcasts queries and survivor set (corpus streams)") {
+    val p = plan("p28_knn_label")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to score:\n$p")
+  }
+
+  test("q28: deciles rank the aggregated customer table, not raw orders") {
+    val p = plan("q28_ntile")
+    // partial+final agg collapses orders before the (global) ntile window
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("ntile(10)"), p)
+  }
+
+  test("q29: CUBE still partial-aggregates map-side (Expand before shuffle)") {
+    val p = plan("q29_cube")
+    assert(p.contains("Expand"), s"grouping-set expansion missing:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation around the shuffle:\n$p")
+  }
+
+  test("q30: moving average is one keyed window (no self-join)") {
+    val p = plan("q30_moving_avg")
+    assert(!p.contains("Join"), s"frame must not materialize pairs:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"), s"window not keyed:\n$p")
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
