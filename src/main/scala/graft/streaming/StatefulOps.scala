@@ -213,6 +213,43 @@ object StatefulOps {
         col("n_events"), col("duration_s"), col("n_flagged"))
   }
 
+  /** Sliding-window trending counts: OVERLAPPING event-time windows
+    * (`windowLen` long, advancing every `slide`) with per-window
+    * event-type counts — "what's hot over the trailing hour, refreshed
+    * every 15 minutes". Each event expands map-side into its
+    * windowLen/slide covering windows (Spark's window generator), and
+    * the aggregation partial-aggs per (window, type) before the one
+    * shuffle — the overlap multiplies (window, type) keys, never raw
+    * events across the wire. Late data beyond `delay` is dropped.
+    *
+    * Rank the finalized windows with [[topTrending]] in the sink's
+    * foreachBatch: rank-over-an-append-stream is not incrementalizable,
+    * counts are. */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      delay: String = "1 hour",
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen, slide), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col(typeCol), col("n_events"))
+
+  /** Batch-side top-k per window over [[slidingCounts]] output
+    * (foreachBatch-friendly; deterministic tiebreak by type name). */
+  def topTrending(counts: DataFrame, typeCol: String = "event_type",
+      k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col(typeCol))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Event-time windowed rates with watermarking — the tumbling-window
     * aggregation the reference lacks any analog for (SURVEY §2.11 note:
     * no event-time semantics). Late data beyond `delay` is dropped;

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
 import graft.SparkSpec
@@ -129,6 +130,49 @@ class StatefulOpsSpec extends SparkSpec {
       assert(first.getTimestamp(0) == ts(0))
       assert(first.getLong(1) == 2L)
       assert(first.getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("slidingCounts: overlapping windows equal the batch twin; topTrending ranks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val ckpt = Files.createTempDirectory("slide").toString
+    // complete mode: every (window, type) count visible without
+    // watermark passage — lets us compare against the batch plan exactly
+    val q = StatefulOps.slidingCounts(df,
+      windowLen = "10 minutes", slide = "5 minutes")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val data = Seq((ts(1), "click"), (ts(4), "view"), (ts(6), "click"),
+      (ts(6), "click"), (ts(11), "view"))
+    try {
+      input.addData(data.take(3))
+      q.processAllAvailable()
+      input.addData(data.drop(3))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start, event_type, n_events FROM slide_out")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      // batch twin: identical grouping expression over the same rows
+      val batch = data.toDF("ts", "event_type")
+        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"window.start", $"event_type", $"n_events")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(got == batch)
+      // each event lands in exactly windowLen/slide = 2 windows
+      assert(got.toSeq.map(_._3).sum == data.size * 2)
+      // trending: the [10:00,10:10) window ranks click(3) over view(1)
+      val top = StatefulOps.topTrending(
+        spark.sql("SELECT * FROM slide_out"), k = 1)
+        .where($"window_start" === ts(0))
+        .select($"event_type", $"n_events").as[(String, Long)].collect()
+      assert(top.toSeq == Seq(("click", 3L)))
     } finally q.stop()
   }
 
