@@ -66,6 +66,26 @@ object Vocab {
           col("n_tokens").cast("double")).as("mean_logprob"))
   }
 
+  /** BPE first-iteration statistics: corpus-wide adjacent character-pair
+    * frequencies, weighted by word frequency — the exact counts the
+    * first merge step of byte-pair-encoding tokenizer training ranks.
+    * (Later BPE iterations re-run this over the merged symbol stream;
+    * one iteration is the representative distributed kernel.)
+    *
+    * SCALE: pairs are exploded from the DISTINCT-token table (vocabulary
+    * ≪ corpus) and weighted by tf, so corpus text is scanned once,
+    * partial-aggregated to the vocab map-side, and only (token, tf) and
+    * then (pair, partial sum) ever shuffle. Exploding pairs from raw
+    * text would shuffle every character of the corpus. */
+  def bpePairCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termStats(docs, idCol, textCol)
+      .where(length(col("token")) >= 2)
+      .select(col("token"), col("tf"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .select(col("tf"), col("token").substr(col("i"), lit(2)).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("tf")).as("n"))
+
   /** Per-document top-k distinctive terms: rank by within-doc frequency
     * descending, then corpus document-frequency ascending (rarer-in-
     * corpus wins the tie — the rank-based analog of tf-idf without

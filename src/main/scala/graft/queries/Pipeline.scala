@@ -821,6 +821,28 @@ object Pipeline {
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS rk FROM votes)
              |SELECT query_id, nbr_label AS pred_label, votes FROM best WHERE rk = 1
              |ORDER BY query_id""".stripMargin),
-      "kNN label propagation: majority vote of 5 nearest labeled neighbors, smaller-label tiebreak")
+      "kNN label propagation: majority vote of 5 nearest labeled neighbors, smaller-label tiebreak"),
+
+    // ---- BPE tokenizer-training statistics: top adjacent character
+    // pairs by tf-weighted frequency. Pairs explode from the DISTINCT
+    // token table (vocab ≪ corpus), so corpus text partial-aggs away
+    // map-side and only (pair, partial sum) shuffles; top-k is
+    // TakeOrdered, not a full sort.
+    QueryDef(
+      "p29_bpe_pairs",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.bpePairCounts(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"n".desc, $"pair")
+          .limit(50)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT u.tok FROM w, UNNEST(w.ws) AS u(tok)),
+             |v AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok),
+             |p AS (SELECT tf, substr(tok, CAST(r.i AS INTEGER), 2) AS pair
+             |  FROM v, UNNEST(range(1, len(tok))) AS r(i) WHERE len(tok) >= 2)
+             |SELECT pair, CAST(SUM(tf) AS BIGINT) AS n FROM p GROUP BY pair
+             |ORDER BY n DESC, pair LIMIT 50""".stripMargin),
+      "BPE merge-step statistics: tf-weighted adjacent char-pair counts off the vocab, top-50")
   )
 }

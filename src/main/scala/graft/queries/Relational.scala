@@ -655,6 +655,29 @@ object Relational {
              |FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin),
-      "per-user sliding mean over a ROWS frame, micro-unit-quantized for exact cross-engine sums")
+      "per-user sliding mean over a ROWS frame, micro-unit-quantized for exact cross-engine sums"),
+
+    // ---- dense_rank + lead: within-nation balance leaderboard with the
+    // gap to the next customer below. One shuffle on the partition key;
+    // raw parquet doubles compare and subtract identically cross-engine.
+    QueryDef(
+      "q31_dense_rank_lead",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey")
+          .orderBy($"c_acctbal".desc, $"c_custkey")
+        T(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+            dense_rank().over(w).as("drank"),
+            ($"c_acctbal" - lead($"c_acctbal", 1).over(w)).as("gap_below"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+             |CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+             |c_acctbal - LEAD(c_acctbal, 1) OVER w AS gap_below
+             |FROM customer WINDOW w AS (PARTITION BY c_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "dense_rank + lead gap within nation partitions (O1/W-class window coverage)")
   )
 }

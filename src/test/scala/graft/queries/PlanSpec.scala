@@ -217,6 +217,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(user_id"), s"window not keyed:\n$p")
   }
 
+  test("p29: BPE pairs explode off the vocab and take top-k via TakeOrdered") {
+    val p = plan("p29_bpe_pairs")
+    // pair explosion must sit above the vocab aggregate (vocab ≪ corpus)
+    assert(p.contains("Generate"), s"pair explode missing:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final agg for vocab AND pair counts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should not full-sort:\n$p")
+  }
+
+  test("q31: dense_rank/lead windows partition by nation (no global sort)") {
+    val p = plan("q31_dense_rank_lead")
+    assert(p.contains("windowspecdefinition(c_nationkey"), s"window not keyed:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
