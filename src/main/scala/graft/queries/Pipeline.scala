@@ -843,6 +843,37 @@ object Pipeline {
              |  FROM v, UNNEST(range(1, len(tok))) AS r(i) WHERE len(tok) >= 2)
              |SELECT pair, CAST(SUM(tf) AS BIGINT) AS n FROM p GROUP BY pair
              |ORDER BY n DESC, pair LIMIT 50""".stripMargin),
-      "BPE merge-step statistics: tf-weighted adjacent char-pair counts off the vocab, top-50")
+      "BPE merge-step statistics: tf-weighted adjacent char-pair counts off the vocab, top-50"),
+
+    // ---- HLL distinct-count sketch vs exact, one row. The sketch is
+    // md5-deterministic (same buckets/rhos in DuckDB); at 100 TB the
+    // exact side is the one that stops scaling — the sketch's per-
+    // partition state is 512 ints regardless of input size.
+    QueryDef(
+      "p30_hll_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        graft.pipeline.Sketch.hllSummary(d, "text")
+          .crossJoin(d.agg(countDistinct($"text").as("exact_distinct")))
+      },
+      Some(s"""WITH h AS (SELECT CAST('0x'||substr(md5(text),1,8) AS BIGINT) AS v FROM documents),
+             |r AS (SELECT v >> 23 AS bucket,
+             |  CASE WHEN (v & 8388607) = 0 THEN 24
+             |       ELSE 24 - length(bin(v & 8388607)) END AS rho FROM h),
+             |g AS (SELECT bucket, MAX(rho) AS mrho FROM r GROUP BY bucket),
+             |st AS (SELECT COUNT(*) AS used_buckets,
+             |  CAST(SUM(CAST(1 AS BIGINT) << (24 - mrho)) AS BIGINT) AS sp FROM g),
+             |raw AS (SELECT used_buckets, 512 - used_buckets AS zero_buckets,
+             |  sp + (512 - used_buckets) * 16777216 AS sum_scaled,
+             |  ${graft.pipeline.Sketch.K} / CAST(sp + (512 - used_buckets) * 16777216 AS DOUBLE) AS estimate
+             |  FROM st)
+             |SELECT used_buckets, zero_buckets, sum_scaled, estimate,
+             |CASE WHEN zero_buckets > 0 AND estimate <= 1280.0
+             |  THEN 512.0 * ln(512.0 / CAST(zero_buckets AS DOUBLE))
+             |  ELSE estimate END AS estimate_corrected,
+             |(SELECT COUNT(DISTINCT text) FROM documents) AS exact_distinct
+             |FROM raw""".stripMargin),
+      "deterministic md5-HLL cardinality sketch (512 buckets, exact integer path) vs exact distinct")
   )
 }

@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  private def estimate(n: Int, parts: Int = 4): (Double, Long) = {
+    import spark.implicits._
+    val df = (1 to n).map(i => s"doc-$i").toDF("x").repartition(parts)
+    val r = Sketch.hllSummary(df, "x").collect().head
+    (r.getDouble(4), r.getLong(0)) // corrected estimate
+  }
+
+  test("hll: corrected estimate within ~3 standard errors across scales") {
+    // se = 1.04/sqrt(512) ≈ 4.6% -> accept 15%; small n exercises the
+    // linear-counting branch, large n the raw harmonic estimator
+    for (n <- Seq(100, 1000, 20000)) {
+      val (est, _) = estimate(n)
+      assert(math.abs(est - n) / n < 0.15, s"n=$n est=$est")
+    }
+  }
+
+  test("hll: partitioning-invariant (integer path, mergeable max)") {
+    val a = estimate(5000, parts = 1)
+    val b = estimate(5000, parts = 17)
+    assert(a == b)
+  }
+
+  test("hll: duplicates do not move the estimate") {
+    import spark.implicits._
+    val base = (1 to 800).map(i => s"d$i")
+    val dup = base ++ base ++ base
+    val e1 = Sketch.hllSummary(base.toDF("x"), "x").collect().head.getDouble(3)
+    val e2 = Sketch.hllSummary(dup.toDF("x"), "x").collect().head.getDouble(3)
+    assert(e1 == e2)
+  }
+}
