@@ -874,6 +874,59 @@ object Pipeline {
              |  ELSE estimate END AS estimate_corrected,
              |(SELECT COUNT(DISTINCT text) FROM documents) AS exact_distinct
              |FROM raw""".stripMargin),
-      "deterministic md5-HLL cardinality sketch (512 buckets, exact integer path) vs exact distinct")
+      "deterministic md5-HLL cardinality sketch (512 buckets, exact integer path) vs exact distinct"),
+
+    // ---- End-to-end curation pipeline: quality filter → exact dedup →
+    // train/val/test split → token-budget shard packing for the train
+    // split, ONE composed plan. The composition is the point: every
+    // stage is the catalog operator (p10/p1/p17/p18) applied in
+    // sequence, and text is projected away before the first shuffle —
+    // downstream stages move only (id, hash, quality, tokens).
+    QueryDef(
+      "p31_curation_e2e",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+          .select($"doc_id", $"text",
+            TextAnalysis.qualityScore(TextOps.tokens($"text")).as("quality"),
+            size(TextOps.tokens($"text")).cast("long").as("tokens"))
+        val kept = d.where($"quality" >= 0.40)
+          .select($"doc_id", md5($"text").as("h"), $"quality", $"tokens")
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"h").orderBy($"doc_id")
+        val clean = kept.withColumn("rn", row_number().over(wd))
+          .where($"rn" === 1)
+          .select($"doc_id", $"quality", $"tokens",
+            Sampling.hashSplit($"doc_id",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        val shards = Packing.packShards(
+          clean.where($"split" === "train"), "doc_id", "tokens", 2000L)
+          .select($"doc_id", $"shard_id")
+        clean.join(shards, Seq("doc_id"), "left")
+          .select($"doc_id", $"quality", $"tokens", $"split", $"shard_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+             |q AS (SELECT doc_id, text, CAST(len(words) AS BIGINT) AS tokens,
+             |  0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+             |  + 0.3 * least((CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) / 8.0, 1.0)
+             |  + 0.3 * least((CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) * 3.0, 1.0)
+             |  AS quality FROM w),
+             |k AS (SELECT doc_id, md5(text) AS h, quality, tokens FROM q WHERE quality >= 0.40),
+             |c AS (SELECT doc_id, quality, tokens,
+             |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM k),
+             |cl AS (SELECT doc_id, quality, tokens,
+             |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 AS sb
+             |  FROM c WHERE rn = 1),
+             |sp AS (SELECT doc_id, quality, tokens,
+             |  CASE WHEN sb < 800 THEN 'train' WHEN sb < 900 THEN 'val' ELSE 'test' END AS split FROM cl),
+             |tr AS (SELECT doc_id,
+             |  CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+             |  FROM sp WHERE split = 'train')
+             |SELECT sp.doc_id, sp.quality, sp.tokens, sp.split,
+             |tr.prefix // 2000 AS shard_id
+             |FROM sp LEFT JOIN tr ON sp.doc_id = tr.doc_id
+             |ORDER BY sp.doc_id""".stripMargin),
+      "end-to-end curation: quality filter -> exact dedup -> split -> train shard packing, one plan")
   )
 }

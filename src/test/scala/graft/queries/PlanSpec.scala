@@ -232,6 +232,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("p31: curation pipeline projects text away before any shuffle") {
+    val p = plan("p31_curation_e2e")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("text")),
+      s"text must not shuffle in the composed pipeline:\n$p")
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
