@@ -678,6 +678,38 @@ object Relational {
              |FROM customer WINDOW w AS (PARTITION BY c_nationkey
              |  ORDER BY c_acctbal DESC, c_custkey)
              |ORDER BY c_custkey""".stripMargin),
-      "dense_rank + lead gap within nation partitions (O1/W-class window coverage)")
+      "dense_rank + lead gap within nation partitions (O1/W-class window coverage)"),
+
+    // ---- Co-located fact-fact join over a bucketed layout: both sides
+    // written ONCE bucketed by orderkey (same bucket count), so the join
+    // itself needs NO exchange — each bucket pair joins locally. The
+    // write-once/join-many batch analog of the persisted ANN index;
+    // PlanSpec pins that no shuffle carries the join key.
+    QueryDef(
+      "q32_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val o = T(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        val l = T(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        val (ot, op) = graft.operators.Bucketing.layoutFor(dir, "orders")
+        val (lt, lp) = graft.operators.Bucketing.layoutFor(dir, "lineitem")
+        graft.operators.Bucketing.ensureBucketed(s, o, ot, op, "o_orderkey", 8)
+        graft.operators.Bucketing.ensureBucketed(s, l, lt, lp, "l_orderkey", 8)
+        s.table(ot).join(s.table(lt), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            sum($"l_extendedprice".cast(dec) *
+              (lit(BigDecimal(1)).cast(dec) - $"l_discount".cast(dec)))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_items
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "revenue by priority over pre-bucketed orders/lineitem: the join side is exchange-free")
   )
 }

@@ -241,6 +241,25 @@ class PlanSpec extends SparkSpec {
       s"text must not shuffle in the composed pipeline:\n$p")
   }
 
+  test("q32: bucketed join needs no exchange on the join key") {
+    // at test scale Catalyst would broadcast the small side; disable it
+    // to model the big-big regime the bucketed layout exists for
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q32_bucketed_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // the only exchanges are the post-join aggregation + final sort —
+      // neither side shuffles on orderkey (bucket layout co-locates them)
+      val exchanges = p.linesIterator
+        .filter(_.contains("Arguments: hashpartitioning")).toSeq
+      assert(exchanges.forall(!_.contains("orderkey")),
+        s"join key shuffled despite bucketing:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
