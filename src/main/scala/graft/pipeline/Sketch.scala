@@ -42,7 +42,14 @@ object Sketch {
     * integer bit-length, no float log). Each bucket keeps max(rho); the
     * harmonic sum is computed scaled by 2^(WBITS+1) so it stays an exact
     * BIGINT; the estimate is the single final double division. */
-  def hllSummary(df: DataFrame, valueCol: String): DataFrame = {
+  /** The sketch's state table: (bucket, mrho), one row per touched
+    * bucket — at most M rows however large the input. A single max
+    * aggregation, so it runs UNCHANGED as a Structured Streaming
+    * update-mode aggregation (streaming allows one aggregation per
+    * query; the one-row estimate reduction happens batch-side via
+    * [[estimateFromBuckets]] in foreachBatch — same split as the
+    * trending top-k). Two sketches union by max per bucket. */
+  def hllBuckets(df: DataFrame, valueCol: String): DataFrame = {
     val v = conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
     val w = v.bitwiseAND(lit((1L << WBITS) - 1))
@@ -50,6 +57,11 @@ object Sketch {
       .otherwise(lit(WBITS + 1) - length(bin(w)))
     df.select(shiftright(v, WBITS).as("bucket"), rho.cast("int").as("rho"))
       .groupBy("bucket").agg(max("rho").as("mrho"))
+  }
+
+  /** One-row estimate from a (bucket, mrho) state table. */
+  def estimateFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
       .agg(count(lit(1)).as("used_buckets"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${WBITS + 1} - mrho)"))
           .as("sp"))
@@ -64,5 +76,7 @@ object Sketch {
           lit(M.toDouble) * log(lit(M.toDouble) /
             col("zero_buckets").cast("double")))
           .otherwise(col("estimate")))
-  }
+
+  def hllSummary(df: DataFrame, valueCol: String): DataFrame =
+    estimateFromBuckets(hllBuckets(df, valueCol))
 }

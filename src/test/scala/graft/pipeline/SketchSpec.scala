@@ -27,6 +27,31 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hll: streaming bucket state converges to the batch estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("hll").toString
+    val q = Sketch.hllBuckets(input.toDF().toDF("x"), "x")
+      .writeStream.format("memory").queryName("hll_buckets")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val data = (1 to 3000).map(i => s"v$i")
+    try {
+      input.addData(data.take(1000))
+      q.processAllAvailable()
+      input.addData(data.drop(1000))
+      q.processAllAvailable()
+      val streamed = Sketch.estimateFromBuckets(
+        spark.sql("SELECT bucket, mrho FROM hll_buckets"))
+        .collect().head
+      val batch = Sketch.hllSummary(data.toDF("x"), "x").collect().head
+      assert(streamed == batch) // identical mergeable state either way
+    } finally q.stop()
+  }
+
   test("hll: duplicates do not move the estimate") {
     import spark.implicits._
     val base = (1 to 800).map(i => s"d$i")
