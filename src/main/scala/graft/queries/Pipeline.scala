@@ -927,6 +927,50 @@ object Pipeline {
              |tr.prefix // 2000 AS shard_id
              |FROM sp LEFT JOIN tr ON sp.doc_id = tr.doc_id
              |ORDER BY sp.doc_id""".stripMargin),
-      "end-to-end curation: quality filter -> exact dedup -> split -> train shard packing, one plan")
+      "end-to-end curation: quality filter -> exact dedup -> split -> train shard packing, one plan"),
+
+    // ---- Corpus snapshot diff: full-outer reconciliation of two
+    // dataset versions by doc id, comparing md5 content — the
+    // added/removed/changed accounting between corpus releases. Both
+    // sides collapse to (id, hash) BEFORE the join: the shuffle carries
+    // fixed-width keys, never text. Snapshot B is derived
+    // deterministically (drop doc_id%17==0, re-case doc_id%13==0) so
+    // the oracle reproduces it exactly.
+    QueryDef(
+      "p32_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val a = T(s, dir, "documents")
+          .select($"doc_id".as("id_a"), md5($"text").as("h_a"))
+        val d = T(s, dir, "documents")
+        val b = d.where($"doc_id" % 17 =!= 0)
+          .select($"doc_id".as("id_b"),
+            md5(when($"doc_id" % 13 === 0, upper($"text"))
+              .otherwise($"text")).as("h_b"))
+          .unionAll(d.where($"doc_id" % 19 === 0) // new docs in B
+            .select(($"doc_id" + 100000L).as("id_b"), md5($"text").as("h_b")))
+        a.join(b, $"id_a" === $"id_b", "full_outer")
+          .select(coalesce($"id_a", $"id_b").as("doc_id"),
+            when($"id_a".isNull, "added")
+              .when($"id_b".isNull, "removed")
+              .when($"h_a" =!= $"h_b", "changed")
+              .otherwise("same").as("status"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"status")
+      },
+      Some("""WITH a AS (SELECT doc_id AS id_a, md5(text) AS h_a FROM documents),
+             |b AS (SELECT doc_id AS id_b,
+             |  md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS h_b
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 19 = 0)
+             |SELECT CASE WHEN id_a IS NULL THEN 'added'
+             |  WHEN id_b IS NULL THEN 'removed'
+             |  WHEN h_a <> h_b THEN 'changed' ELSE 'same' END AS status,
+             |COUNT(*) AS n_docs
+             |FROM a FULL OUTER JOIN b ON id_a = id_b
+             |GROUP BY status ORDER BY status""".stripMargin),
+      "corpus snapshot diff: added/removed/changed/same accounting via hash-only full-outer join")
   )
 }
