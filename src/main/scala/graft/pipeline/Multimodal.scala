@@ -97,6 +97,21 @@ object Multimodal {
     }
   }
 
+  /** Resize planning: aspect-preserving fit of decoded (width, height)
+    * into a maxW×maxH box, never upscaling. All integer arithmetic
+    * (permille scale factor, floor division) — deterministic and
+    * engine-portable. The byte-level resample belongs in the batched
+    * codec ([[decodeBatched]]'s `codec`) like decode itself; this op is
+    * the dimension planning every resize stage needs first, as a pure
+    * codegen'd projection — no shuffle, no UDF. */
+  def resizeDims(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    decoded.withColumn("scale_pm", expr(
+      s"least(CAST(${maxW.toLong * 1000} AS BIGINT) DIV width, " +
+        s"CAST(${maxH.toLong * 1000} AS BIGINT) DIV height, " +
+        "CAST(1000 AS BIGINT))"))
+      .withColumn("out_w", expr("(width * scale_pm) DIV 1000"))
+      .withColumn("out_h", expr("(height * scale_pm) DIV 1000"))
+
   /** Frame sampling plan: every `step`-th frame index per media item,
     * exploded to one row per sampled frame with a deterministic feature
     * id. Pure Column expressions — the fan-out is a generator, no UDF. */

@@ -971,6 +971,36 @@ object Pipeline {
              |COUNT(*) AS n_docs
              |FROM a FULL OUTER JOIN b ON id_a = id_b
              |GROUP BY status ORDER BY status""".stripMargin),
-      "corpus snapshot diff: added/removed/changed/same accounting via hash-only full-outer join")
+      "corpus snapshot diff: added/removed/changed/same accounting via hash-only full-outer join"),
+
+    // ---- Resize planning on decoded media: aspect-preserving fit into
+    // a 48x40 box, integer permille arithmetic (never upscales). The
+    // byte resample lives in the batched codec; the planning is a pure
+    // projection over the decode output.
+    QueryDef(
+      "p33_resize_dims",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.resizeDims(
+          Multimodal.decodeStub(
+            Multimodal.asMedia(T(s, dir, "documents"), "doc_id", "text")),
+          maxW = 48, maxH = 40)
+          .select($"media_id", $"width", $"height",
+            $"scale_pm", $"out_w", $"out_h")
+          .orderBy($"media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id AS media_id,
+             |  16 + octet_length(encode(text)) % 64 AS width,
+             |  16 + (ascii(substr(text,1,1)) & 63) AS height
+             |  FROM documents),
+             |s AS (SELECT media_id, width, height,
+             |  least(CAST(48000 AS BIGINT) // width,
+             |        CAST(40000 AS BIGINT) // height,
+             |        CAST(1000 AS BIGINT)) AS scale_pm FROM d)
+             |SELECT media_id, width, height, scale_pm,
+             |(width * scale_pm) // 1000 AS out_w,
+             |(height * scale_pm) // 1000 AS out_h
+             |FROM s ORDER BY media_id""".stripMargin),
+      "media resize planning: aspect-preserving integer fit into 48x40, pure projection")
   )
 }
