@@ -52,6 +52,22 @@ object Sampling {
       salt: String = "sample"): Column =
     hashBucket(id, salt) < math.round(fraction * 1000)
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-ES),
+    * deterministic: each row draws u = md5-derived uniform in (0,1] and
+    * ranks by key = ln(u)/w (equivalently u^(1/w)); the top-k keys are
+    * a weight-proportional sample. rand()-free — the draw is a pure
+    * function of (id, salt), so engines and re-runs agree exactly.
+    *
+    * SCALE: one projection + a global top-k (TakeOrderedAndProject) —
+    * no shuffle beyond the k survivors per partition. */
+  def weightedSampleKey(
+      id: Column, weight: Column, salt: String = "wsample"): Column = {
+    // 12 hex chars = 48 bits: (h+1)/2^48 ∈ (0,1], exact in a double
+    val h = conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))),
+      1, 12), 16, 10).cast("long")
+    log((h.cast("double") + lit(1.0d)) / lit(281474976710656.0d)) / weight
+  }
+
   /** Stratified balanced sampling: deterministically thin each group to
     * ~`cap` rows in expectation — the language/domain rebalancing step
     * of corpus curation (down-weight over-represented strata; groups at

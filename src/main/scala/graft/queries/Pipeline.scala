@@ -1001,6 +1001,39 @@ object Pipeline {
              |(width * scale_pm) // 1000 AS out_w,
              |(height * scale_pm) // 1000 AS out_h
              |FROM s ORDER BY media_id""".stripMargin),
-      "media resize planning: aspect-preserving integer fit into 48x40, pure projection")
+      "media resize planning: aspect-preserving integer fit into 48x40, pure projection"),
+
+    // ---- Quality-weighted sampling without replacement (A-ES): rank by
+    // ln(u)/w with an md5-derived uniform — weight-proportional, fully
+    // deterministic (no rand()), and the top-k is TakeOrdered, so only
+    // k survivors per partition ever move.
+    QueryDef(
+      "p34_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select($"doc_id",
+            TextAnalysis.qualityScore(TextOps.tokens($"text")).as("quality"))
+          .withColumn("wkey_q",
+            // nano-unit quantization: the ranking key becomes an exact
+            // integer (raw ln keys showed 1-ulp cross-engine drift)
+            floor(Sampling.weightedSampleKey($"doc_id", $"quality") *
+              lit(1e9)).cast("long"))
+          .orderBy($"wkey_q".desc, $"doc_id")
+          .limit(100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |q AS (SELECT doc_id,
+             |  0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+             |  + 0.3 * least((CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) / 8.0, 1.0)
+             |  + 0.3 * least((CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) * 3.0, 1.0)
+             |  AS quality FROM w),
+             |k AS (SELECT doc_id, quality,
+             |  CAST(floor(ln((CAST(CAST('0x'||substr(md5('wsample:'||CAST(doc_id AS VARCHAR)),1,12) AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0) / quality * 1000000000.0) AS BIGINT) AS wkey_q
+             |  FROM q),
+             |top AS (SELECT doc_id, quality, wkey_q FROM k ORDER BY wkey_q DESC, doc_id LIMIT 100)
+             |SELECT doc_id, quality, wkey_q FROM top ORDER BY doc_id""".stripMargin),
+      "Efraimidis-Spirakis weighted sample: quality-proportional top-100, md5-deterministic draws")
   )
 }
