@@ -98,6 +98,45 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Sorted-neighborhood near-dup candidates — the classic
+    * entity-resolution blocking strategy, complementary to band-LSH
+    * ([[simhashPairs]]): sort the corpus by SimHash value (near-dups
+    * agree on high bits, so they land adjacent) and compare each doc
+    * only against its next `window` neighbors in that order, verifying
+    * by Hamming distance. Catches pairs whose banding chunk straddles a
+    * boundary; misses pairs differing in a high bit — run BOTH
+    * strategies and union for recall, as production ER pipelines do.
+    *
+    * SCALE: one global sort on a fixed-width long (range-partitioned,
+    * no data beyond (id, sig) moves) + `window` lead() comparisons per
+    * row — O(n·w) comparisons total, no pair blow-up, no bucket skew.
+    * The boundary caveat: lead() within a range partition misses pairs
+    * straddling partition edges unless partitions overlap by `window`
+    * rows (Spark's WindowExec handles this internally). */
+  def sortedNeighborPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, maxHamming: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+      TextOps.simhash(TextOps.tokens(col(textCol)), bits = 60).as("sig"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("sig", "doc_id")
+    // leads materialize in a projection first (window functions are not
+    // allowed inside a generator), then fan out
+    val withLeadCols = sigs.select(col("doc_id") +: col("sig") +:
+      (1 to window).map(i => struct(
+        lead(col("doc_id"), i).over(w).as("nbr_id"),
+        lead(col("sig"), i).over(w).as("nbr_sig")).as(s"__n$i")): _*)
+    val withLeads = withLeadCols.select(col("doc_id"), col("sig"),
+      explode(array((1 to window).map(i => col(s"__n$i")): _*)).as("nbr"))
+    withLeads
+      .where(col("nbr.nbr_id").isNotNull)
+      .select(
+        least(col("doc_id"), col("nbr.nbr_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nbr.nbr_id")).as("doc_b"),
+        bit_count(col("sig").bitwiseXOR(col("nbr.nbr_sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-dup CLUSTER assignment — the step that turns pairwise matches
     * into "keep one canonical doc per duplicate group": connected
     * components over the similarity graph, labeling every doc with the

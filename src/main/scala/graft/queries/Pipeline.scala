@@ -1034,6 +1034,33 @@ object Pipeline {
              |  FROM q),
              |top AS (SELECT doc_id, quality, wkey_q FROM k ORDER BY wkey_q DESC, doc_id LIMIT 100)
              |SELECT doc_id, quality, wkey_q FROM top ORDER BY doc_id""".stripMargin),
-      "Efraimidis-Spirakis weighted sample: quality-proportional top-100, md5-deterministic draws")
+      "Efraimidis-Spirakis weighted sample: quality-proportional top-100, md5-deterministic draws"),
+
+    // ---- Sorted-neighborhood blocking: sort by SimHash, compare each
+    // doc against its next 3 neighbors — O(n·w) comparisons, no bucket
+    // skew; complements p4's band-LSH (union both for recall). The
+    // oracle states the window as a row_number range self-join.
+    QueryDef(
+      "p35_sorted_neighbors",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.sortedNeighborPairs(T(s, dir, "documents"), "doc_id", "text",
+          window = 3, maxHamming = 8)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |h AS (SELECT doc_id, list_transform(words, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS hs FROM w),
+             |sg AS (SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0,60), b -> CASE WHEN
+             |  list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |  THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS sig FROM h),
+             |r AS (SELECT doc_id, sig, ROW_NUMBER() OVER (ORDER BY sig, doc_id) AS rn FROM sg),
+             |p AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             |  greatest(a.doc_id, b.doc_id) AS doc_b,
+             |  bit_count(xor(a.sig, b.sig)) AS hamming
+             |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+             |SELECT DISTINCT doc_a, doc_b, hamming FROM p WHERE hamming <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "sorted-neighborhood near-dup blocking: SimHash sort order + 3-neighbor window, Hamming verify")
   )
 }

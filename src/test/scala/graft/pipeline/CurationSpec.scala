@@ -63,6 +63,20 @@ class CurationSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("sortedNeighborPairs: near-dups found via sort adjacency, strangers not") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                          // near-dup of 2
+      (2L, base + " extra"),               // one-word edit
+      (3L, (100 to 140).map(i => s"zz$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("knnClassify: majority label wins; tie breaks to smaller label") {
     import spark.implicits._
     // 1-D embeddings padded to 2 dims; query at 0.95: neighbors at
