@@ -1061,6 +1061,38 @@ object Pipeline {
              |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
              |SELECT DISTINCT doc_a, doc_b, hamming FROM p WHERE hamming <= 8
              |ORDER BY doc_a, doc_b""".stripMargin),
-      "sorted-neighborhood near-dup blocking: SimHash sort order + 3-neighbor window, Hamming verify")
+      "sorted-neighborhood near-dup blocking: SimHash sort order + 3-neighbor window, Hamming verify"),
+
+    // ---- Robust outlier flagging: per-language median/MAD of document
+    // length (discrete exact percentiles — integer-preserving, the
+    // q24 convention), flag |x - med| > 3*MAD. Robust to the heavy
+    // tails that wreck mean/stddev cutoffs; both stats are tiny
+    // per-group aggregates broadcast back — the corpus never shuffles.
+    QueryDef(
+      "p36_length_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+        val med = d.groupBy($"lang").agg(
+          percentile_approx($"n_chars", lit(0.5), lit(Int.MaxValue)).as("med"))
+        val j = d.join(broadcast(med), "lang")
+        val mad = j.groupBy($"lang").agg(
+          percentile_approx(abs($"n_chars" - $"med"), lit(0.5),
+            lit(Int.MaxValue)).as("mad"))
+        j.join(broadcast(mad), "lang")
+          .select($"doc_id", $"lang", $"n_chars", $"med", $"mad",
+            (abs($"n_chars" - $"med") > $"mad" * 3).as("is_outlier"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+             |  FROM documents GROUP BY lang),
+             |j AS (SELECT d.doc_id, d.lang, d.n_chars, m.med
+             |  FROM documents d JOIN m USING(lang)),
+             |md AS (SELECT lang, quantile_disc(abs(n_chars - med), 0.5) AS mad
+             |  FROM j GROUP BY lang)
+             |SELECT j.doc_id, j.lang, j.n_chars, j.med, md.mad,
+             |abs(j.n_chars - j.med) > md.mad * 3 AS is_outlier
+             |FROM j JOIN md USING(lang) ORDER BY j.doc_id""".stripMargin),
+      "robust per-language length outliers: exact discrete median/MAD, 3-MAD flag, broadcast stats")
   )
 }
