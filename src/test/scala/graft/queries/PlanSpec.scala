@@ -260,6 +260,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("p34: weighted sample top-k compiles to TakeOrdered, not a full sort") {
+    val p = plan("p34_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p35: sorted-neighborhood pairs need no join for candidates") {
+    val p = plan("p35_sorted_neighbors")
+    // candidates come from lead() windows over the sig sort — the plan
+    // must contain no join at all (contrast: LSH bucket self-joins)
+    assert(!p.contains("Join"), s"neighbor blocking must not join:\n$p")
+    assert(p.contains("windowspecdefinition"), p)
+  }
+
+  test("p36: median/MAD stats broadcast back (corpus never shuffles)") {
+    val p = plan("p36_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for the stats joins:\n$p")
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
