@@ -66,6 +66,64 @@ object Vocab {
           col("n_tokens").cast("double")).as("mean_logprob"))
   }
 
+  /** Per-document mean bigram surprisal — the conditional-LM upgrade of
+    * [[unigramLogProb]]: -ln P(w_i | w_{i-1}) averaged over a doc's
+    * bigrams, with add-one smoothing over the corpus's own bigram
+    * table. High surprisal = improbable word TRANSITIONS (shuffled or
+    * machine-mangled text scores high even when its unigrams look
+    * normal). Same determinism scheme: per-bigram log-probs quantized
+    * to integer micro-nats before the order-free per-doc sum.
+    *
+    * SCALE: the bigram LM is at most vocab² rows (in practice far
+    * sparser) and broadcasts; the doc-side bigram stream partial-aggs
+    * to one row per doc. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("doc"),
+        element_at(col("ws"), col("i")).as("prev"),
+        element_at(col("ws"), col("i") + 1).as("cur"))
+    val cBig = bg.groupBy("prev", "cur").agg(count(lit(1)).as("nb"))
+    val cPrev = bg.groupBy("prev").agg(count(lit(1)).as("np"))
+    val vsz = docs.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("vsz"))
+    val lm = cBig.join(cPrev, "prev").crossJoin(broadcast(vsz))
+      .select(col("prev"), col("cur"),
+        floor(log((col("nb").cast("double") + lit(1.0d)) /
+          (col("np").cast("double") + col("vsz").cast("double"))) * lit(1e6))
+          .cast("long").as("lpq"))
+    bg.join(broadcast(lm), Seq("prev", "cur"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpq")).as("lp_sum"))
+      .select(col("doc").as(idCol), col("n_bigrams"),
+        (-col("lp_sum").cast("double") / lit(1e6) /
+          col("n_bigrams").cast("double")).as("mean_surprisal"))
+  }
+
+  /** Vocabulary-growth curve (Heaps' law view): for each doc in id
+    * order, the number of NEVER-SEEN-BEFORE tokens it introduces and
+    * the cumulative vocabulary size up to it. Distributes cleanly even
+    * though the curve looks sequential: first occurrence = min(doc) per
+    * token (one agg), then a prefix sum over the per-doc counts — the
+    * running window here ranks |docs| rows, not tokens; at extreme doc
+    * counts swap it for Packing's two-phase distributed prefix sum. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val first = docs.select(col(idCol).as("doc"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(min(col("doc")).as("first_doc"))
+    val perDoc = first.groupBy("first_doc")
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(w))
+  }
+
   /** BPE first-iteration statistics: corpus-wide adjacent character-pair
     * frequencies, weighted by word frequency — the exact counts the
     * first merge step of byte-pair-encoding tokenizer training ranks.

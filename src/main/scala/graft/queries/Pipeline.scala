@@ -1093,6 +1093,53 @@ object Pipeline {
              |SELECT j.doc_id, j.lang, j.n_chars, j.med, md.mad,
              |abs(j.n_chars - j.med) > md.mad * 3 AS is_outlier
              |FROM j JOIN md USING(lang) ORDER BY j.doc_id""".stripMargin),
-      "robust per-language length outliers: exact discrete median/MAD, 3-MAD flag, broadcast stats")
+      "robust per-language length outliers: exact discrete median/MAD, 3-MAD flag, broadcast stats"),
+
+    // ---- Bigram surprisal: conditional-LM quality signal (catches
+    // shuffled/mangled text whose unigrams look normal). Bigram LM is
+    // ≤vocab² rows, broadcast; per-bigram log-probs quantized to
+    // integer micro-nats before the order-free per-doc sum.
+    QueryDef(
+      "p37_bigram_surprisal",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.bigramSurprisal(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |bg AS (SELECT doc_id, ws[CAST(r.i AS INTEGER)] AS prev, ws[CAST(r.i AS INTEGER) + 1] AS cur
+             |  FROM w, UNNEST(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2),
+             |cb AS (SELECT prev, cur, COUNT(*) AS nb FROM bg GROUP BY prev, cur),
+             |cp AS (SELECT prev, COUNT(*) AS np FROM bg GROUP BY prev),
+             |v AS (SELECT COUNT(DISTINCT u.tok) AS vsz FROM w, UNNEST(w.ws) AS u(tok)),
+             |lm AS (SELECT cb.prev, cb.cur,
+             |  CAST(floor(ln((CAST(nb AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + CAST(vsz AS DOUBLE))) * 1000000.0) AS BIGINT) AS lpq
+             |  FROM cb JOIN cp ON cb.prev = cp.prev, v)
+             |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             |-CAST(SUM(lm.lpq) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal
+             |FROM bg JOIN lm ON bg.prev = lm.prev AND bg.cur = lm.cur
+             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin),
+      "bigram conditional surprisal per doc: broadcast vocab^2-bounded LM, exact micro-nat sums"),
+
+    // ---- Vocabulary growth (Heaps' law): new tokens introduced per doc
+    // + cumulative vocab size, in doc-id order. First-occurrence = one
+    // min() agg over tokens; the prefix sum runs over |docs| rows.
+    QueryDef(
+      "p38_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.vocabGrowth(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT w.doc_id, u.tok
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+             |  UNNEST(w.ws) AS u(tok)),
+             |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok),
+             |p AS (SELECT first_doc, COUNT(*) AS new_tokens FROM f GROUP BY first_doc)
+             |SELECT d.doc_id, COALESCE(p.new_tokens, 0) AS new_tokens,
+             |CAST(SUM(COALESCE(p.new_tokens, 0)) OVER (ORDER BY d.doc_id) AS BIGINT) AS vocab_size
+             |FROM documents d LEFT JOIN p ON d.doc_id = p.first_doc
+             |ORDER BY d.doc_id""".stripMargin),
+      "Heaps-law vocabulary growth: per-doc new-token count + running vocab size")
   )
 }
