@@ -124,6 +124,44 @@ object Vocab {
       .withColumn("vocab_size", sum(col("new_tokens")).over(w))
   }
 
+  /** Pointwise mutual information of token pairs by document-level
+    * co-occurrence: PMI(a,b) = ln(c(a,b)·N / (c(a)·c(b))) over distinct
+    * per-doc token sets — the collocation/phrase-mining statistic.
+    * Quantized to integer micro-nats for engine-exact ranking.
+    *
+    * SCALE: the pair join is per-doc quadratic in DISTINCT tokens —
+    * bounded here by capping each doc to its `maxTokens` first distinct
+    * tokens (standard practice: PMI over full 100k-token docs is
+    * meaningless anyway); margins and totals are vocab-sized
+    * broadcasts. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 64, minPairCount: Long = 5L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("token"))
+    val docTok = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxTokens)
+      .select(col("doc"), col("token"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val margin = docTok.groupBy("token").agg(count(lit(1)).as("m"))
+    val a = docTok.select(col("doc"), col("token").as("tok_a"))
+    val b = docTok.select(col("doc"), col("token").as("tok_b"))
+    val pairs = a.join(b, Seq("doc")).where(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minPairCount)
+    pairs
+      .join(broadcast(margin.select(col("token").as("tok_a"),
+        col("m").as("ca"))), "tok_a")
+      .join(broadcast(margin.select(col("token").as("tok_b"),
+        col("m").as("cb"))), "tok_b")
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("cab"),
+        floor(log((col("cab").cast("double") * col("n_docs").cast("double")) /
+          (col("ca").cast("double") * col("cb").cast("double"))) * lit(1e6))
+          .cast("long").as("pmi_q"))
+  }
+
   /** BPE first-iteration statistics: corpus-wide adjacent character-pair
     * frequencies, weighted by word frequency — the exact counts the
     * first merge step of byte-pair-encoding tokenizer training ranks.

@@ -1140,6 +1140,35 @@ object Pipeline {
              |CAST(SUM(COALESCE(p.new_tokens, 0)) OVER (ORDER BY d.doc_id) AS BIGINT) AS vocab_size
              |FROM documents d LEFT JOIN p ON d.doc_id = p.first_doc
              |ORDER BY d.doc_id""".stripMargin),
-      "Heaps-law vocabulary growth: per-doc new-token count + running vocab size")
+      "Heaps-law vocabulary growth: per-doc new-token count + running vocab size"),
+
+    // ---- PMI collocations: document-level co-occurrence PMI of token
+    // pairs (micro-nat quantized), top-50. Per-doc pair generation is
+    // capped at 64 distinct tokens; margins/totals broadcast.
+    QueryDef(
+      "p39_pmi_pairs",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.pmiPairs(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"pmi_q".desc, $"tok_a", $"tok_b")
+          .limit(50)
+      },
+      Some("""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+             |dt0 AS (SELECT w.doc_id, u.tok,
+             |  ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY u.tok) AS rk
+             |  FROM w, UNNEST(w.ws) AS u(tok)),
+             |dt AS (SELECT doc_id, tok FROM dt0 WHERE rk <= 64),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+             |m AS (SELECT tok, COUNT(*) AS mm FROM dt GROUP BY tok),
+             |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cab
+             |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |  GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5),
+             |s AS (SELECT p.tok_a, p.tok_b, p.cab,
+             |  CAST(floor(ln((CAST(p.cab AS DOUBLE) * CAST(n.n_docs AS DOUBLE)) /
+             |    (CAST(ma.mm AS DOUBLE) * CAST(mb.mm AS DOUBLE))) * 1000000.0) AS BIGINT) AS pmi_q
+             |  FROM p JOIN m ma ON p.tok_a = ma.tok JOIN m mb ON p.tok_b = mb.tok, n)
+             |SELECT tok_a, tok_b, cab, pmi_q FROM s
+             |ORDER BY pmi_q DESC, tok_a, tok_b LIMIT 50""".stripMargin),
+      "PMI collocations: doc-level co-occurrence, capped pair fan-out, micro-nat exact ranking")
   )
 }
