@@ -77,6 +77,42 @@ class CurationSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bigramSurprisal: likely transitions score lower than shuffled ones") {
+    import spark.implicits._
+    // "a b" dominates; doc 3 uses the same unigrams in unseen order
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b b a"),
+      (3L, "b b b a a a b b")).toDF("doc_id", "text")
+    val got = Vocab.bigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < got(2L) && got(2L) < got(3L))
+  }
+
+  test("vocabGrowth: running vocab counts each token at first appearance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y"), (2L, "y z"), (3L, "x y z"), (4L, "w")).toDF("doc_id", "text")
+    val got = Vocab.vocabGrowth(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L), (4L, 1L, 4L)))
+  }
+
+  test("pmiPairs: tokens that always co-occur outrank independent ones") {
+    import spark.implicits._
+    // p+q co-occur in every doc they appear in; r appears everywhere
+    val docs = (1L to 20L).map { i =>
+      val t = if (i <= 10) "p q r" else "r s t"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val got = Vocab.pmiPairs(docs, "doc_id", "text", minPairCount = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    val pq = got(("p", "q")); val pr = got(("p", "r"))
+    assert(pq > pr) // P(q|p)=1 with rare q beats pairing with ubiquitous r
+  }
+
   test("knnClassify: majority label wins; tie breaks to smaller label") {
     import spark.implicits._
     // 1-D embeddings padded to 2 dims; query at 0.95: neighbors at

@@ -280,6 +280,21 @@ class PlanSpec extends SparkSpec {
       s"corpus must not shuffle for the stats joins:\n$p")
   }
 
+  test("p37/p39: LM and margin tables broadcast onto their streams") {
+    for (name <- Seq("p37_bigram_surprisal", "p39_pmi_pairs")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: LM join should broadcast:\n$p")
+      val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      assert(exchanges.forall(!_.contains("text")), s"$name: text shuffles:\n$p")
+    }
+  }
+
+  test("p38: vocab growth needs one token aggregate, not a per-doc scan loop") {
+    val p = plan("p38_vocab_growth")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("windowspecdefinition"), p)
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
