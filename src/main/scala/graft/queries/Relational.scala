@@ -710,6 +710,54 @@ object Relational {
              |COUNT(*) AS n_items
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-      "revenue by priority over pre-bucketed orders/lineitem: the join side is exchange-free")
+      "revenue by priority over pre-bucketed orders/lineitem: the join side is exchange-free"),
+
+    // ---- Regression + correlation from EXACT sufficient statistics:
+    // quantity/price quantized to integer cents, the five sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²) kept in DECIMAL(38,0) — exact,
+    // order-free, and MERGEABLE (map-side partial agg; two datasets'
+    // stats add). Built-in corr()/regr_slope() aggregate doubles and
+    // drift across reduction orders; this formulation is bit-stable at
+    // any parallelism. Slope/corr are single double expressions over
+    // the exact sums at the very end.
+    QueryDef(
+      "q33_regression",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val xq = round($"l_quantity" * 100).cast(d38)
+        val yq = round($"l_extendedprice" * 100).cast(d38)
+        T(s, dir, "lineitem")
+          .select($"l_returnflag", xq.as("x"), yq.as("y"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).cast(d38).as("n"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"),
+            sum($"x" * $"x").as("sxx"),
+            sum($"y" * $"y").as("syy"))
+          .select($"l_returnflag",
+            $"n".cast("long").as("n_rows"),
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"),
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+              .as("corr"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH q AS (SELECT l_returnflag,
+             |  CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+             |  CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+             |  FROM lineitem),
+             |st AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+             |  SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             |  SUM(x*x) AS sxx, SUM(y*y) AS syy
+             |  FROM q GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+             |CAST(n*sxy - sx*sy AS DOUBLE) /
+             |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+             |FROM st ORDER BY l_returnflag""".stripMargin),
+      "regression slope + correlation from exact decimal sufficient statistics (mergeable, order-free)")
   )
 }

@@ -295,6 +295,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition"), p)
   }
 
+  test("q33: regression statistics partial-aggregate map-side (mergeable)") {
+    val p = plan("q33_regression")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"sufficient statistics must partial-agg:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the custom hash expressions") {
     // AQE shows codegen spans only in the final plan: execute first
     val df = SparkEntry.queries("p3_simhash_sig")(spark, dir)
