@@ -250,6 +250,35 @@ object StatefulOps {
       .where(col("rank") <= k)
   }
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * view events from the trailing `window` — the streaming twin of the
+    * batch RANGE-frame count (q27), as a true two-stream join. Both
+    * sides are watermarked and the join condition bounds event time on
+    * both ends, so Spark can size the join state and EVICT rows older
+    * than the watermark (an unbounded-condition stream join would keep
+    * state forever). Append mode: a match emits once both sides have
+    * arrived; state is sharded by the user_id equi-key like any keyed
+    * state.
+    */
+  def viewsBeforePurchase(
+      views: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour", window: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", delay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    p.join(v,
+      col("v_user") === col("user_id") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("v_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Event-time windowed rates with watermarking — the tumbling-window
     * aggregation the reference lacks any analog for (SURVEY §2.11 note:
     * no event-time semantics). Late data beyond `delay` is dropped;

@@ -176,6 +176,45 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("viewsBeforePurchase: stream-stream interval join matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "ts")
+    val ckpt = Files.createTempDirectory("ssj").toString
+    val q = StatefulOps.viewsBeforePurchase(df(vIn), df(pIn),
+      delay = "10 minutes", window = "30 minutes")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // user 7: views at 10:00, 10:20, purchase at 10:25 (both views in
+    // window); view at 10:25 is NOT before the purchase; user 8's view
+    // must not match user 7's purchase
+    val views = Seq((1L, 7L, ts(0)), (2L, 7L, ts(20)), (3L, 7L, ts(25)),
+      (4L, 8L, ts(24)))
+    val purchases = Seq((10L, 7L, ts(25)))
+    try {
+      vIn.addData(views.take(2))
+      q.processAllAvailable()
+      pIn.addData(purchases)
+      vIn.addData(views.drop(2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT purchase_id, view_id FROM ssj_out")
+        .as[(Long, Long)].collect().toSet
+      val batch = StatefulOps.viewsBeforePurchase(
+        views.toDF("event_id", "user_id", "ts"),
+        purchases.toDF("event_id", "user_id", "ts"),
+        window = "30 minutes")
+        .select($"purchase_id", $"view_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L), (10L, 2L)))
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("bucketGroup: best match, same-batch dup, FIFO cap") {
     def sig(e: SigEvent) = e
     // same batch: b arrives after a with identical sig -> caught
