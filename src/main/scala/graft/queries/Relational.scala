@@ -758,6 +758,35 @@ object Relational {
              |CAST(n*sxy - sx*sy AS DOUBLE) /
              |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
              |FROM st ORDER BY l_returnflag""".stripMargin),
-      "regression slope + correlation from exact decimal sufficient statistics (mergeable, order-free)")
+      "regression slope + correlation from exact decimal sufficient statistics (mergeable, order-free)"),
+
+    // ---- UNPIVOT (q22's inverse): wide per-flag aggregates melt into
+    // (metric, value) rows via the stack generator — a codegen'd
+    // projection fan-out over the already-aggregated table, no shuffle
+    // beyond the aggregation itself.
+    QueryDef(
+      "q34_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"),
+            sum($"l_extendedprice".cast(dec)).cast("double").as("sum_price"),
+            count(lit(1)).cast("double").as("n_rows"))
+          .select($"l_returnflag", expr(
+            """stack(3, 'n_rows', n_rows, 'sum_price', sum_price,
+              |'sum_qty', sum_qty) AS (metric, value)""".stripMargin))
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some("""WITH a AS (SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  CAST(COUNT(*) AS DOUBLE) AS n_rows
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a
+             |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+             |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM a
+             |ORDER BY l_returnflag, metric""".stripMargin),
+      "UNPIVOT via stack: wide aggregates melt to (metric, value) rows, generator fan-out")
   )
 }
