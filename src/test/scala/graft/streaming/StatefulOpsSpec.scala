@@ -215,6 +215,34 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dimension broadcast-joins onto the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val enriched = input.toDF().toDF("event_id", "event_type")
+      .join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+    val ckpt = Files.createTempDirectory("enrich").toString
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((1L, "click"), (2L, "view"), (3L, "unknown"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_id, category FROM enrich_out ORDER BY event_id")
+        .as[(Long, String)].collect().toSeq
+      // inner join drops the unmapped type; the dimension is static —
+      // a stream-static join runs stateless (no state store), re-joining
+      // each micro-batch against the broadcast table
+      assert(got == Seq(1L -> "engagement", 2L -> "impression"))
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("bucketGroup: best match, same-batch dup, FIFO cap") {
     def sig(e: SigEvent) = e
     // same batch: b arrives after a with identical sig -> caught
