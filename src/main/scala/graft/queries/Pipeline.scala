@@ -1169,6 +1169,39 @@ object Pipeline {
              |  FROM p JOIN m ma ON p.tok_a = ma.tok JOIN m mb ON p.tok_b = mb.tok, n)
              |SELECT tok_a, tok_b, cab, pmi_q FROM s
              |ORDER BY pmi_q DESC, tok_a, tok_b LIMIT 50""".stripMargin),
-      "PMI collocations: doc-level co-occurrence, capped pair fan-out, micro-nat exact ranking")
+      "PMI collocations: doc-level co-occurrence, capped pair fan-out, micro-nat exact ranking"),
+
+    // ---- Language-ID confusion matrix: labeled vs predicted language
+    // counts — the classifier-evaluation rollup over p11's predictor.
+    // Low-cardinality double groupBy; shuffle carries |langs|² rows.
+    QueryDef(
+      "p40_lang_confusion",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select($"lang".as("labeled"),
+            TextAnalysis.predictLang(TextOps.tokens($"text")).as("pred"))
+          .groupBy($"labeled", $"pred")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"labeled", $"pred")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS words FROM documents),
+             |sc AS (SELECT doc_id, lang,
+             |  CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','ein','zu'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_de,
+             |  CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_en,
+             |  CAST(len(list_filter(words, x -> list_contains(['el','la','los','y','es','un','una'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_es,
+             |  CAST(len(list_filter(words, x -> list_contains(['le','la','les','et','est','un','une'], x))) AS DOUBLE)/CAST(len(words) AS DOUBLE) AS s_fr
+             |  FROM w),
+             |pr AS (SELECT lang AS labeled,
+             |  CASE WHEN greatest(s_de,s_en,s_es,s_fr) >= 0.05 THEN
+             |    (CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+             |          WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+             |          WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+             |          ELSE 'fr' END)
+             |  ELSE 'und' END AS pred
+             |  FROM sc)
+             |SELECT labeled, pred, COUNT(*) AS n_docs FROM pr
+             |GROUP BY labeled, pred ORDER BY labeled, pred""".stripMargin),
+      "language-ID confusion matrix: labeled vs predicted counts (classifier evaluation rollup)")
   )
 }
