@@ -787,6 +787,27 @@ object Relational {
              |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
              |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM a
              |ORDER BY l_returnflag, metric""".stripMargin),
-      "UNPIVOT via stack: wide aggregates melt to (metric, value) rows, generator fan-out")
+      "UNPIVOT via stack: wide aggregates melt to (metric, value) rows, generator fan-out"),
+
+    // ---- Position-aware generator: posexplode keeps each element's
+    // ordinal — the head-of-document token view (leading tokens carry
+    // the title/boilerplate signal). Pure generator fan-out, position
+    // filter applied before anything shuffles.
+    QueryDef(
+      "q35_posexplode",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select($"doc_id", posexplode(
+            graft.pipeline.TextOps.tokens($"text")).as(Seq("pos", "token")))
+          .where($"pos" < 5)
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos,
+             |ws[CAST(r.i AS INTEGER)] AS token
+             |FROM w, UNNEST(range(1, len(ws) + 1)) AS r(i)
+             |WHERE r.i <= 5 ORDER BY doc_id, pos""".stripMargin),
+      "posexplode with ordinal: first-5-token view per document (G-class generator coverage)")
   )
 }
