@@ -25,7 +25,18 @@ object Bucketing {
   def ensureBucketed(
       spark: SparkSession, df: DataFrame, table: String, path: String,
       key: String, nBuckets: Int): Unit = {
-    if (spark.catalog.tableExists(table)) return
+    if (spark.catalog.tableExists(table)) {
+      // the early return must not hand back a table bucketed some other
+      // way — a mismatched layout would silently "co-locate" a wrong join
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+      require(spec.exists(b => b.numBuckets == nBuckets &&
+        b.bucketColumnNames == Seq(key)),
+        s"table $table exists with bucketSpec $spec, " +
+          s"wanted $nBuckets buckets on $key")
+      return
+    }
     val done = new java.io.File(path, "_SUCCESS")
     if (done.exists()) {
       spark.sql(
@@ -46,15 +57,19 @@ object Bucketing {
   }
 
   /** Deterministic scratch location + table name for a source dataset,
-    * keyed by the source FILES (name+mtime+size) so regenerated
-    * testdata can never hit a stale layout — the same fingerprint
-    * scheme as the persisted ANN indexes. */
-  def layoutFor(dir: String, name: String): (String, String) = {
+    * keyed by the source FILES (name+mtime+size) AND the requested
+    * layout (bucket key, bucket count, projected columns) so neither
+    * regenerated testdata nor a second caller asking for a different
+    * layout of the same source can ever hit a stale table — the same
+    * fingerprint scheme as the persisted ANN indexes. */
+  def layoutFor(dir: String, name: String, key: String, nBuckets: Int,
+      columns: Seq[String]): (String, String) = {
     val src = new java.io.File(s"$dir/$name.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-    val fp = files.sortBy(_.getName)
+    val srcFp = files.sortBy(_.getName)
       .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-      .mkString("|").hashCode
+      .mkString("|")
+    val fp = s"$srcFp#$key#$nBuckets#${columns.mkString(",")}".hashCode
     val id = Integer.toHexString(dir.hashCode) + "_" +
       Integer.toHexString(fp)
     val path = new java.io.File(sys.props("java.io.tmpdir"),

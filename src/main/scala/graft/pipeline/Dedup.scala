@@ -107,34 +107,51 @@ object Dedup {
     * boundary; misses pairs differing in a high bit — run BOTH
     * strategies and union for recall, as production ER pipelines do.
     *
-    * SCALE: one global sort on a fixed-width long (range-partitioned,
-    * no data beyond (id, sig) moves) + `window` lead() comparisons per
-    * row — O(n·w) comparisons total, no pair blow-up, no bucket skew.
-    * The boundary caveat: lead() within a range partition misses pairs
-    * straddling partition edges unless partitions overlap by `window`
-    * rows (Spark's WindowExec handles this internally). */
+    * SCALE: the global sort position is computed WITHOUT a global sort.
+    * Rows are bucketed deterministically by the top `bucketBits` bits
+    * of the signature (hash-uniform, and bucket order IS sig order, so
+    * bucket-major + within-bucket rank = the exact global rank); bucket
+    * offsets come from a |buckets|-row aggregate (the only unpartitioned
+    * window runs over that tiny frame, bounded by 2^bucketBits). Each
+    * row then fans out to its next `window` positions and equi-joins
+    * back on the dense index — every shuffle carries only
+    * (idx, doc_id, sig) fixed-width triples, never text, and no stage
+    * funnels through a single task. Pairs straddling bucket edges fall
+    * out naturally: position i and i+k join regardless of which bucket
+    * holds each side. O(n·w) comparisons total, no pair blow-up, no
+    * bucket skew. */
   def sortedNeighborPairs(
       df: DataFrame, idCol: String, textCol: String,
-      window: Int = 3, maxHamming: Int = 8): DataFrame = {
+      window: Int = 3, maxHamming: Int = 8, bucketBits: Int = 5): DataFrame = {
+    val bits = 60
     val sigs = df.select(col(idCol).as("doc_id"),
-      TextOps.simhash(TextOps.tokens(col(textCol)), bits = 60).as("sig"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("sig", "doc_id")
-    // leads materialize in a projection first (window functions are not
-    // allowed inside a generator), then fan out
-    val withLeadCols = sigs.select(col("doc_id") +: col("sig") +:
-      (1 to window).map(i => struct(
-        lead(col("doc_id"), i).over(w).as("nbr_id"),
-        lead(col("sig"), i).over(w).as("nbr_sig")).as(s"__n$i")): _*)
-    val withLeads = withLeadCols.select(col("doc_id"), col("sig"),
-      explode(array((1 to window).map(i => col(s"__n$i")): _*)).as("nbr"))
-    withLeads
-      .where(col("nbr.nbr_id").isNotNull)
+      TextOps.simhash(TextOps.tokens(col(textCol)), bits = bits).as("sig"))
+      .withColumn("bkt", shiftright(col("sig"), bits - bucketBits))
+    // bucket sizes -> exclusive prefix-sum offsets: a tiny frame
+    // (<= 2^bucketBits rows), so the unpartitioned window is bounded
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = sigs.groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
+      .select(col("bkt"), coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__off"))
+    // dense global rank in (sig, doc_id) order, computed per bucket
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("sig", "doc_id")
+    val indexed = sigs.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("sig"),
+        (col("__off") + row_number().over(wRank) - 1).as("idx"))
+    // each row probes positions idx+1 .. idx+window; the equi-join on
+    // the dense index realizes exactly the global lead() semantics
+    val probes = indexed.select(
+      col("doc_id").as("a_id"), col("sig").as("a_sig"),
+      explode(array((1 to window).map(k => col("idx") + k): _*)).as("idx"))
+    probes.join(indexed, "idx")
       .select(
-        least(col("doc_id"), col("nbr.nbr_id")).as("doc_a"),
-        greatest(col("doc_id"), col("nbr.nbr_id")).as("doc_b"),
-        bit_count(col("sig").bitwiseXOR(col("nbr.nbr_sig"))).as("hamming"))
+        least(col("a_id"), col("doc_id")).as("doc_a"),
+        greatest(col("a_id"), col("doc_id")).as("doc_b"),
+        bit_count(col("a_sig").bitwiseXOR(col("sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+    // no distinct needed: idx is a bijection over docs, so every
+    // (idx, idx+k) candidate — hence every (doc_a, doc_b) — is unique
   }
 
   /** Near-dup CLUSTER assignment — the step that turns pairwise matches

@@ -58,6 +58,14 @@ object Sampling {
     * a weight-proportional sample. rand()-free — the draw is a pure
     * function of (id, salt), so engines and re-runs agree exactly.
     *
+    * Weights must be positive for A-ES to be well-defined; they are
+    * clamped to >= 1e-6 so a zero weight yields a finite (deeply
+    * negative, i.e. effectively-never-sampled) key instead of
+    * -Infinity, whose downstream nano-quantization would overflow
+    * BIGINT and diverge across engines. Negative weights are clamped
+    * too (unclamped they would silently invert the ranking); callers
+    * wanting hard exclusion should filter, not pass w <= 0.
+    *
     * SCALE: one projection + a global top-k (TakeOrderedAndProject) —
     * no shuffle beyond the k survivors per partition. */
   def weightedSampleKey(
@@ -65,7 +73,8 @@ object Sampling {
     // 12 hex chars = 48 bits: (h+1)/2^48 ∈ (0,1], exact in a double
     val h = conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))),
       1, 12), 16, 10).cast("long")
-    log((h.cast("double") + lit(1.0d)) / lit(281474976710656.0d)) / weight
+    log((h.cast("double") + lit(1.0d)) / lit(281474976710656.0d)) /
+      greatest(weight, lit(1e-6d))
   }
 
   /** Stratified balanced sampling: deterministically thin each group to

@@ -947,8 +947,9 @@ object Pipeline {
           .select($"doc_id".as("id_b"),
             md5(when($"doc_id" % 13 === 0, upper($"text"))
               .otherwise($"text")).as("h_b"))
-          .unionAll(d.where($"doc_id" % 19 === 0) // new docs in B
-            .select(($"doc_id" + 100000L).as("id_b"), md5($"text").as("h_b")))
+          .unionAll(d.where($"doc_id" % 19 === 0) // new docs in B: negative
+            // ids are disjoint from real ids (>= 0) at EVERY scale factor
+            .select((-$"doc_id" - 1L).as("id_b"), md5($"text").as("h_b")))
         a.join(b, $"id_a" === $"id_b", "full_outer")
           .select(coalesce($"id_a", $"id_b").as("doc_id"),
             when($"id_a".isNull, "added")
@@ -964,7 +965,7 @@ object Pipeline {
              |  md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS h_b
              |  FROM documents WHERE doc_id % 17 <> 0
              |  UNION ALL
-             |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 19 = 0)
+             |  SELECT -doc_id - 1, md5(text) FROM documents WHERE doc_id % 19 = 0)
              |SELECT CASE WHEN id_a IS NULL THEN 'added'
              |  WHEN id_b IS NULL THEN 'removed'
              |  WHEN h_a <> h_b THEN 'changed' ELSE 'same' END AS status,
@@ -1030,7 +1031,7 @@ object Pipeline {
              |  + 0.3 * least((CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) * 3.0, 1.0)
              |  AS quality FROM w),
              |k AS (SELECT doc_id, quality,
-             |  CAST(floor(ln((CAST(CAST('0x'||substr(md5('wsample:'||CAST(doc_id AS VARCHAR)),1,12) AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0) / quality * 1000000000.0) AS BIGINT) AS wkey_q
+             |  CAST(floor(ln((CAST(CAST('0x'||substr(md5('wsample:'||CAST(doc_id AS VARCHAR)),1,12) AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0) / greatest(quality, 0.000001) * 1000000000.0) AS BIGINT) AS wkey_q
              |  FROM q),
              |top AS (SELECT doc_id, quality, wkey_q FROM k ORDER BY wkey_q DESC, doc_id LIMIT 100)
              |SELECT doc_id, quality, wkey_q FROM top ORDER BY doc_id""".stripMargin),

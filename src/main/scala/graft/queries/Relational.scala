@@ -692,8 +692,10 @@ object Relational {
         val o = T(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
         val l = T(s, dir, "lineitem")
           .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-        val (ot, op) = graft.operators.Bucketing.layoutFor(dir, "orders")
-        val (lt, lp) = graft.operators.Bucketing.layoutFor(dir, "lineitem")
+        val (ot, op) = graft.operators.Bucketing.layoutFor(
+          dir, "orders", "o_orderkey", 8, o.columns.toSeq)
+        val (lt, lp) = graft.operators.Bucketing.layoutFor(
+          dir, "lineitem", "l_orderkey", 8, l.columns.toSeq)
         graft.operators.Bucketing.ensureBucketed(s, o, ot, op, "o_orderkey", 8)
         graft.operators.Bucketing.ensureBucketed(s, l, lt, lp, "l_orderkey", 8)
         s.table(ot).join(s.table(lt), $"o_orderkey" === $"l_orderkey")

@@ -77,6 +77,34 @@ class CurationSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("sortedNeighborPairs: distributed index == exact global lead order") {
+    import spark.implicits._
+    // enough docs that signatures spread across many sig-high-bit
+    // buckets, including pairs straddling bucket edges
+    val docs = (1L to 120L)
+      .map(i => (i, (0 to 12).map(t => s"w${(i * 7 + t * 3) % 23}").mkString(" ")))
+      .toDF("doc_id", "text").repartition(7)
+    val window = 3
+    val got = Dedup.sortedNeighborPairs(docs, "doc_id", "text",
+      window = window, maxHamming = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference: true global (sig, doc_id) order, next-w leads
+    val sigs = docs.select($"doc_id",
+      TextOps.simhash(TextOps.tokens($"text"), bits = 60).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(p => (p._2, p._1))
+    val want = (for {
+      i <- sigs.indices; k <- 1 to window; if i + k < sigs.length
+      (ida, sa) = sigs(i); (idb, sb) = sigs(i + k)
+    } yield (math.min(ida, idb), math.max(ida, idb),
+      java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(got == want)
+    // and the index really spans multiple buckets (the test is vacuous
+    // if everything landed in one)
+    val nBuckets = sigs.map(_._2 >> 55).distinct.length
+    assert(nBuckets > 1, s"expected multi-bucket spread, got $nBuckets")
+  }
+
   test("bigramSurprisal: likely transitions score lower than shuffled ones") {
     import spark.implicits._
     // "a b" dominates; doc 3 uses the same unigrams in unseen order
