@@ -41,6 +41,49 @@ object TextStats {
   val ES: java.util.HashSet[UTF8String] =
     set("el", "la", "los", "y", "es", "un", "una")
 
+  private val SEP = UTF8String.fromString(" ")
+
+  /** Within-doc repetition signals (the Gopher-rules quality family:
+    * heavily repeated content is boilerplate/spam even when its
+    * unigram stats look normal). One pass over the token array,
+    * permille-quantized so both engines agree exactly:
+    *   [0] top-token share:  max token count * 1000 / n
+    *   [1] top-bigram share: max bigram count * 1000 / (n-1)  (0 if n<2)
+    *   [2] duplicate-token share: 1000 - distinct * 1000 / n
+    * Bigram identity is the space-joined token pair — unambiguous
+    * because tokens come from a space split and so never contain one
+    * (and trivially reproduced by `a || ' ' || b` in the oracle). */
+  def repetitionStats(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val toks = new java.util.HashMap[UTF8String, Integer]()
+    val bgs = new java.util.HashMap[UTF8String, Integer]()
+    var maxTok = 0
+    var maxBg = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      val c = toks.getOrDefault(w, 0) + 1
+      toks.put(w, c)
+      if (c > maxTok) maxTok = c
+      if (i > 0) {
+        val bg =
+          if (prev == null || w == null) null
+          else UTF8String.concat(prev, SEP, w)
+        val cb = bgs.getOrDefault(bg, 0) + 1
+        bgs.put(bg, cb)
+        if (cb > maxBg) maxBg = cb
+      }
+      prev = w
+      i += 1
+    }
+    val topTokPm = if (n == 0) 0L else maxTok.toLong * 1000L / n
+    val topBgPm = if (n < 2) 0L else maxBg.toLong * 1000L / (n - 1)
+    val dupPm = if (n == 0) 0L else 1000L - toks.size.toLong * 1000L / n
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](topTokPm, topBgPm, dupPm))
+  }
+
   /** BPE-ish subword estimate: sum over tokens of
     * max(ceil(chars/6), 1); null tokens count 1 (greatest(null,1)=1,
     * matching the HOF formulation). */
@@ -158,6 +201,20 @@ final case class PredictLangExpr(child: Expression, floor: Double = 0.05)
     copy(child = c)
 }
 
+/** [top_token_pm, top_bigram_pm, dup_token_pm] — ARRAY<STRING> ->
+  * ARRAY<LONG>(3), permille integers (see TextStats.repetitionStats). */
+final case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextStats.repetitionStats(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.repetitionStats($c)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
 /** Column wrappers. */
 object Text {
   def subwordEst(words: Column): Column =
@@ -166,4 +223,6 @@ object Text {
     Bridge.column(QualityScoreExpr(Bridge.expression(words)))
   def predictLang(words: Column, floor: Double = 0.05): Column =
     Bridge.column(PredictLangExpr(Bridge.expression(words), floor))
+  def repetitionStats(words: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(words)))
 }

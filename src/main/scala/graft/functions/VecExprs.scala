@@ -63,6 +63,48 @@ object Vectors {
 
   def quantizeCol(emb: Column): Column =
     Bridge.column(QuantizeExpr(Bridge.expression(emb)))
+
+  /** Symmetric int8 quantization audit of a float embedding — the
+    * compression step that shrinks a 100 TB embedding store (and every
+    * ANN shuffle over it) 4x, plus the error accounting that decides
+    * whether the recall hit is acceptable. One pass, all-integer
+    * outputs so both engines agree exactly:
+    *   [0] n_dims
+    *   [1] floor(maxabs * 1e6)         — the per-vector scale
+    *   [2] Σ_i floor(|x_i - q_i*maxabs/127| * 1e9) — reconstruction err
+    *   [3] count of |q_i| == 127       — saturated components
+    * where q_i = floor(x_i*127/maxabs + 0.5) (floor(+0.5) instead of
+    * round: Spark and DuckDB disagree on negative .5 ties; floor is
+    * identical everywhere). maxabs is clamped to >= 1e-12 so the
+    * zero vector quantizes to all-zeros instead of dividing by zero.
+    * Each error term is an integer-valued double < 2^31 and n_dims is
+    * small, so the double sum is exact (< 2^53) — order-independent. */
+  def quantStats(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble)
+      if (v > ma) ma = v
+      i += 1
+    }
+    if (ma < 1e-12) ma = 1e-12
+    var errN = 0L
+    var sat = 0L
+    i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val q = math.floor(x * 127.0 / ma + 0.5)
+      if (q == 127.0 || q == -127.0) sat += 1
+      errN += math.floor(math.abs(x - q * ma / 127.0) * 1e9).toLong
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      n.toLong, math.floor(ma * 1e6).toLong, errN, sat))
+  }
+
+  def quantStatsCol(emb: Column): Column =
+    Bridge.column(QuantStatsExpr(Bridge.expression(emb)))
 }
 
 /** floor(x*1e6) per element — ARRAY<FLOAT|DOUBLE> -> ARRAY<LONG>. */
@@ -89,6 +131,28 @@ final case class QuantizeExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Vectors.$m($c)")
   }
   override protected def withNewChildInternal(c: Expression): QuantizeExpr =
+    copy(child = c)
+}
+
+/** [n_dims, maxabs_micro, err_nano_sum, n_saturated] — ARRAY<FLOAT> ->
+  * ARRAY<LONG>(4) (see Vectors.quantStats). */
+final case class QuantStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantStats expects ARRAY<FLOAT>, got $other")
+    }
+  override def nullSafeEval(input: Any): Any =
+    Vectors.quantStats(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Vectors.quantStats($c)")
+  override protected def withNewChildInternal(c: Expression): QuantStatsExpr =
     copy(child = c)
 }
 

@@ -1203,6 +1203,97 @@ object Pipeline {
              |  FROM sc)
              |SELECT labeled, pred, COUNT(*) AS n_docs FROM pr
              |GROUP BY labeled, pred ORDER BY labeled, pred""".stripMargin),
-      "language-ID confusion matrix: labeled vs predicted counts (classifier evaluation rollup)")
+      "language-ID confusion matrix: labeled vs predicted counts (classifier evaluation rollup)"),
+
+    // ---- Within-doc repetition signals (the Gopher-rules quality
+    // family): top-token share, top-bigram share, duplicate-token share
+    // — boilerplate/spam whose unigram stats look normal lights up
+    // here. One codegen'd pass per doc (RepetitionStatsExpr), permille
+    // integers; pure projection, no shuffle at all until the final sort.
+    QueryDef(
+      "p41_repetition",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select($"doc_id",
+            graft.functions.Text.repetitionStats(TextOps.tokens($"text")).as("r"))
+          .select($"doc_id",
+            element_at($"r", 1).as("top_token_pm"),
+            element_at($"r", 2).as("top_bigram_pm"),
+            element_at($"r", 3).as("dup_token_pm"))
+          .where($"top_token_pm" >= 100 || $"dup_token_pm" >= 400)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |s AS (SELECT doc_id, words,
+             |  list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) AS bgs
+             |  FROM w),
+             |r AS (SELECT doc_id,
+             |  list_max(list_transform(list_distinct(words), t -> len(list_filter(words, x -> x = t)))) * 1000 // len(words) AS top_token_pm,
+             |  CASE WHEN len(words) < 2 THEN 0
+             |    ELSE list_max(list_transform(list_distinct(bgs), t -> len(list_filter(bgs, x -> x = t)))) * 1000 // (len(words) - 1) END AS top_bigram_pm,
+             |  1000 - len(list_distinct(words)) * 1000 // len(words) AS dup_token_pm
+             |  FROM s)
+             |SELECT doc_id, CAST(top_token_pm AS BIGINT) AS top_token_pm,
+             |  CAST(top_bigram_pm AS BIGINT) AS top_bigram_pm,
+             |  CAST(dup_token_pm AS BIGINT) AS dup_token_pm
+             |FROM r WHERE top_token_pm >= 100 OR dup_token_pm >= 400
+             |ORDER BY doc_id""".stripMargin),
+      "within-doc repetition: top-token/top-bigram/dup-token permille shares, one codegen'd pass"),
+
+    // ---- int8 embedding quantization audit: per-vector scale,
+    // reconstruction error, saturation count — the 4x-compression
+    // decision for a 100 TB embedding store. All-integer outputs from
+    // one codegen'd pass (QuantStatsExpr); floor(+0.5) rounding because
+    // round() ties differ between engines.
+    QueryDef(
+      "p42_embed_quantize",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "embeddings")
+          .select($"vec_id",
+            graft.functions.Vectors.quantStatsCol($"embedding").as("qs"))
+          .select($"vec_id",
+            element_at($"qs", 1).as("n_dims"),
+            element_at($"qs", 2).as("maxabs_u"),
+            element_at($"qs", 3).as("err_n"),
+            element_at($"qs", 4).as("n_sat"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |m AS (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS ma FROM e)
+             |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+             |CAST(floor(ma * 1000000.0) AS BIGINT) AS maxabs_u,
+             |CAST(list_sum(list_transform(v, x -> floor(abs(x - floor(x * 127.0 / ma + 0.5) * ma / 127.0) * 1000000000.0))) AS BIGINT) AS err_n,
+             |CAST(len(list_filter(v, x -> abs(floor(x * 127.0 / ma + 0.5)) = 127.0)) AS BIGINT) AS n_sat
+             |FROM m ORDER BY vec_id""".stripMargin),
+      "int8 quantization audit: per-vector scale, nano-unit reconstruction error, saturation count"),
+
+    // ---- Incremental dedup against a persisted hash index: an
+    // arriving snapshot keeps only docs whose content hash is UNSEEN —
+    // the steady-state form of exact dedup for a continuously-crawled
+    // corpus (p1 is the bootstrap; this is every day after). The index
+    // side is hashes only: the anti-join shuffles 32-byte keys, never
+    // text, and AQE broadcasts the index when it fits.
+    QueryDef(
+      "p43_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        // "already ingested" index: everything except each 17th doc
+        val index = d.where($"doc_id" % 17 =!= 0)
+          .select(md5($"text").as("seen_hash"))
+        val incoming = d.select($"doc_id", $"lang", md5($"text").as("h"))
+        incoming.join(index, $"h" === $"seen_hash", "left_anti")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_new"), min($"doc_id").as("first_id"))
+          .orderBy($"lang")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS seen_hash FROM documents WHERE doc_id % 17 <> 0),
+             |inc AS (SELECT doc_id, lang, md5(text) AS h FROM documents)
+             |SELECT lang, COUNT(*) AS n_new, min(doc_id) AS first_id
+             |FROM inc WHERE NOT EXISTS (SELECT 1 FROM idx WHERE seen_hash = h)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      "incremental exact dedup: arriving snapshot anti-joined against a persisted content-hash index")
   )
 }

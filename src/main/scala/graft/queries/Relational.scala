@@ -810,6 +810,70 @@ object Relational {
              |ws[CAST(r.i AS INTEGER)] AS token
              |FROM w, UNNEST(range(1, len(ws) + 1)) AS r(i)
              |WHERE r.i <= 5 ORDER BY doc_id, pos""".stripMargin),
-      "posexplode with ordinal: first-5-token view per document (G-class generator coverage)")
+      "posexplode with ordinal: first-5-token view per document (G-class generator coverage)"),
+
+    // ---- GROUPING SETS with an arbitrary (non-prefix) set list — the
+    // general form behind q18's ROLLUP and q29's CUBE: one Expand fans
+    // each row into its participating sets, then one ordinary hash agg;
+    // GROUPING() distinguishes "NULL because subtotal" from data NULLs.
+    QueryDef(
+      "q36_grouping_sets",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                |       COALESCE(o_orderpriority, '(all)') AS priority,
+                |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+                |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
+                |       COUNT(*) AS n
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                |                        (o_orderpriority), ())
+                |ORDER BY status, priority""".stripMargin)
+      },
+      Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+             |COALESCE(o_orderpriority, '(all)') AS priority,
+             |CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+             |CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
+             |COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |                        (o_orderpriority), ())
+             |ORDER BY status, priority""".stripMargin),
+      "arbitrary GROUPING SETS (non-prefix set list) with GROUPING() markers via one Expand"),
+
+    // ---- Z-order layout key: bit-interleave two join/filter dims into
+    // one clustering key. Sorting/partitioning files by z-value bounds
+    // BOTH dims within every file, so min/max footer stats prune scans
+    // on EITHER predicate — the data-layout move that makes a 100 TB
+    // table skippable on two axes at once. The interleave is pure
+    // codegen'd integer ops; the per-z-block min/max spans below ARE
+    // the skipping index a writer would persist.
+    QueryDef(
+      "q37_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        val bits = 8
+        val d = T(s, dir, "lineitem").select(
+          ($"l_partkey" % 256).cast("long").as("x"),
+          ($"l_suppkey" % 256).cast("long").as("y"))
+        val z = (0 until bits).map { b =>
+          shiftleft(shiftright($"x", b).bitwiseAND(lit(1L)), 2 * b) +
+            shiftleft(shiftright($"y", b).bitwiseAND(lit(1L)), 2 * b + 1)
+        }.reduce(_ + _)
+        d.withColumn("zv", z)
+          .groupBy(expr("zv div 64").as("z_block"))
+          .agg(count(lit(1)).as("n"),
+            min($"x").as("min_x"), max($"x").as("max_x"),
+            min($"y").as("min_y"), max($"y").as("max_y"))
+          .orderBy($"z_block")
+      },
+      Some("""WITH d AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+             |z AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 8),
+             |  b -> (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b + 1)))) AS BIGINT) AS zv
+             |  FROM d)
+             |SELECT zv // 64 AS z_block, COUNT(*) AS n,
+             |min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+             |FROM z GROUP BY z_block ORDER BY z_block""".stripMargin),
+      "z-order clustering key: bit-interleaved two-dim layout + per-block min/max skipping stats")
   )
 }

@@ -179,6 +179,39 @@ class SimilaritySpec extends SparkSpec {
     assert(c == 1.0)
   }
 
+  test("repetitionStats: permille shares of top token, top bigram, dups") {
+    import spark.implicits._
+    // "a a a b": top token a=3/4 -> 750; bigrams [a a, a a, a b]:
+    // top 2/3 -> 666; distinct 2/4 -> dup 500
+    val r = Seq(Tuple1("a a a b")).toDF("text")
+      .select(graft.functions.Text.repetitionStats(TextOps.tokens($"text")))
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq(750L, 666L, 500L))
+    // single token: no bigrams -> 0; all tokens distinct -> dup 0
+    val s = Seq(Tuple1("solo")).toDF("text")
+      .select(graft.functions.Text.repetitionStats(TextOps.tokens($"text")))
+      .collect().head.getSeq[Long](0)
+    assert(s == Seq(1000L, 0L, 0L))
+  }
+
+  test("quantStats: scale, reconstruction error, saturation") {
+    import spark.implicits._
+    val r = Seq(Tuple1(Array(1.0f, -0.5f, 0.0f))).toDF("e")
+      .select(graft.functions.Vectors.quantStatsCol($"e"))
+      .collect().head.getSeq[Long](0)
+    assert(r(0) == 3L) // dims
+    assert(r(1) == 1000000L) // maxabs 1.0 in micro units
+    // component 2: q = floor(-63.5 + 0.5) = -63, reconstruct -63/127
+    val err = math.floor(math.abs(-0.5 - (-63.0) * 1.0 / 127.0) * 1e9).toLong
+    assert(r(2) == err)
+    assert(r(3) == 1L) // only the 1.0 component saturates to 127
+    // zero vector: clamped scale, zero error, nothing saturates
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("e")
+      .select(graft.functions.Vectors.quantStatsCol($"e"))
+      .collect().head.getSeq[Long](0)
+    assert(z == Seq(2L, 0L, 0L, 0L))
+  }
+
   test("sign-bucket LSH groups same-orthant vectors") {
     val r = Similarity.lshTopK(
       vecs.filter(col("vec_id") === 1), vecs, k = 3, planes = 3).collect()

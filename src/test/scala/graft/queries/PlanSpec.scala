@@ -265,12 +265,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("p35: sorted-neighborhood pairs need no join for candidates") {
+  test("p35: sorted-neighborhood rank is bucket-partitioned, text never shuffles") {
     val p = plan("p35_sorted_neighbors")
-    // candidates come from lead() windows over the sig sort — the plan
-    // must contain no join at all (contrast: LSH bucket self-joins)
-    assert(!p.contains("Join"), s"neighbor blocking must not join:\n$p")
-    assert(p.contains("windowspecdefinition"), p)
+    // the global rank must come from the bkt-partitioned window — a
+    // window over the corpus with no partition keys would funnel every
+    // row through one task (the round-3 advisor finding)
+    assert(p.matches("(?s).*windowspecdefinition\\(bkt#\\d+L?, sig#.*"),
+      s"corpus window must be partitioned by bkt:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every shuffle carries fixed-width (idx, doc_id, sig) triples only
+    val exchanges = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text")),
+      s"text must never shuffle:\n$p")
   }
 
   test("p36: median/MAD stats broadcast back (corpus never shuffles)") {
@@ -314,5 +321,35 @@ class PlanSpec extends SparkSpec {
       .dropWhile(!_.matches(".*\\(\\d+\\) Project.*")).take(2).mkString("\n")
     assert(projLine.contains("codegen id"), s"Project not codegen'd:\n$p")
     assert(p.contains("simhashexpr"))
+  }
+
+  test("p41/p42: repetition and quantization audits are shuffle-free projections") {
+    for (name <- Seq("p41_repetition", "p42_embed_quantize")) {
+      val p = plan(name)
+      // one codegen'd pass per row; the only exchange is the final sort
+      assert(!p.contains("Arguments: hashpartitioning"),
+        s"$name must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
+
+  test("p43: incremental dedup anti-join carries hashes only") {
+    val p = plan("p43_incremental_dedup")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text")),
+      s"text must never shuffle:\n$p")
+  }
+
+  test("q37: z-order block stats partial-aggregate map-side") {
+    val p = plan("q37_zorder_layout")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    // the interleave is built from codegen'd integer builtins — the
+    // scan must read only the two key columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_partkey") && readSchema.contains("l_suppkey"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"))
   }
 }
