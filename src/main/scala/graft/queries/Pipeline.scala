@@ -1294,6 +1294,50 @@ object Pipeline {
              |SELECT lang, COUNT(*) AS n_new, min(doc_id) AS first_id
              |FROM inc WHERE NOT EXISTS (SELECT 1 FROM idx WHERE seen_hash = h)
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      "incremental exact dedup: arriving snapshot anti-joined against a persisted content-hash index")
+      "incremental exact dedup: arriving snapshot anti-joined against a persisted content-hash index"),
+
+    // ---- Count-Min sketch heavy hitters: a custom mergeable
+    // TypedImperativeAggregate builds a FIXED 4x1024 counter grid
+    // (partial agg map-side; grids add element-wise), so the shuffle
+    // carries 32 KB per partition however many distinct keys exist —
+    // the sub-linear-state answer to per-key counting at 100 TB. The
+    // query compares CMS point estimates (min over rows of the grid
+    // cell each md5-hash lands in) against exact counts for the top-10
+    // keys: estimates always >= exact, error <= 2N/width w.h.p.
+    QueryDef(
+      "p44_cms_heavyhitters",
+      (s, dir) => {
+        import s.implicits._
+        val depth = 4
+        val width = 1024
+        val keys = T(s, dir, "lineitem")
+          .select($"l_partkey".cast("string").as("key"))
+        val sk = keys.agg(graft.functions.Cms.sketch($"key", depth, width).as("sk"))
+        val top = keys.groupBy($"key")
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy($"exact_n".desc, $"key")
+          .limit(10)
+        def hashD(d: Int) = pmod(
+          conv(substring(md5(concat(lit(s"cms$d:"), $"key")), 1, 12), 16, 10)
+            .cast("long"), lit(width.toLong))
+        val est = least((0 until depth).map(d =>
+          element_at($"sk", (lit(d * width) + hashD(d) + 1).cast("int"))): _*)
+        top.join(broadcast(sk)) // 1-row sketch fans onto the 10 keys
+          .select($"key", $"exact_n", est.as("cms_est"))
+          .orderBy($"exact_n".desc, $"key")
+      },
+      Some("""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+             |c AS (SELECT d.d AS d,
+             |  CAST('0x'||substr(md5('cms'||d.d||':'||key),1,12) AS BIGINT) % 1024 AS b,
+             |  COUNT(*) AS n
+             |  FROM k, (SELECT UNNEST(range(0, 4)) AS d) d GROUP BY 1, 2),
+             |top AS (SELECT key, COUNT(*) AS exact_n FROM k GROUP BY key
+             |  ORDER BY exact_n DESC, key LIMIT 10)
+             |SELECT t.key, t.exact_n, min(c.n) AS cms_est
+             |FROM top t JOIN c
+             |  ON c.b = CAST('0x'||substr(md5('cms'||c.d||':'||t.key),1,12) AS BIGINT) % 1024
+             |GROUP BY t.key, t.exact_n
+             |ORDER BY exact_n DESC, key""".stripMargin),
+      "Count-Min heavy hitters: custom mergeable fixed-state aggregate, estimate vs exact for top-10")
   )
 }

@@ -27,6 +27,38 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cms: estimates always >= exact, tight on a skewed stream") {
+    import spark.implicits._
+    // zipf-ish: key k appears ~3000/k times; 3000 rows for k=1
+    val rows = (1 to 50).flatMap(k => Seq.fill(3000 / k)(s"key-$k"))
+    val df = rows.toDF("key").repartition(11)
+    val sk = df.agg(graft.functions.Cms.sketch($"key", 4, 1024))
+      .collect().head.getSeq[Long](0)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((key, n) <- exact) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+      val est = (0 until 4).map(d =>
+        sk(d * 1024 + (graft.functions.Cms.hash48(d, u) % 1024).toInt)).min
+      assert(est >= n, s"$key: est $est < exact $n")
+      // N = total rows, width 1024: error bound 2N/width w.h.p.
+      assert(est - n <= 2L * rows.size / 1024 + 1,
+        s"$key: overestimate ${est - n} beyond CMS bound")
+    }
+    // the grid's total per row d is exactly the row count
+    for (d <- 0 until 4)
+      assert(sk.slice(d * 1024, (d + 1) * 1024).sum == rows.size)
+  }
+
+  test("cms: mergeable — sketch is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => s"k-${i % 97}")
+    val one = rows.toDF("key").repartition(1)
+      .agg(graft.functions.Cms.sketch($"key")).collect().head.getSeq[Long](0)
+    val many = rows.toDF("key").repartition(13)
+      .agg(graft.functions.Cms.sketch($"key")).collect().head.getSeq[Long](0)
+    assert(one == many)
+  }
+
   test("hll: streaming bucket state converges to the batch estimate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
