@@ -100,6 +100,19 @@ object TextOps {
       regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
       lit("[0-9]+"), lit("<NUM>"))
 
+  /** Canonical text normalization — the first step of every corpus
+    * pipeline, and the precondition for exact dedup actually hitting
+    * (case/punctuation variants of the same content must collapse to
+    * one hash). lowercase -> non-alphanumerics to spaces -> space runs
+    * collapsed -> trimmed. The character classes are valid in both
+    * Java regex and RE2 (no backrefs/lookarounds), so the DuckDB
+    * oracle runs the identical patterns. Pure codegen'd projection:
+    * patterns compile once per task, nothing shuffles. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[^a-z0-9 ]+"), lit(" ")),
+      lit(" +"), lit(" ")))
+
   /** Count of digit characters (pre-scrub audit metric). */
   def digitCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, lit("[0-9]"), lit(""))))

@@ -1338,6 +1338,41 @@ object Pipeline {
              |  ON c.b = CAST('0x'||substr(md5('cms'||c.d||':'||t.key),1,12) AS BIGINT) % 1024
              |GROUP BY t.key, t.exact_n
              |ORDER BY exact_n DESC, key""".stripMargin),
-      "Count-Min heavy hitters: custom mergeable fixed-state aggregate, estimate vs exact for top-10")
+      "Count-Min heavy hitters: custom mergeable fixed-state aggregate, estimate vs exact for top-10"),
+
+    // ---- Canonical normalization + its dedup payoff: deterministic
+    // case/punctuation/whitespace corruption (what a crawler actually
+    // sees) must collapse back to the clean content hash after
+    // TextOps.normalize — the precondition for exact dedup hitting
+    // across near-identical crawls. Per-doc md5 of the normalized text
+    // makes the driver's hash-compare verify the full regex chain
+    // bit-for-bit in both engines. Pure projection; nothing shuffles.
+    QueryDef(
+      "p45_normalize_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val dirty = d.select($"doc_id", $"text",
+          when($"doc_id" % 3 === 0, upper($"text"))
+            .when($"doc_id" % 3 === 1, concat(lit("  "), $"text", lit(" !!! ")))
+            .otherwise(regexp_replace($"text", lit(" "), lit("   ")))
+            .as("dirty"))
+        dirty.select($"doc_id",
+            md5(TextOps.normalize($"dirty")).as("norm_hash"),
+            (md5(TextOps.normalize($"dirty")) === md5($"text")).as("recovered"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |  CASE WHEN doc_id % 3 = 0 THEN upper(text)
+             |       WHEN doc_id % 3 = 1 THEN '  ' || text || ' !!! '
+             |       ELSE regexp_replace(text, ' ', '   ', 'g') END AS dirty
+             |  FROM documents),
+             |n AS (SELECT doc_id, text,
+             |  trim(regexp_replace(regexp_replace(lower(dirty), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             |  FROM d)
+             |SELECT doc_id, md5(norm) AS norm_hash,
+             |md5(norm) = md5(text) AS recovered
+             |FROM n ORDER BY doc_id""".stripMargin),
+      "canonical normalization: corrupted variants collapse back to the clean content hash")
   )
 }

@@ -84,6 +84,35 @@ class SketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cms: streaming update-mode grid equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("cms").toString
+    // a TypedImperativeAggregate is just an aggregate to the planner —
+    // the same sketch runs as a streaming complete-mode aggregation
+    val q = input.toDF().toDF("key")
+      .agg(graft.functions.Cms.sketch($"key", 2, 256).as("sk"))
+      .writeStream.format("memory").queryName("cms_grid")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val data = (1 to 1500).map(i => s"k-${i % 31}")
+    try {
+      input.addData(data.take(700))
+      q.processAllAvailable()
+      input.addData(data.drop(700))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT sk FROM cms_grid")
+        .collect().head.getSeq[Long](0)
+      val batch = data.toDF("key")
+        .agg(graft.functions.Cms.sketch($"key", 2, 256))
+        .collect().head.getSeq[Long](0)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("hll: duplicates do not move the estimate") {
     import spark.implicits._
     val base = (1 to 800).map(i => s"d$i")
