@@ -1373,6 +1373,77 @@ object Pipeline {
              |SELECT doc_id, md5(norm) AS norm_hash,
              |md5(norm) = md5(text) AS recovered
              |FROM n ORDER BY doc_id""".stripMargin),
-      "canonical normalization: corrupted variants collapse back to the clean content hash")
+      "canonical normalization: corrupted variants collapse back to the clean content hash"),
+
+    // ---- Sliding chunk windows: split each doc into fixed-size token
+    // windows (size 40, stride 30 — 10-token overlap so no training
+    // sequence straddles a hard cut) — the doc->sequence step between
+    // curation and shard packing (p18). Generator fan-out per doc;
+    // chunk count is closed-form integer arithmetic in both engines,
+    // chunk identity is the md5 of the joined window.
+    QueryDef(
+      "p46_chunk_windows",
+      (s, dir) => {
+        import s.implicits._
+        val size40 = 40
+        val stride = 30
+        T(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .withColumn("n", size($"toks").cast("long"))
+          // nc = 1 + ceil((n - size)/stride) for n > size, else 1
+          .withColumn("nc", when($"n" <= size40, lit(1L))
+            .otherwise(lit(1L) + expr(s"(n - ${size40 - stride + 1}) div $stride")))
+          .select($"doc_id", $"toks",
+            explode(sequence(lit(0L), $"nc" - 1)).as("chunk_idx"))
+          .select($"doc_id", $"chunk_idx",
+            slice($"toks", ($"chunk_idx" * stride + 1).cast("int"),
+              lit(size40)).as("chunk"))
+          .select($"doc_id", $"chunk_idx",
+            size($"chunk").cast("long").as("chunk_tokens"),
+            md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |c AS (SELECT doc_id, words, len(words) AS n,
+             |  CASE WHEN len(words) <= 40 THEN 1
+             |       ELSE 1 + (len(words) - 11) // 30 END AS nc
+             |  FROM w),
+             |x AS (SELECT doc_id,
+             |  CAST(r.i AS BIGINT) AS chunk_idx,
+             |  list_slice(words, CAST(r.i * 30 + 1 AS BIGINT), CAST(r.i * 30 + 40 AS BIGINT)) AS chunk
+             |  FROM c, UNNEST(range(0, nc)) AS r(i))
+             |SELECT doc_id, chunk_idx,
+             |CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+             |md5(array_to_string(chunk, ' ')) AS chunk_hash
+             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin),
+      "sliding token windows (size 40, stride 30): the doc-to-training-sequence chunking step"),
+
+    // ---- Per-label embedding centroids: distributed element-wise mean
+    // — posexplode the micro-quantized components, one partial-agg'd
+    // (label, dim) sum, integer mean. The shuffle carries (label, dim,
+    // q) fixed-width triples — dim x |labels| cells however many
+    // vectors exist; the k-means/classifier-prototype primitive.
+    QueryDef(
+      "p47_label_centroids",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "embeddings")
+          .select($"label",
+            posexplode(graft.pipeline.Similarity.quantize($"embedding"))
+              .as(Seq("pos", "q")))
+          .groupBy($"label", $"pos")
+          .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sum_q"))
+          .select($"label", $"pos".cast("long").as("dim"), $"n_vecs",
+            expr("sum_q div n_vecs").as("mean_q"))
+          .orderBy($"label", $"dim")
+      },
+      Some("""WITH e AS (SELECT label, embedding AS v FROM embeddings),
+             |x AS (SELECT label, CAST(r.i - 1 AS BIGINT) AS dim,
+             |  CAST(floor(CAST(v[CAST(r.i AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+             |  FROM e, UNNEST(range(1, len(v) + 1)) AS r(i))
+             |SELECT label, dim, COUNT(*) AS n_vecs,
+             |CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_q
+             |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+      "per-label embedding centroids: element-wise integer mean via one partial-agg'd (label, dim) sum")
   )
 }
