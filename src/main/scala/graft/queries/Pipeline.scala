@@ -1444,6 +1444,52 @@ object Pipeline {
              |SELECT label, dim, COUNT(*) AS n_vecs,
              |CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_q
              |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin),
-      "per-label embedding centroids: element-wise integer mean via one partial-agg'd (label, dim) sum")
+      "per-label embedding centroids: element-wise integer mean via one partial-agg'd (label, dim) sum"),
+
+    // ---- Mislabel candidates: distance to the OWN-label centroid,
+    // top-3 farthest per label — the label-noise audit over p47's
+    // prototypes. The centroid table is |labels| x dim rows (tiny,
+    // broadcast); per-vector distances partial-aggregate map-side
+    // because a vector's exploded components stay in one partition.
+    // All integer arithmetic (micro-quantized components), so ranking
+    // ties and sums are engine-exact.
+    QueryDef(
+      "p48_centroid_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val comps = T(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            posexplode(graft.pipeline.Similarity.quantize($"embedding"))
+              .as(Seq("dim", "q")))
+        val cents = comps.groupBy($"label", $"dim")
+          .agg(count(lit(1)).as("n"), sum($"q").as("sum_q"))
+          .select($"label", $"dim", expr("sum_q div n").as("mean_q"))
+        val dists = comps.join(broadcast(cents), Seq("label", "dim"))
+          .select($"vec_id", $"label",
+            (($"q" - $"mean_q") * ($"q" - $"mean_q")).as("d2"))
+          .groupBy($"vec_id", $"label")
+          .agg(sum($"d2").as("dist_sq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"label").orderBy($"dist_sq".desc, $"vec_id")
+        dists.withColumn("rk", row_number().over(w).cast("long"))
+          .where($"rk" <= 3)
+          .select($"label", $"rk", $"vec_id", $"dist_sq")
+          .orderBy($"label", $"rk")
+      },
+      Some("""WITH x AS (SELECT vec_id, label, CAST(r.i - 1 AS BIGINT) AS dim,
+             |  CAST(floor(CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+             |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+             |c AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_q
+             |  FROM x GROUP BY label, dim),
+             |d AS (SELECT x.vec_id, x.label,
+             |  CAST(SUM((x.q - c.mean_q) * (x.q - c.mean_q)) AS BIGINT) AS dist_sq
+             |  FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+             |  GROUP BY x.vec_id, x.label),
+             |r AS (SELECT vec_id, label, dist_sq,
+             |  ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist_sq DESC, vec_id) AS rk
+             |  FROM d)
+             |SELECT label, rk, vec_id, dist_sq FROM r WHERE rk <= 3
+             |ORDER BY label, rk""".stripMargin),
+      "label-noise audit: top-3 farthest vectors from their own label centroid, exact integer distances")
   )
 }

@@ -342,6 +342,34 @@ class PlanSpec extends SparkSpec {
       s"text must never shuffle:\n$p")
   }
 
+  test("p44: CMS grid aggregates partially map-side; sketch broadcasts onto keys") {
+    val p = plan("p44_cms_heavyhitters")
+    // the custom TypedImperativeAggregate must show partial + final
+    // (ObjectHashAggregate pairs), proving the fixed-size grid merges
+    // map-side instead of shipping raw keys
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row sketch must broadcast:\n$p")
+  }
+
+  test("p46: chunking is generator fan-out — no shuffle before the sort") {
+    val p = plan("p46_chunk_windows")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"chunking must not shuffle:\n$p")
+  }
+
+  test("p47/p48: centroid sums partial-aggregate; centroids broadcast back") {
+    val p47 = plan("p47_label_centroids")
+    val hashAggs = p47.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p47")
+    val p48 = plan("p48_centroid_outliers")
+    assert(p48.contains("BroadcastHashJoin"),
+      s"centroid table must broadcast:\n$p48")
+    assert(!p48.contains("SortMergeJoin"), p48)
+  }
+
   test("q37: z-order block stats partial-aggregate map-side") {
     val p = plan("q37_zorder_layout")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
