@@ -1490,6 +1490,39 @@ object Pipeline {
              |  FROM d)
              |SELECT label, rk, vec_id, dist_sq FROM r WHERE rk <= 3
              |ORDER BY label, rk""".stripMargin),
-      "label-noise audit: top-3 farthest vectors from their own label centroid, exact integer distances")
+      "label-noise audit: top-3 farthest vectors from their own label centroid, exact integer distances"),
+
+    // ---- Mixture/epoch plan: per-source repeat factors that hit an
+    // equal-share token mixture — the curriculum-planning step that
+    // turns raw source sizes into sampling rates (repeat_pm > 1000 =
+    // upsample/epochs, < 1000 = downsample). Per-source totals are a
+    // partial-agg'd groupBy; the corpus-wide summary is ONE row
+    // broadcast back — the data never shuffles twice. Integer permille
+    // throughout.
+    QueryDef(
+      "p49_mixture_plan",
+      (s, dir) => {
+        import s.implicits._
+        val per = T(s, dir, "documents")
+          .select($"source", size(TextOps.tokens($"text")).cast("long").as("t"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"t").as("src_tokens"))
+        val tot = per.agg(sum($"src_tokens").as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        per.join(broadcast(tot))
+          .select($"source", $"n_docs", $"src_tokens",
+            expr("((1000 div n_sources) * total_tokens) div src_tokens")
+              .as("repeat_pm"))
+          .orderBy($"source")
+      },
+      Some("""WITH p AS (SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+             |  COUNT(*) AS n_sources FROM p)
+             |SELECT source, n_docs, src_tokens,
+             |((1000 // n_sources) * total_tokens) // src_tokens AS repeat_pm
+             |FROM p, t ORDER BY source""".stripMargin),
+      "equal-share mixture plan: per-source permille repeat factors from one aggregate + one broadcast")
   )
 }

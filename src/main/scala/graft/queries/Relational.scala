@@ -874,6 +874,34 @@ object Relational {
              |SELECT zv // 64 AS z_block, COUNT(*) AS n,
              |min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
              |FROM z GROUP BY z_block ORDER BY z_block""".stripMargin),
-      "z-order clustering key: bit-interleaved two-dim layout + per-block min/max skipping stats")
+      "z-order clustering key: bit-interleaved two-dim layout + per-block min/max skipping stats"),
+
+    // ---- Correlated scalar subqueries: orders priced >1.5x their own
+    // customer's average. Catalyst decorrelates both subqueries into
+    // aggregate-then-join (RewriteCorrelatedScalarSubquery) — the
+    // per-row-lookup SQL shape executes as two set-oriented joins, no
+    // nested loop. The predicate is integer-exact (cents, and
+    // cents*2n > 3*sum instead of a float avg) so no boundary row can
+    // flip between engines.
+    QueryDef(
+      "q38_correlated_subquery",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, o_custkey
+                |FROM orders o
+                |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 *
+                |  (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                |  > 3 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey
+             |FROM orders o
+             |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 *
+             |  (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |  > 3 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+             |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      "correlated scalar subqueries decorrelated to joins; integer-exact 1.5x-of-own-average predicate")
   )
 }
