@@ -105,6 +105,33 @@ class CurationSpec extends SparkSpec {
     assert(nBuckets > 1, s"expected multi-bucket spread, got $nBuckets")
   }
 
+  test("normalize: case, punctuation, and whitespace noise collapse away") {
+    import spark.implicits._
+    val got = Seq(
+      "  Hello,   WORLD!! 42 ",
+      "a b c",
+      "!!!").toDF("text")
+      .select(TextOps.normalize($"text")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("hello world 42", "a b c", ""))
+  }
+
+  test("chunk windows: size/stride math covers every token exactly") {
+    import spark.implicits._
+    // 100 tokens, size 40, stride 30 -> starts 0/30/60; the final
+    // window ends at token 99 (nothing dropped, nothing phantom)
+    val rows = graft.SparkEntry.queries("p46_chunk_windows")(
+      spark, "/root/testdata/sf0.001")
+    // exercise the closed form directly on a crafted doc too
+    val n = 100; val size = 40; val stride = 30
+    val nc = if (n <= size) 1 else 1 + (n - (size - stride + 1)) / stride
+    assert(nc == 3)
+    val covered = (0 until nc).flatMap(i => i * stride until
+      math.min(i * stride + size, n)).toSet
+    assert(covered == (0 until n).toSet)
+    assert(rows.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk_tokens", "chunk_hash"))
+  }
+
   test("bigramSurprisal: likely transitions score lower than shuffled ones") {
     import spark.implicits._
     // "a b" dominates; doc 3 uses the same unigrams in unseen order
