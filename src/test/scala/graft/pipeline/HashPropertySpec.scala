@@ -84,4 +84,48 @@ class HashPropertySpec extends SparkSpec {
           lit(0L), (acc, v) => acc + v).as("ref")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("property: RepetitionStatsExpr == plain-Scala model on arbitrary texts") {
+    val texts = samples(textGen, 15)
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        graft.functions.Text.repetitionStats(TextOps.tokens(col("text")))
+          .as("fast")).collect()
+    rows.foreach { r =>
+      val toks = r.getString(0).split(" ", -1).toSeq
+      val n = toks.length
+      val maxTok = toks.groupBy(identity).values.map(_.size).max
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val maxBg = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.size).max
+      val want = Seq(
+        maxTok.toLong * 1000L / n,
+        if (n < 2) 0L else maxBg.toLong * 1000L / (n - 1),
+        1000L - toks.distinct.size.toLong * 1000L / n)
+      assert(r.getSeq[Long](1) == want, s"text=${r.getString(0)}")
+    }
+  }
+
+  test("property: QuantStatsExpr == plain-Scala model on arbitrary vectors") {
+    val comp: Gen[Float] = Gen.oneOf(
+      Gen.chooseNum(-2.0f, 2.0f),
+      Gen.oneOf(0.0f, -0.0f, 1e-9f, -1e-9f, 1.0f, -1.0f))
+    val vecs = samples(Gen.listOfN(12, comp), 15) ++ Seq(List.fill(8)(0.0f))
+    val rows = vecs.map(v => Tuple1(v.toArray)).toDF("e")
+      .select(col("e"),
+        graft.functions.Vectors.quantStatsCol(col("e")).as("fast")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      var ma = v.map(x => math.abs(x.toDouble)).max
+      if (ma < 1e-12) ma = 1e-12
+      var err = 0L; var sat = 0L
+      v.foreach { f =>
+        val x = f.toDouble
+        val q = math.floor(x * 127.0 / ma + 0.5)
+        if (q == 127.0 || q == -127.0) sat += 1
+        err += math.floor(math.abs(x - q * ma / 127.0) * 1e9).toLong
+      }
+      val want = Seq(v.size.toLong, math.floor(ma * 1e6).toLong, err, sat)
+      assert(r.getSeq[Long](1) == want, s"vec=$v")
+    }
+  }
 }
