@@ -398,12 +398,13 @@ object Pipeline {
         val fp = files.sortBy(_.getName)
           .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
           .mkString("|").hashCode
+        val nPivots = 8 // layout parameter -> part of the index identity
         val idx = new java.io.File(
           sys.props("java.io.tmpdir"),
           "graft-ivfidx-" + Integer.toHexString(dir.hashCode) +
-            "-" + Integer.toHexString(fp) + "-p8")
+            "-" + Integer.toHexString(fp) + s"-p$nPivots")
         if (!new java.io.File(idx, "_SUCCESS").exists())
-          Similarity.writeIvfCorpus(em, idx.toString, nPivots = 8)
+          Similarity.writeIvfCorpus(em, idx.toString, nPivots = nPivots)
         Similarity.probeIvfTopK(s, em.filter($"vec_id" < 10),
           idx.toString, 3, nProbe = 2)
           .orderBy($"query_id", $"rank")
@@ -506,14 +507,15 @@ object Pipeline {
         val fp = files.sortBy(_.getName)
           .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
           .mkString("|").hashCode
+        val planes = 4 // layout parameter -> part of the index identity
         val idx = new java.io.File(
           sys.props("java.io.tmpdir"),
           "graft-annidx-" + Integer.toHexString(dir.hashCode) +
-            "-" + Integer.toHexString(fp) + "-p4")
+            "-" + Integer.toHexString(fp) + s"-p$planes")
         if (!new java.io.File(idx, "_SUCCESS").exists())
-          Similarity.writeBucketedCorpus(em, idx.toString, planes = 4)
+          Similarity.writeBucketedCorpus(em, idx.toString, planes = planes)
         Similarity.probeBucketedTopK(s, em.filter($"vec_id" < 10),
-          idx.toString, 3, planes = 4, multiProbe = 1)
+          idx.toString, 3, planes = planes, multiProbe = 1)
           .orderBy($"query_id", $"rank")
       },
       Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
