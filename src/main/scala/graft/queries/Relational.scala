@@ -902,6 +902,50 @@ object Relational {
              |  > 3 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
              |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
              |ORDER BY o_orderkey""".stripMargin),
-      "correlated scalar subqueries decorrelated to joins; integer-exact 1.5x-of-own-average predicate")
+      "correlated scalar subqueries decorrelated to joins; integer-exact 1.5x-of-own-average predicate"),
+
+    // ---- Six-way join (TPC-H Q5 shape): local-supplier revenue by
+    // nation within one region. The dimension chain (region -> nation
+    // -> customer/supplier) broadcasts; only the lineitem⋈orders fact
+    // join shuffles — Catalyst's join planning keeps one big exchange
+    // however many dims hang off it, and the region filter prunes
+    // before anything joins. The c_nationkey = s_nationkey constraint
+    // makes it a genuine multi-way plan, not a star of independents.
+    QueryDef(
+      "q39_multiway_join",
+      (s, dir) => {
+        import s.implicits._
+        val r = T(s, dir, "region").where($"r_name" === "ASIA")
+        val n = T(s, dir, "nation")
+        val c = T(s, dir, "customer")
+        val o = T(s, dir, "orders")
+        val l = T(s, dir, "lineitem")
+        val sup = T(s, dir, "supplier")
+        c.join(o, $"c_custkey" === $"o_custkey")
+          .join(l, $"o_orderkey" === $"l_orderkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(n, $"s_nationkey" === $"n_nationkey")
+          .join(r, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(
+            sum(($"l_extendedprice".cast(dec) *
+              (lit(BigDecimal(1)).cast(dec) - $"l_discount".cast(dec))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      "TPC-H Q5-shape six-way join: broadcast dimension chain, one fact-fact shuffle, local-supplier twist")
   )
 }

@@ -370,6 +370,18 @@ class PlanSpec extends SparkSpec {
     assert(!p48.contains("SortMergeJoin"), p48)
   }
 
+  test("q39: six-way join broadcasts every dimension, never cartesians") {
+    val p = plan("q39_multiway_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // region filter prunes before any join: the region scan carries it
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]")
+      || p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+    // column pruning on the widest table
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.forall(!_.contains("l_comment")), p)
+  }
+
   test("q37: z-order block stats partial-aggregate map-side") {
     val p = plan("q37_zorder_layout")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
