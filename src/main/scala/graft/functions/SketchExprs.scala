@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -36,12 +36,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Cms {
 
+  // per-row digest reuse: MessageDigest is stateful (not thread-safe),
+  // so keep one per executor thread; `reset()` between rows is implicit
+  // in digest(). The per-depth "cms<d>:" prefixes are likewise hashed on
+  // every row — precompute their UTF-8 bytes once (depths in practice
+  // are single digits; grow lazily if a wider sketch asks).
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  @volatile private var prefixes: Array[Array[Byte]] =
+    (0 until 8).map(d => s"cms$d:".getBytes("UTF-8")).toArray
+
+  private def prefix(d: Int): Array[Byte] = {
+    var p = prefixes
+    if (d >= p.length) synchronized {
+      p = prefixes
+      if (d >= p.length) {
+        prefixes = (0 to d).map(i => s"cms$i:".getBytes("UTF-8")).toArray
+        p = prefixes
+      }
+    }
+    p(d)
+  }
+
   /** hash_d(key): first 6 md5 bytes of "cms<d>:<key>" as an unsigned
     * 48-bit big-endian integer — equals
     * `conv(substring(md5(concat('cms<d>:', key)), 1, 12), 16, 10)`. */
   def hash48(d: Int, key: UTF8String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    md.update(UTF8String.fromString(s"cms$d:").getBytes)
+    val md = localMd.get()
+    md.reset()
+    md.update(prefix(d))
     md.update(key.getBytes)
     val h = md.digest()
     ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) |
@@ -62,8 +87,11 @@ final case class CmsAggExpr(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
 
+  // analysis-time type check: a non-string child must fail during
+  // analysis, not as an executor-side ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -77,8 +77,14 @@ object Vectors {
     * round: Spark and DuckDB disagree on negative .5 ties; floor is
     * identical everywhere). maxabs is clamped to >= 1e-12 so the
     * zero vector quantizes to all-zeros instead of dividing by zero.
-    * Each error term is an integer-valued double < 2^31 and n_dims is
-    * small, so the double sum is exact (< 2^53) — order-independent. */
+    * The Scala side accumulates the error terms in a Long (each term an
+    * integer from floor(), so the sum is exact by construction); it is
+    * the ORACLE's side (DuckDB list_sum over doubles) where exactness
+    * needs the argument that each term is integer-valued and the total
+    * stays below 2^53 — which holds for finite float32 inputs of
+    * bounded magnitude (per-term err < maxabs, terms < 2^31 for
+    * |x| < ~2.1e21; NaN/Inf components would break parity and are
+    * absent from the embedding tables by construction). */
   def quantStats(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var ma = 0.0

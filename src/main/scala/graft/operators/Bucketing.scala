@@ -28,13 +28,20 @@ object Bucketing {
     if (spark.catalog.tableExists(table)) {
       // the early return must not hand back a table bucketed some other
       // way — a mismatched layout would silently "co-locate" a wrong join
-      val spec = spark.sessionState.catalog
+      val meta = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .bucketSpec
+      val spec = meta.bucketSpec
       require(spec.exists(b => b.numBuckets == nBuckets &&
         b.bucketColumnNames == Seq(key)),
         s"table $table exists with bucketSpec $spec, " +
           s"wanted $nBuckets buckets on $key")
+      // ... and must carry the same projection: a fingerprint collision
+      // between two projections of one source must fail loudly here,
+      // not silently serve the wrong columns
+      require(meta.schema.fieldNames.sameElements(df.schema.fieldNames),
+        s"table $table exists with columns " +
+          s"${meta.schema.fieldNames.mkString(",")}, wanted " +
+          df.schema.fieldNames.mkString(","))
       return
     }
     val done = new java.io.File(path, "_SUCCESS")
@@ -69,9 +76,15 @@ object Bucketing {
     val srcFp = files.sortBy(_.getName)
       .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
       .mkString("|")
-    val fp = s"$srcFp#$key#$nBuckets#${columns.mkString(",")}".hashCode
-    val id = Integer.toHexString(dir.hashCode) + "_" +
-      Integer.toHexString(fp)
+    // 128-bit md5, not 32-bit String.hashCode: at 2^16 distinct layouts
+    // a 32-bit fingerprint has ~40% birthday-collision odds — and a
+    // collision here would silently reuse the WRONG table
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(
+      s"$dir#$srcFp#$key#$nBuckets#${columns.mkString(",")}"
+        .getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val id = fp.take(16)
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-bucketed-$name-$id").toString
     (s"graft_bkt_${name}_$id", path)

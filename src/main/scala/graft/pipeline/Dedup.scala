@@ -115,8 +115,12 @@ object Dedup {
     * window runs over that tiny frame, bounded by 2^bucketBits). Each
     * row then fans out to its next `window` positions and equi-joins
     * back on the dense index — every shuffle carries only
-    * (idx, doc_id, sig) fixed-width triples, never text, and no stage
-    * funnels through a single task. Pairs straddling bucket edges fall
+    * (idx, doc_id, sig) fixed-width triples, never text. The largest
+    * per-task frame is ONE bucket, ~n/2^bucketBits rows (hash-uniform,
+    * so bounded in expectation, not worst-case-free): scale bucketBits
+    * with the corpus (bits ≈ log2(n / rowsPerTask)) to keep it flat —
+    * the offsets frame it trades against stays <= 2^bucketBits rows.
+    * Pairs straddling bucket edges fall
     * out naturally: position i and i+k join regardless of which bucket
     * holds each side. O(n·w) comparisons total, no pair blow-up, no
     * bucket skew. */

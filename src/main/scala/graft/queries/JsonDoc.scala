@@ -49,6 +49,9 @@ object JsonDoc {
     // ---- The documented string-vs-numeric ORDER BY pitfall
     // (README.md:100-157): JSON text sorts lexicographically ("100"<"60").
     // rank_pos materializes the lexicographic order into row content.
+    // SCALE NOTE: the unpartitioned window here is a deliberate pitfall
+    // DEMONSTRATION over a filtered slice; production global ranks route
+    // through operators/DistributedRank.scala (as q8/q17/q28 do).
     QueryDef(
       "j2_string_order_pitfall",
       (s, dir) => {
@@ -68,7 +71,8 @@ object JsonDoc {
              |ORDER BY rank_pos""".stripMargin),
       "README.md:106-111 wrong-order golden: lexicographic JSON-string sort"),
 
-    // ---- Corrected numeric ordering (README.md:142-155).
+    // ---- Corrected numeric ordering (README.md:142-155). Same scale
+    // note as j2: pitfall demo; real global ranks use DistributedRank.
     QueryDef(
       "j3_numeric_order_fix",
       (s, dir) => {

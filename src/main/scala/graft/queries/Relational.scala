@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.operators.DistributedRank
 
 /** Relational operator catalog — SURVEY.md §2.2-2.7 (projections, filters,
   * joins, aggregations, windows, sorts, set ops) re-expressed Spark-first
@@ -14,9 +15,9 @@ import graft.Tables
   * Scale notes are attached per query; the general rules:
   *  - dimension joins (region/nation/supplier-sized) are broadcast;
   *  - fact-fact joins shuffle on their equi-keys and rely on AQE;
-  *  - unpartitioned windows appear only where the reference semantics
-  *    (global chunk numbering, README.md:518) genuinely require a total
-  *    order, and are flagged.
+  *  - total orders (global chunk numbering README.md:518, global ranks,
+  *    deciles) route through operators/DistributedRank.scala — no
+  *    unpartitioned window over a corpus-proportional frame anywhere.
   */
 object Relational {
 
@@ -163,17 +164,20 @@ object Relational {
       "SURVEY §2.7 U2 unionByName"),
 
     // ---- W1 exact shape: ((ROW_NUMBER() OVER (ORDER BY id)-1)/50)+1
-    // chunk assignment for _bulk_docs batching (README.md:518).
-    // SCALE NOTE: unpartitioned window = single-partition sort, faithful
-    // to the reference's global chunk numbering; the partitioned
-    // alternative (chunk within key) is q6 — documented in SURVEY §7.
+    // chunk assignment for _bulk_docs batching (README.md:518) — the
+    // arithmetic is verbatim; the global row number comes from the
+    // DISTRIBUTED two-phase scan (range partitions + broadcast prefix
+    // offsets, operators/DistributedRank.scala), not an unpartitioned
+    // window — the corpus-proportional frame never funnels through one
+    // task. Only o_orderkey (8 bytes/row) enters the scan.
     QueryDef(
       "q8_bulk_chunks",
       (s, dir) => {
         import s.implicits._
-        val w = Window.orderBy($"o_orderkey")
-        T(s, dir, "orders")
-          .withColumn("rn", row_number().over(w))
+        DistributedRank
+          .withRowNumber(
+            T(s, dir, "orders").select($"o_orderkey"), "rn")($"o_orderkey")
+          .df
           .withColumn("chunk_no",
             (floor(($"rn" - 1) / 50.0) + 1).cast("long"))
           .groupBy($"chunk_no")
@@ -318,15 +322,21 @@ object Relational {
 
     // ---- Multi-key sort with cast (O2, README.md:142-155 corrected
     // ordering) — rank column materializes the order so the golden
-    // compare verifies ordering itself, not just the row set.
+    // compare verifies ordering itself, not just the row set. The rank
+    // is the distributed two-phase scan (filtered set is still
+    // corpus-proportional): range partitions on the sort keys keep
+    // every task's frame bounded at |rows|/nParts.
     QueryDef(
       "q17_multikey_sort",
       (s, dir) => {
         import s.implicits._
-        val w = Window.orderBy($"o_totalprice".cast(dec), $"o_orderkey")
-        T(s, dir, "orders").filter($"o_orderstatus" === "F")
+        val slim = T(s, dir, "orders").filter($"o_orderstatus" === "F")
           .filter($"o_totalprice" < 10000.0)
-          .withColumn("rank_pos", row_number().over(w))
+          .select($"o_orderkey", $"o_totalprice")
+        DistributedRank
+          .withRowNumber(slim, "rank_pos")(
+            $"o_totalprice".cast(dec), $"o_orderkey")
+          .df
           .select($"rank_pos", $"o_orderkey", $"o_totalprice")
           .orderBy($"rank_pos")
       },
@@ -576,10 +586,11 @@ object Relational {
     // ---- Global rank buckets: customer spend deciles (ntile) +
     // cumulative distribution. The ranking set is the AGGREGATED
     // customer table (|customers| rows, not |orders|): the sum shuffles
-    // partial-agg'd on custkey first, and only the collapsed table pays
-    // the global sort. Unpartitioned window by necessity — deciles are
-    // a total order; at 1000 executors the agg output is still tiny
-    // relative to the fact table.
+    // partial-agg'd on custkey first. The total order itself is the
+    // distributed two-phase scan; ntile/cume_dist are then pure
+    // arithmetic on the global rank (DistributedRank.ntileOfRank /
+    // cumeDistOfRank) — still one row per customer at 1000 executors,
+    // but no single task ever holds the whole ranking set.
     QueryDef(
       "q28_ntile",
       (s, dir) => {
@@ -587,10 +598,14 @@ object Relational {
         val tot = T(s, dir, "orders")
           .groupBy($"o_custkey")
           .agg(sum($"o_totalprice".cast(dec)).as("__t"))
-        val w = Window.orderBy($"__t".desc, $"o_custkey")
-        tot.select($"o_custkey", $"__t".cast("double").as("total_spend"),
-            ntile(10).over(w).as("decile"),
-            cume_dist().over(w).as("cume"))
+        val ranked = DistributedRank
+          .withRowNumber(tot, "__rn")($"__t".desc, $"o_custkey")
+        ranked.df
+          .select($"o_custkey", $"__t".cast("double").as("total_spend"),
+            DistributedRank.ntileOfRank($"__rn", ranked.total, 10)
+              .as("decile"),
+            DistributedRank.cumeDistOfRank($"__rn", ranked.total)
+              .as("cume"))
           .orderBy($"o_custkey")
       },
       Some("""WITH t AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tt

@@ -197,11 +197,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to score:\n$p")
   }
 
-  test("q28: deciles rank the aggregated customer table, not raw orders") {
-    val p = plan("q28_ntile")
-    // partial+final agg collapses orders before the (global) ntile window
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
-    assert(p.contains("ntile(10)"), p)
+  test("q8/q17/q28: global ranks are distributed — no single-partition window") {
+    // the round-4 verdict's last scale-killer shape: a corpus-proportional
+    // frame must never flow through Exchange SinglePartition. After the
+    // DistributedRank rewrite the only window is partition-local
+    // (partitioned by the range-partition id) and the offsets join is a
+    // broadcast of one row per partition.
+    for (name <- Seq("q8_bulk_chunks", "q17_multikey_sort", "q28_ntile")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"),
+        s"$name funnels a corpus-proportional frame through one task:\n$p")
+      assert(p.contains("windowspecdefinition(__dr_pid"),
+        s"$name window is not partition-local:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name prefix-offset join should broadcast:\n$p")
+    }
   }
 
   test("q29: CUBE still partial-aggregates map-side (Expand before shuffle)") {
