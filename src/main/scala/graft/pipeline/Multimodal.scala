@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed in partition-local
   * batches.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake derived from the bytes; the
-  * Spark-side plumbing — schema, batch shape, partition-local iteration,
-  * metadata threading — is real and tested. Swap `decodeStub` for a
-  * JNI/codec call (or route through mapInArrow to a Python worker) in a
-  * real deployment; nothing else changes.
+  * IMAGE decode is REAL: [[imageIoCodec]] reads PNG/BMP/GIF/JPEG with
+  * the JDK's built-in `javax.imageio` and reports true pixel
+  * dimensions ([[encodePng]] generates genuine PNG fixtures to prove
+  * the round trip). AUDIO/VIDEO decode stays STUBBED (no codecs in the
+  * JDK) with a deterministic fake derived from the bytes; the
+  * Spark-side plumbing — schema, batch shape, partition-local
+  * iteration, metadata threading — is identical for both, so swapping
+  * a stub for a JNI/codec call (or routing through mapInArrow to a
+  * Python worker) changes only the codec function.
   */
 object Multimodal {
 
@@ -94,6 +97,59 @@ object Multimodal {
       digest.reset()
       val hex = digest.digest(bytes).map("%02x".format(_)).mkString
       Row(id, w, h, hex)
+    }
+  }
+
+  /** Deterministic PNG fixture generator: one real PNG per row, sized
+    * (wCol, hCol), pixels filled from a per-id linear pattern so the
+    * bytes are reproducible. Partition-local (`mapPartitions`), encoded
+    * with the JDK's built-in `javax.imageio` — this is test/bench
+    * fixture machinery AND the proof that real payloads flow through
+    * the same media schema as the stubs. */
+  def encodePng(
+      df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val out = df.select(col(idCol).cast("long"),
+      col(wCol).cast("int"), col(hCol).cast("int")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (id * 2654435761L + y.toLong * w + x).toInt & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        Row(id, bytes, "image/png", bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** REAL image decode (round-4 task 4): `javax.imageio` reads the PNG
+    * (or BMP/GIF/JPEG — whatever the JDK's registered readers accept)
+    * and reports true pixel dimensions; feature hash is the payload
+    * md5. Same batch signature as [[stubCodec]] — callers swap codecs,
+    * the plumbing (schema, batching, partition-local iteration) is
+    * untouched. Audio/video stay on the stub: the JDK ships no codec
+    * for them, and the point of the batched shape is that only this
+    * function changes when one arrives. */
+  def imageIoCodec(batch: Seq[(Long, Array[Byte])]): Seq[Row] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    batch.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"media_id=$id: no registered reader for payload")
+      digest.reset()
+      val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+      Row(id, img.getWidth, img.getHeight, hex)
     }
   }
 

@@ -642,21 +642,31 @@ object Pipeline {
              |FROM documents ORDER BY media_id""".stripMargin),
       "opaque binary column + typed metadata (schema plumbing for image/audio payloads)"),
 
-    // ---- Multimodal: decode stub (partition-local batch shape).
+    // ---- Multimodal: REAL image decode. PNG fixtures are generated
+    // executor-side (dims derived from doc fields), then decoded back
+    // with the JDK's javax.imageio through the batched-codec plumbing;
+    // the oracle recomputes the fixture dimensions from the same
+    // formulas — so a decoder that misread actual pixel dims would
+    // hash-mismatch. feature_hash is payload md5 (PNG bytes aren't
+    // reproducible in SQL), so the output carries dims only.
     QueryDef(
-      "p14_decode_stub",
+      "p14_decode_png",
       (s, dir) => {
         import s.implicits._
-        Multimodal.decodeStub(
-          Multimodal.asMedia(T(s, dir, "documents"), "doc_id", "text"))
+        val dims = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(8) + $"n_chars" % 48).cast("int").as("w"),
+            (lit(8) + $"doc_id" % 32).cast("int").as("h"))
+        val media = Multimodal.encodePng(dims, "doc_id", "w", "h")
+        Multimodal.decodeBatched(media, codec = Multimodal.imageIoCodec)
+          .select($"media_id", $"width", $"height")
           .orderBy($"media_id")
       },
       Some("""SELECT doc_id AS media_id,
-             |16 + octet_length(encode(text)) % 64 AS width,
-             |16 + (ascii(substr(text,1,1)) & 63) AS height,
-             |md5(text) AS feature_hash
+             |CAST(8 + n_chars % 48 AS INTEGER) AS width,
+             |CAST(8 + doc_id % 32 AS INTEGER) AS height
              |FROM documents ORDER BY media_id""".stripMargin),
-      "stubbed decode: deterministic fake features; real mapPartitions batch shape"),
+      "real javax.imageio PNG decode through the batched-codec plumbing; dims vs fixture oracle"),
 
     // ---- Multimodal: frame sampling fan-out.
     QueryDef(

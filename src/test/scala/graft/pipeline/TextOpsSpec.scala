@@ -306,6 +306,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodePng -> imageIoCodec round-trips true pixel dimensions") {
+    import spark.implicits._
+    // awkward sizes on purpose: 1x1, prime dims, wide/tall aspect
+    val dims = Seq((1L, 1, 1), (2L, 17, 3), (3L, 64, 31), (4L, 5, 48))
+      .toDF("media_id", "w", "h")
+    val media = Multimodal.encodePng(dims, "media_id", "w", "h")
+    // payloads are REAL PNGs (magic bytes), not fakes
+    val heads = media.orderBy("media_id").collect()
+    assert(heads.forall { r =>
+      val b = r.getAs[Array[Byte]](1)
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    })
+    assert(heads.forall(_.getString(2) == "image/png"))
+    for (bs <- Seq(1, 3, 64)) {
+      val got = Multimodal
+        .decodeBatched(media, bs, codec = Multimodal.imageIoCodec)
+        .orderBy("media_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(got == Seq((1L, 1, 1), (2L, 17, 3), (3L, 64, 31), (4L, 5, 48)),
+        s"batchSize=$bs misread dimensions")
+    }
+  }
+
+  test("encodePng payloads are deterministic across partitionings") {
+    import spark.implicits._
+    val dims = (1L to 20L).map(i => (i, 4 + (i % 7).toInt, 3 + (i % 5).toInt))
+      .toDF("media_id", "w", "h")
+    val h1 = Multimodal.encodePng(dims, "media_id", "w", "h")
+      .orderBy("media_id").collect()
+      .map(r => java.util.Arrays.hashCode(r.getAs[Array[Byte]](1))).toSeq
+    val h2 = Multimodal.encodePng(dims.repartition(5), "media_id", "w", "h")
+      .orderBy("media_id").collect()
+      .map(r => java.util.Arrays.hashCode(r.getAs[Array[Byte]](1))).toSeq
+    assert(h1 == h2)
+  }
+
   test("sampleFrames emits every step-th frame") {
     import spark.implicits._
     val media = Seq((1L, 10L)).toDF("media_id", "n_frames")

@@ -392,6 +392,22 @@ class PlanSpec extends SparkSpec {
     assert(readSchemas.forall(!_.contains("l_comment")), p)
   }
 
+  test("q38: correlated scalar subqueries decorrelate to aggregate joins") {
+    // q38 leans on Catalyst's RewriteCorrelatedScalarSubquery: both
+    // correlated scalars must become (aggregate on o_custkey) ⋈ orders
+    // equi-joins. Pin it so a Spark upgrade can't silently regress the
+    // plan to a per-row nested-loop re-execution of the subqueries.
+    val p = plan("q38_correlated_subquery")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated subquery planned as a nested loop:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected decorrelated aggregates:\n$p")
+    val joins = p.linesIterator.count(l => l.contains(") BroadcastHashJoin") ||
+      l.contains(") SortMergeJoin") || l.contains(") ShuffledHashJoin"))
+    assert(joins >= 1 && joins <= 2,
+      s"expected the two scalars to join back as aggregate equi-joins:\n$p")
+  }
+
   test("q37: z-order block stats partial-aggregate map-side") {
     val p = plan("q37_zorder_layout")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
