@@ -170,9 +170,9 @@ object Dedup {
     * rounds. Near-dup components are shallow (diameter ≤ a few hops),
     * so 3-5 rounds close real corpora; `maxIter` bounds adversarial
     * chains. Lineage is cut per round (`localCheckpoint`) so the plan
-    * stays O(1) deep. At extreme scale swap in large-star/small-star
-    * (alternating min-propagation that hangs components off their
-    * minimum directly — same join shape, O(log n) rounds).
+    * stays O(1) deep. At extreme scale swap in [[clustersStar]]
+    * (same signature, alternating large-star/small-star contraction,
+    * O(log n) rounds with a geometrically shrinking edge set).
     *
     * The fixpoint (min reachable id) is unique, so the result is
     * deterministic regardless of iteration order or partitioning.
@@ -262,5 +262,113 @@ object Dedup {
         col("doc_id") === col("g_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * extreme-scale variant [[clusters]]' scaladoc names (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+    * in MapReduce and Beyond", SoCC 2014). Same signature and the same
+    * deterministic fixpoint (every doc labeled with the min id
+    * reachable from it), different iteration geometry:
+    *
+    *  - LARGE-STAR: every node points its strictly-larger neighbors at
+    *    the minimum of its neighborhood (incl. itself);
+    *  - SMALL-STAR: every node re-hangs its smaller-or-equal neighbors
+    *    (and itself) off that minimum.
+    *
+    * Each op is one groupBy(min) + equi-join over the CURRENT edge set
+    * — which contracts geometrically: alternation converges in
+    * O(log n) rounds on adversarial chains (where plain neighbor
+    * propagation needs O(diameter)) and the edge set shrinks toward
+    * one star per component, so later rounds touch ever less data.
+    * Unlike pointer-jumping over a fixed edge list, the working set
+    * contracts WITH the graph — at 100 TB that means the heavy rounds
+    * are the first two or three, not all O(log d) of them.
+    *
+    * Convergence is detected from a per-round edge-set signature
+    * (count + decimal sums of endpoints and a 64-bit row hash —
+    * overflow-free under ANSI); equal signature = identical edge set =
+    * fixpoint, costing one bounded aggregate per round like
+    * [[clusters]]' label sum.
+    */
+  def clustersStar(
+      ids: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+      idCol: String = "doc_id"): DataFrame = {
+    val (stars, _) = starContract(pairs, maxIter)
+    val labels =
+      if (stars == null) null
+      else stars.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+        .union(stars.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    val base = ids.select(col(idCol).as("doc_id"))
+    if (labels == null)
+      base.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    else base
+      .join(labels.withColumnRenamed("doc_id", "g_id"),
+        col("doc_id") === col("g_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Run the alternation to its fixpoint; returns (star edges, rounds).
+    * Package-visible so specs can assert the round count. A null edge
+    * frame means the input had no (non-loop) edges. */
+  private[pipeline] def starContract(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    var e = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    def signature(d: DataFrame) = {
+      val dec = "decimal(38,0)"
+      val r = d.agg(count(lit(1)),
+        sum(col("lo").cast(dec)), sum(col("hi").cast(dec)),
+        sum(xxhash64(col("lo"), col("hi")).cast(dec))).collect().head
+      (r.getLong(0), r.get(1), r.get(2), r.get(3))
+    }
+    var sig = signature(e)
+    if (sig._1 == 0L) return (null, 0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+      rounds += 1
+    }
+    (e, rounds)
+  }
+
+  /** large-star(u): for m = min(Γ(u) ∪ {u}), emit (v, m) for every
+    * neighbor v > u. One min-aggregate + one equi-join on u. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val both = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    val mins = both.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    both.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(least(col("v"), col("m")).as("lo"),
+        greatest(col("v"), col("m")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+  }
+
+  /** small-star(u): neighbors ≤ u are exactly the `lo` side of edges
+    * oriented (hi=u); for m = their min, re-hang each of them and u
+    * itself off m. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("hi").agg(min("lo").as("m"))
+    val rehung = e.join(mins, "hi")
+      .select(col("lo").as("a"), col("m").as("b"))
+      .union(mins.select(col("hi").as("a"), col("m").as("b")))
+    rehung
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
   }
 }
