@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
 trait DocPoster extends Serializable {
   /** POST body to url; returns HTTP status. */
   def post(url: String, body: String): Int
+
+  /** POST returning (status, response body). Default wraps [[post]]
+    * with an empty-array body for posters that discard responses; the
+    * production poster returns the real `_bulk_docs` per-doc result
+    * array. */
+  def postForBody(url: String, body: String): (Int, String) =
+    (post(url, body), "[]")
 }
 
 object BulkDocsSink {
@@ -98,6 +105,45 @@ object BulkDocsSink {
         "chunk_no BIGINT, n_docs BIGINT, status INT"))
   }
 
+  /** POST every chunk and EXPLODE the server's per-doc result array —
+    * the J1 lateral set-returning-join shape (chunk → POST → one status
+    * row per doc). CouchDB answers `_bulk_docs` 201 with
+    * `[{"ok":true,"id":..,"rev":..} | {"id":..,"error":"conflict",
+    * "reason":..}]` (README.md:504-530; modern servers ignore
+    * `all_or_nothing` and report conflicts per doc) — so a conflict is
+    * a ROW in the result, never a batch failure. Parsing happens
+    * executor-side on each response; the driver sees only the status
+    * rows. Returns (chunk_no, doc_id, ok, error, reason). */
+  def postPerDoc(
+      chunks: DataFrame, baseUrl: String, poster: DocPoster): DataFrame = {
+    val spark = chunks.sparkSession
+    val url = s"$baseUrl/_bulk_docs"
+    val out = chunks
+      .select(col("chunk_no"), payload(col("docs_json")).as("body"))
+      .rdd.mapPartitions { it =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.flatMap { r =>
+          val chunkNo = r.getAs[Long]("chunk_no")
+          val (status, respBody) = poster.postForBody(url, r.getAs[String]("body"))
+          if (status >= 400)
+            throw new java.io.IOException(s"_bulk_docs -> HTTP $status")
+          val arr = mapper.readTree(respBody)
+          (0 until arr.size()).iterator.map { i =>
+            val n = arr.get(i)
+            org.apache.spark.sql.Row(
+              chunkNo,
+              n.path("id").asText(""),
+              n.path("ok").asBoolean(false),
+              if (n.hasNonNull("error")) n.path("error").asText() else null,
+              if (n.hasNonNull("reason")) n.path("reason").asText() else null)
+          }
+        }
+      }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "chunk_no BIGINT, doc_id STRING, ok BOOLEAN, error STRING, reason STRING"))
+  }
+
   /** Single-doc PUT path (S4, the per-row trigger semantics): one HTTP
     * call per row, executor-side. Small-batch escape hatch; bulk is the
     * real path. */
@@ -122,7 +168,8 @@ object BulkDocsSink {
 final class JdkHttpPoster(auth: Option[(String, String)] = None)
     extends DocPoster {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-  override def post(url: String, body: String): Int = {
+
+  private def request(url: String, body: String) = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
@@ -131,8 +178,19 @@ final class JdkHttpPoster(auth: Option[(String, String)] = None)
         .encodeToString(s"$u:$p".getBytes("UTF-8"))
       b.header("Authorization", s"Basic $tok")
     }
-    client.send(b.build(),
+    b.build()
+  }
+
+  override def post(url: String, body: String): Int =
+    client.send(request(url, body),
       java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+
+  /** Real response body — feeds [[BulkDocsSink.postPerDoc]]'s per-doc
+    * status parsing. */
+  override def postForBody(url: String, body: String): (Int, String) = {
+    val resp = client.send(request(url, body),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
   }
 }
 

@@ -20,17 +20,48 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * seq == i+1 (dense seqs), so a page is an array slice — O(1) lookup,
   * no server-side JSON parsing. Writes are swallowed after counting
   * (request tallies + body bytes via [[writeStats]]) — the point is to
-  * exercise the real HTTP write path end-to-end, not to store. */
+  * exercise the real HTTP write path end-to-end, not to store.
+  *
+  * CONFORMANCE FAULTS (round-4 task 3 — the day-one realities of a real
+  * CouchDB deployment, emulated so the client paths are provably
+  * hardened): [[rateLimitFirst]] answers the first n requests 429 +
+  * `Retry-After` (CouchDB behind a proxy / _scheduler backoff);
+  * [[slowMs]] delays every response (slow-drip feed — trips the
+  * client's inactivity timeout); [[dropChangesRequest]] truncates one
+  * `_changes` response mid-body (socket cut mid-batch);
+  * [[conflictIds]] makes `_bulk_docs` return the documented per-doc
+  * result array with `"error":"conflict"` entries (README.md:504-530 —
+  * modern CouchDB ignores `all_or_nothing` and reports conflicts per
+  * doc) instead of the fast-path `[]`. */
 final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
   private val bulkPosts = new java.util.concurrent.atomic.LongAdder
   private val docPuts = new java.util.concurrent.atomic.LongAdder
   private val bytesIn = new java.util.concurrent.atomic.LongAdder
+  private val reqCount = new java.util.concurrent.atomic.AtomicLong
+  private val rateLimited = new java.util.concurrent.atomic.LongAdder
+
+  /** Answer the first n requests (any endpoint) with 429 + Retry-After. */
+  @volatile var rateLimitFirst: Int = 0
+  /** Sleep this long before every response (slow-drip emulation). */
+  @volatile var slowMs: Long = 0L
+  /** 1-based index of the `_changes` request to cut mid-body; 0 = off.
+    * One-shot: the fault clears itself after firing, like a real
+    * transient disconnect. */
+  @volatile var dropChangesRequest: Int = 0
+  /** Doc _ids that `_bulk_docs` reports as update conflicts. */
+  @volatile var conflictIds: Set[String] = Set.empty
+  private val changesSeen = new java.util.concurrent.atomic.AtomicLong
+  /** `since` parameter of every `_changes` request, in arrival order. */
+  val changesSinceLog = new java.util.concurrent.ConcurrentLinkedQueue[Long]
 
   /** (bulk _bulk_docs requests, single-doc puts, request-body bytes). */
   def writeStats: (Long, Long, Long) =
     (bulkPosts.sum(), docPuts.sum(), bytesIn.sum())
+
+  /** How many requests were answered 429. */
+  def rateLimitedCount: Long = rateLimited.sum()
 
   def start(): Int = {
     // without TCP_NODELAY the small header+body response pairs hit
@@ -51,12 +82,31 @@ final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
         .split("&").filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
       val method = ex.getRequestMethod
+      if (slowMs > 0L) Thread.sleep(slowMs)
       val body: (Int, String) =
-        if (method == "POST" && path == s"/$db/_bulk_docs") {
+        if (reqCount.incrementAndGet() <= rateLimitFirst) {
+          rateLimited.increment()
+          ex.getRequestBody.readAllBytes()
+          ex.getResponseHeaders.add("Retry-After", "0")
+          (429, """{"error":"too_many_requests","reason":"backoff"}""")
+        } else if (method == "POST" && path == s"/$db/_bulk_docs") {
           val req = ex.getRequestBody.readAllBytes()
           bulkPosts.increment()
           bytesIn.add(req.length)
-          (201, "[]")
+          if (conflictIds.isEmpty) (201, "[]")
+          else {
+            // documented per-doc result array: conflicts do NOT fail
+            // the request — they are rows in a 201 response
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            val docs = mapper.readTree(req).path("docs")
+            val results = (0 until docs.size()).map { i =>
+              val id = docs.get(i).path("_id").asText("")
+              if (conflictIds.contains(id))
+                s"""{"id":"$id","error":"conflict","reason":"Document update conflict."}"""
+              else s"""{"ok":true,"id":"$id","rev":"1-stub"}"""
+            }
+            (201, results.mkString("[", ",", "]"))
+          }
         } else if ((method == "PUT" || method == "POST")
             && path.startsWith(s"/$db/")
             && !path.substring(db.length + 2).contains("/")) {
@@ -67,6 +117,7 @@ final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
           (201, s"""{"ok":true,"id":"$id","rev":"1-stub"}""")
         } else if (path == s"/$db/_changes") {
           val since = params.getOrElse("since", "0").toLong
+          changesSinceLog.add(since)
           val limit = params.getOrElse("limit", Int.MaxValue.toString).toLong
           val from = math.min(math.max(since, 0L), lines.length.toLong).toInt
           val until = math.min(from + math.min(limit, Int.MaxValue.toLong),
@@ -81,9 +132,23 @@ final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
         } else (404, """{"error":"not_found","reason":"no_db_file"}""")
       val bytes = body._2.getBytes("UTF-8")
       ex.getResponseHeaders.add("Content-Type", "application/json")
-      ex.sendResponseHeaders(body._1, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      val isChanges = path == s"/$db/_changes"
+      val cut = isChanges && dropChangesRequest > 0 &&
+        changesSeen.incrementAndGet() == dropChangesRequest.toLong
+      if (cut) {
+        // declare the full length, write half, cut the socket: the
+        // client observes a truncated body mid-batch, exactly a feed
+        // disconnect. One-shot — a retry then succeeds.
+        dropChangesRequest = 0
+        ex.sendResponseHeaders(body._1, bytes.length)
+        ex.getResponseBody.write(bytes, 0, math.max(1, bytes.length / 2))
+        ex.getResponseBody.flush()
+        ex.close()
+      } else {
+        ex.sendResponseHeaders(body._1, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
     })
     server.start()
     server.getAddress.getPort

@@ -45,7 +45,8 @@ final class HttpChangesFeed(
     user: Option[String] = None,
     password: Option[String] = None,
     pageSize: Int = 1000,
-    timeoutMs: Long = 30000L) extends ChangesFeed {
+    timeoutMs: Long = 30000L,
+    maxRetries: Int = 3) extends ChangesFeed {
 
   @transient private lazy val mapper = new ObjectMapper()
   @transient private lazy val client: HttpClient =
@@ -58,18 +59,39 @@ final class HttpChangesFeed(
       raw.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** GET with bounded in-client retry for the throttle classes a real
+    * CouchDB (or its fronting proxy) emits: 429/503 honor `Retry-After`
+    * (seconds, capped at 2 s so a hostile header can't stall a task)
+    * up to `maxRetries` attempts, then surface as IOException — the
+    * transient class the [[Supervisor]] restarts with backoff. 404
+    * stays fatal ([[FeedGoneException]]); other 4xx/5xx throw
+    * immediately (retrying a 400 can never help). */
   private def get(pathAndQuery: String): String = {
-    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$pathAndQuery"))
-      .timeout(Duration.ofMillis(timeoutMs))
-      .GET()
-    authHeader.foreach(b.header("Authorization", _))
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() == 404)
-      throw new FeedGoneException(s"$baseUrl/$db not found (no_db_file)")
-    if (resp.statusCode() >= 400)
-      throw new java.io.IOException(
-        s"GET $pathAndQuery -> HTTP ${resp.statusCode()}")
-    resp.body()
+    var attempt = 0
+    var result: String = null
+    while (result == null) {
+      val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$pathAndQuery"))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .GET()
+      authHeader.foreach(b.header("Authorization", _))
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      if (code == 404)
+        throw new FeedGoneException(s"$baseUrl/$db not found (no_db_file)")
+      else if (code == 429 || code == 503) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"GET $pathAndQuery -> HTTP $code after $maxRetries retries")
+        val ra = resp.headers().firstValue("Retry-After")
+        val retryAfterMs =
+          (if (ra.isPresent) ra.get.toLongOption.getOrElse(0L) else 0L) * 1000L
+        Thread.sleep(math.min(math.max(retryAfterMs, 50L * attempt), 2000L))
+      } else if (code >= 400)
+        throw new java.io.IOException(s"GET $pathAndQuery -> HTTP $code")
+      else result = resp.body()
+    }
+    result
   }
 
   /** `update_seq` from the db info document. */

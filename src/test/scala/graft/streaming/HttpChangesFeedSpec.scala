@@ -139,6 +139,102 @@ class HttpChangesFeedSpec extends SparkSpec {
     }
   }
 
+  // ---- conformance edges against CouchStubServer's fault injection
+  // (round-4 task 3): 429 throttling, slow-drip timeouts, mid-batch
+  // disconnects. These use the main-source stub because that is where
+  // the faults live; `lines(i)` must carry seq == i+1.
+
+  private def denseLines(n: Int): IndexedSeq[String] =
+    (1 to n).map(i =>
+      s"""{"seq":$i,"id":"d$i","changes":[{"rev":"1-a"}],"doc":{"n":$i}}""")
+
+  private def withFaultCouch(n: Int)(f: (CouchStubServer, String) => Unit): Unit = {
+    val stub = new CouchStubServer("fdb", denseLines(n))
+    val port = stub.start()
+    try f(stub, s"http://127.0.0.1:$port")
+    finally stub.stop()
+  }
+
+  test("429 with Retry-After is retried in-client and recovers transparently") {
+    withFaultCouch(5) { (stub, url) =>
+      stub.rateLimitFirst = 2
+      val feed = new HttpChangesFeed(url, "fdb")
+      assert(feed.latestSeq() == 5L) // succeeded despite two 429s
+      assert(stub.rateLimitedCount == 2L)
+    }
+  }
+
+  test("429 beyond the retry budget surfaces as the transient class (IOException)") {
+    withFaultCouch(5) { (stub, url) =>
+      stub.rateLimitFirst = 100
+      val feed = new HttpChangesFeed(url, "fdb", maxRetries = 2)
+      // IOException (FeedGone is NOT an IOException): Supervisor backs
+      // off instead of halting the feed
+      intercept[java.io.IOException](feed.latestSeq())
+      assert(stub.rateLimitedCount == 3L) // initial try + 2 retries
+    }
+  }
+
+  test("slow-drip server trips the inactivity timeout (transient, not fatal)") {
+    withFaultCouch(3) { (stub, url) =>
+      stub.slowMs = 2000L
+      val feed = new HttpChangesFeed(url, "fdb", timeoutMs = 200L)
+      val e = intercept[Exception](feed.latestSeq())
+      assert(e.isInstanceOf[java.net.http.HttpTimeoutException])
+      assert(!e.isInstanceOf[FeedGoneException])
+    }
+  }
+
+  test("mid-batch disconnect: page fails, resume from last consumed seq loses nothing") {
+    withFaultCouch(20) { (stub, url) =>
+      stub.dropChangesRequest = 2 // cut the SECOND _changes page mid-body
+      val feed = new HttpChangesFeed(url, "fdb", pageSize = 5)
+      val it = feed.changes(0, 20)
+      val first = it.take(5).toVector // page 1 intact
+      assert(first.map(_.seq) == (1L to 5L).toVector)
+      intercept[java.io.IOException](it.hasNext) // page 2 truncated
+      // the consumer committed through seq 5; a restarted reader asks
+      // for since=5 and the fault (one-shot, like a real blip) is gone
+      val resumed = feed.changes(5, 20).map(_.seq).toVector
+      assert(resumed == (6L to 20L).toVector)
+      assert(stub.changesSinceLog.toArray.toSeq.contains(5L))
+    }
+  }
+
+  test("e2e: mid-batch drop -> query fails -> restart resumes from committed offset") {
+    withFaultCouch(20) { (stub, url) =>
+      val store = Files.createTempDirectory("drop-store").toString
+      val ckpt = Files.createTempDirectory("drop-ckpt").toString
+      def run(): Unit = {
+        val q = spark.readStream.format("couch-changes")
+          .option("url", url).option("db", "fdb")
+          .option("maxChangesPerTrigger", "5")
+          .option("numPartitions", "2")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            MergeSink.applyBatch(store, batch, id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+        ()
+      }
+      // arm the cut to land a few _changes requests in (past batch 1)
+      stub.dropChangesRequest = 3
+      val failed = try { run(); false } catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => true
+      }
+      assert(failed, "the armed disconnect should fail the first run")
+      run() // fault is one-shot: the restart must complete
+      val state = MergeSink.readState(spark, store).orderBy("id").collect()
+      // exactly-once: every doc present once, none lost, none duplicated
+      assert(state.map(_.getString(0)).toSeq == (1 to 20).map(i => s"d$i")
+        .sorted)
+    }
+  }
+
   test("e2e: couch-changes source over HTTP into the merge sink") {
     withCouch() { (couch, url) =>
       seed(couch, 12)

@@ -46,6 +46,31 @@ class WriteBackSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("_bulk_docs per-doc conflicts surface as status rows, not batch failures") {
+    // modern CouchDB ignores all_or_nothing and reports conflicts per
+    // doc in a 201 response (README.md:504-530) — the J1 shape: chunk
+    // -> POST -> one status row per doc
+    val stub = new CouchStubServer("wb", IndexedSeq.empty)
+    stub.conflictIds = Set("d3", "d7")
+    val port = stub.start()
+    try {
+      val out = BulkDocsSink.postPerDoc(
+        BulkDocsSink.chunked(docs(10), "id", "doc", chunkSize = 4),
+        s"http://127.0.0.1:$port/wb", new JdkHttpPoster())
+        .collect()
+      assert(out.length == 10) // one row per doc, batch did NOT fail
+      val byId = out.map(r => r.getString(1) ->
+        (r.getBoolean(2), r.getString(3), r.getString(4))).toMap
+      assert(byId("d3") == ((false, "conflict", "Document update conflict.")))
+      assert(byId("d7")._2 == "conflict")
+      assert(byId.filterNot(kv => Set("d3", "d7")(kv._1))
+        .values.forall(v => v._1 && v._2 == null))
+      // every chunk was still posted (conflicts never abort the stream)
+      val (bulk, _, _) = stub.writeStats
+      assert(bulk == 3) // ceil(10/4)
+    } finally stub.stop()
+  }
+
   test("basic-auth header reaches the server") {
     // the recording endpoint: a one-off context that echoes the header
     val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
