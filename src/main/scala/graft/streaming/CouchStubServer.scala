@@ -33,7 +33,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * result array with `"error":"conflict"` entries (README.md:504-530 —
   * modern CouchDB ignores `all_or_nothing` and reports conflicts per
   * doc) instead of the fast-path `[]`. */
-final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
+final class CouchStubServer(
+    db: String, lines: IndexedSeq[String], port: Int = 0) {
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
   private val bulkPosts = new java.util.concurrent.atomic.LongAdder
@@ -68,7 +69,9 @@ final class CouchStubServer(db: String, lines: IndexedSeq[String]) {
     // Nagle vs delayed-ACK: ~40-60 ms PER REQUEST on loopback, which
     // turns a write-back bench into a latency bench of the kernel timer
     System.setProperty("sun.net.httpserver.nodelay", "true")
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // port 0 = ephemeral; a fixed port lets chaos tests restart a
+    // "crashed" server at the same address a follower reconnects to
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // a few handler threads so parallel partition readers aren't
     // serialized by the server; daemon so a forgotten stop() can't
     // keep the JVM alive
