@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.pipeline.Similarity
+
+class AnnIndexSinkSpec extends SparkSpec {
+
+  private def vec(seed: Int, dims: Int = 8): Array[Float] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(dims)(rng.nextFloat() * 2f - 1f)
+  }
+
+  private def embDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+  }
+
+  /** (relative file name -> (size, first 64 bytes)) for every parquet
+    * file under the index — the byte-identity probe. */
+  private def fileFingerprint(root: String): Map[String, (Long, Seq[Byte])] =
+    Files.walk(Paths.get(root)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val bytes = Files.readAllBytes(p)
+        Paths.get(root).relativize(p).toString ->
+          (Files.size(p), bytes.take(64).toSeq)
+      }.toMap
+
+  test("merge touches only the batch's buckets; probes see old AND new vectors") {
+    val path = Files.createTempDirectory("ann-sink").toString + "/idx"
+    Similarity.writeBucketedCorpus(embDf(1L to 40L), path, planes = 4)
+    val before = fileFingerprint(path)
+
+    // one new vector: its bucket is known deterministically
+    val newbie = embDf(Seq(100L))
+    val newBucket = newbie
+      .select(Similarity.signBucket(
+        Similarity.quantize(org.apache.spark.sql.functions.col("embedding")), 4))
+      .collect().head.getString(0)
+    assert(AnnIndexSink.mergeBatch(newbie, path, batchId = 0L, planes = 4))
+
+    val after = fileFingerprint(path)
+    // every pre-existing file is byte-identical (append never rewrites)
+    before.foreach { case (name, fp) =>
+      assert(after.get(name).contains(fp), s"$name changed")
+    }
+    // the only additions live under the newbie's bucket directory
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty)
+    assert(added.forall(_.startsWith(s"bucket=$newBucket")),
+      s"additions outside bucket=$newBucket: $added")
+
+    // a NEAR-copy query (tiny perturbation, so the identical-embedding
+    // self-guard doesn't exclude it) must find the merged vector as its
+    // top neighbor — proof the probe path reads the appended file
+    import spark.implicits._
+    val probeQ = Seq((9000L, vec(100).updated(0, vec(100)(0) + 1e-3f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.probeBucketedTopK(
+      spark, probeQ, path, k = 5, planes = 4, multiProbe = 4).collect()
+    assert(got.nonEmpty && got.minBy(_.getInt(1)).getLong(2) == 100L,
+      s"merged vector not the top neighbor: ${got.toSeq}")
+    // old corpus still probeable: a query from the original set returns
+    // neighbors (index not corrupted by the merge)
+    val oldProbe = Similarity.probeBucketedTopK(
+      spark, embDf(Seq(3L)), path, k = 3, planes = 4, multiProbe = 2)
+      .collect()
+    assert(oldProbe.nonEmpty)
+  }
+
+  test("old and merged vectors rank together: clone of an old vector ties it") {
+    val path = Files.createTempDirectory("ann-sink2").toString + "/idx"
+    Similarity.writeBucketedCorpus(embDf(1L to 30L), path, planes = 2)
+    // clone vector 7's embedding under a new id: same bucket, cos≈1 to
+    // a near-7 query — old 7 and new 500 must BOTH surface in the top 2
+    import spark.implicits._
+    val clone = Seq((500L, vec(7))).toDF("vec_id", "embedding")
+    assert(AnnIndexSink.mergeBatch(clone, path, batchId = 1L, planes = 2))
+    val probeQ = Seq((9000L, vec(7).updated(0, vec(7)(0) + 1e-3f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.probeBucketedTopK(
+      spark, probeQ, path, k = 3, planes = 2, multiProbe = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(got.take(2).map(_.getLong(2)).toSet == Set(7L, 500L),
+      s"expected old+new tied at the top: ${got.toSeq}")
+  }
+
+  test("replayed batchId is a NOOP; file set unchanged") {
+    val path = Files.createTempDirectory("ann-sink3").toString + "/idx"
+    Similarity.writeBucketedCorpus(embDf(1L to 20L), path, planes = 3)
+    assert(AnnIndexSink.mergeBatch(embDf(Seq(60L, 61L)), path, 5L, planes = 3))
+    val once = fileFingerprint(path)
+    assert(!AnnIndexSink.mergeBatch(embDf(Seq(60L, 61L)), path, 5L, planes = 3))
+    assert(fileFingerprint(path) == once)
+    assert(AnnIndexSink.appliedBatches(path) == Set(5L))
+    // and the data did not duplicate: the id appears once
+    val n = spark.read.parquet(path)
+      .where(org.apache.spark.sql.functions.col("neighbor_id") === 60L).count()
+    assert(n == 1L)
+  }
+
+  test("successive batches accumulate; partition count bounded by 2^planes") {
+    val path = Files.createTempDirectory("ann-sink4").toString + "/idx"
+    Similarity.writeBucketedCorpus(embDf(1L to 10L), path, planes = 2)
+    (0 to 3).foreach { b =>
+      assert(AnnIndexSink.mergeBatch(
+        embDf(Seq(200L + b)), path, b.toLong, planes = 2))
+    }
+    val total = spark.read.parquet(path).count()
+    assert(total == 14L)
+    val dirs = Files.list(Paths.get(path)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .toSeq
+    assert(dirs.size <= 4) // 2^2 partitions max
+    assert(AnnIndexSink.appliedBatches(path) == Set(0L, 1L, 2L, 3L))
+  }
+}
