@@ -42,9 +42,12 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     val words = TextOps.tokens(col(textCol))
     val sh = TextOps.shingles(words, nGram)
-    val shingleSets = df.select(
-      col(idCol).as("doc"),
-      array_distinct(sh).as("shingle_set"))
+    // shingle+minhash is the compute-dense stage: widen the text scan
+    // first so its parallelism isn't bound by byte-sized parquet splits
+    val shingleSets = Par.widen(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("doc"),
+        array_distinct(sh).as("shingle_set"))
       .where(size(col("shingle_set")) > 0)
     val buckets = shingleSets
       .withColumn("sig", TextOps.minhashSignature(col("shingle_set"), k))
@@ -72,8 +75,9 @@ object Dedup {
   /** SimHash signatures per document (one codegen'd pass per doc). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame =
-    df.select(col(idCol).as("doc"),
-      TextOps.simhash(TextOps.tokens(col(textCol)), bits).as("simhash"))
+    Par.widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        TextOps.simhash(TextOps.tokens(col(textCol)), bits).as("simhash"))
 
   /** SimHash near-duplicate pairs: band the 60-bit signature into
     * `chunks` 15-bit chunks; a pair within Hamming distance d collides
@@ -128,8 +132,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       window: Int = 3, maxHamming: Int = 8, bucketBits: Int = 5): DataFrame = {
     val bits = 60
-    val sigs = df.select(col(idCol).as("doc_id"),
-      TextOps.simhash(TextOps.tokens(col(textCol)), bits = bits).as("sig"))
+    val sigs = Par.widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        TextOps.simhash(TextOps.tokens(col(textCol)), bits = bits).as("sig"))
       .withColumn("bkt", shiftright(col("sig"), bits - bucketBits))
     // bucket sizes -> exclusive prefix-sum offsets: a tiny frame
     // (<= 2^bucketBits rows), so the unpartitioned window is bounded

@@ -43,13 +43,16 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("feature_hash", StringType)))
 
+  // codec passes are the canonical compute-dense stage — see Par.widen
+  private def widen(df: DataFrame): DataFrame = Par.widen(df)
+
   /** Deterministic fake "decode": width/height from byte stats, feature
     * hash from content. Stands in for image decode + feature extraction.
     * Runs partition-local over an iterator — the exact batch shape a
     * real decoder (or an Arrow-batched Python worker) would use. */
   def decodeStub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("media_id", "payload").rdd.mapPartitions { it =>
+    val out = widen(media.select("media_id", "payload")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -78,7 +81,7 @@ object Multimodal {
       batchSize: Int = 64,
       codec: Seq[(Long, Array[Byte])] => Seq[Row] = stubCodec): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("media_id", "payload").rdd.mapPartitions { it =>
+    val out = widen(media.select("media_id", "payload")).rdd.mapPartitions { it =>
       it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
         .grouped(batchSize)
         .flatMap(batch => codec(batch))
@@ -109,8 +112,8 @@ object Multimodal {
   def encodePng(
       df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
     val spark = df.sparkSession
-    val out = df.select(col(idCol).cast("long"),
-      col(wCol).cast("int"), col(hCol).cast("int")).rdd.mapPartitions { it =>
+    val out = widen(df.select(col(idCol).cast("long"),
+      col(wCol).cast("int"), col(hCol).cast("int"))).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
         val img = new java.awt.image.BufferedImage(

@@ -39,29 +39,47 @@ object Similarity {
   def cosinePrenormed(qa: Column, qb: Column, na: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
+  /** The ranking tail shared by every scoring path: per-query top-k of
+    * (cos DESC, neighbor_id ASC) via the bounded partial-aggregating
+    * [[graft.functions.TopK]] — each task keeps at most k entries per
+    * query and partials combine map-side, so the shuffle carries
+    * |queries| x |partitions| bounded buffers, NEVER the scored pairs
+    * themselves (the window formulation this replaced shuffled all
+    * |queries| x |candidates| rows — 225M at sf1 for the brute path). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.agg(col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.rank").as("rank"),
+        col("e.neighbor_id").as("neighbor_id"), col("e.cos").as("cos"))
+
+  /** Quantized corpus projection (id, vec, self-norm), widened to the
+    * cluster parallelism floor first: the scoring joins are broadcast
+    * (corpus side never shuffles), so corpus-scan partitioning bounds
+    * scoring parallelism — see [[Par.widen]]. */
+  private def corpusSide(
+      corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    Par.widen(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("e")))
+      .select(col("neighbor_id"), quantize(col("e")).as("c_emb"))
+      .withColumn("c_nrm", dot(col("c_emb"), col("c_emb")))
+
   /** Brute-force top-k cosine neighbors for each query vector.
-    * Baseline path: |queries| x |corpus| scored pairs, per-query top-k
-    * via partitioned window. SCALE: broadcast the (small) query set so
-    * the corpus never shuffles for scoring; only (query, k) survivors
-    * shuffle for the ranking. */
+    * Baseline path: |queries| x |corpus| scored pairs. SCALE: broadcast
+    * the (small) query set so the corpus never shuffles for scoring;
+    * per-partition bounded top-k buffers are all that shuffle for the
+    * ranking ([[topKPerQuery]]). */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
       .withColumn("q_nrm", graft.functions.Vectors.dotCol(col("q_emb"), col("q_emb"))))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
-      .withColumn("c_nrm", graft.functions.Vectors.dotCol(col("c_emb"), col("c_emb")))
+    val c = corpusSide(corpus, idCol, embCol)
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePrenormed(col("q_emb"), col("c_emb"),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Sign-bucket LSH key: sign bits of the first `planes` components
@@ -81,9 +99,7 @@ object Similarity {
       col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
       .withColumn("q_nrm", graft.functions.Vectors.dotCol(col("q_emb"), col("q_emb")))
       .withColumn("bucket", signBucket(col("q_emb"), planes)))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
-      .withColumn("c_nrm", graft.functions.Vectors.dotCol(col("c_emb"), col("c_emb")))
+    val c = corpusSide(corpus, idCol, embCol)
       .withColumn("bucket", signBucket(col("c_emb"), planes))
     val scored = q.join(c,
       col("q_emb") =!= col("c_emb") && col("query_id") =!= col("neighbor_id")
@@ -91,11 +107,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePrenormed(col("q_emb"), col("c_emb"),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Build the persistent ANN index: quantized vectors + self-norms,
@@ -156,11 +168,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePrenormed(col("q_emb"), col("c_emb"),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF(-flat) ANN: the corpus is partitioned into the Voronoi cells of
@@ -184,9 +192,7 @@ object Similarity {
       nPivots: Int = 8, nProbe: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(nPivots >= 2 && nProbe >= 1 && nProbe <= nPivots)
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
-      .withColumn("c_nrm", dot(col("c_emb"), col("c_emb")))
+    val c = corpusSide(corpus, idCol, embCol)
     val piv = c.orderBy(col("neighbor_id")).limit(nPivots)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
@@ -220,11 +226,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePrenormed(col("q_emb"), col("c_emb"),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Persist the IVF index: quantized corpus + self-norms written ONCE
@@ -288,11 +290,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosinePrenormed(col("q_emb"), col("c_emb"),
           col("q_nrm"), col("c_nrm")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** kNN label propagation: predict each query vector's label as the
@@ -360,7 +358,8 @@ object Similarity {
   def cosinePairsLsh(
       df: DataFrame, threshold: Double, planes: Int = 6,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = df.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"))
+    val q = Par.widen(df.select(col(idCol).as("id"), col(embCol).as("e")))
+      .select(col("id"), quantize(col("e")).as("qv"))
       .withColumn("nrm", graft.functions.Vectors.dotCol(col("qv"), col("qv")))
       .withColumn("blk", signBucket(col("qv"), planes))
     val a = q.as("a")
@@ -375,19 +374,38 @@ object Similarity {
   /** Near-duplicate pairs by embedding cosine above a threshold, blocked
     * on a coarse key to avoid all-pairs (here: a provided blocking
     * column; at scale: LSH buckets or cluster assignments — see
-    * [[cosinePairsLsh]]). */
+    * [[cosinePairsLsh]]).
+    *
+    * SCALE: a metadata blocking column is inherently LOW-cardinality
+    * (labels, languages, sources — tens of values), so a plain
+    * block-equi self-join serializes the quadratic within-block scoring
+    * into <= |blocks| tasks no matter how big the cluster. The pair
+    * generation is therefore salted ([[graft.operators.SkewJoin]]):
+    * the left side hashes into `salts` sub-keys by id, the right side
+    * replicates to each — identical pair set (each (a,b) meets exactly
+    * once: a carries ONE salt, b carries ALL), |blocks|·salts-way
+    * parallel scoring, at the documented cost of shipping the right
+    * projection `salts` times (fixed-width (id, qv, nrm) rows — the
+    * quantized vectors, never raw text). */
   def cosinePairs(
       df: DataFrame, blockCol: String, threshold: Double,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      quantize(col(embCol)).as("qv"))
+      idCol: String = "vec_id", embCol: String = "embedding",
+      salts: Int = 8): DataFrame = {
+    val q = Par.widen(df.select(col(idCol).as("id"),
+      col(blockCol).as("blk"), col(embCol).as("e")))
+      .select(col("id"), col("blk"), quantize(col("e")).as("qv"))
       .withColumn("nrm", graft.functions.Vectors.dotCol(col("qv"), col("qv")))
-    val a = q.as("a")
-    val b = q.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosinePrenormed(col("a.qv"), col("b.qv"),
-          col("a.nrm"), col("b.nrm")).as("cos"))
+    val a = q.select(col("id").as("id_a"), col("blk").as("blk_a"),
+      col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+    val b = q.select(col("id").as("id_b"), col("blk").as("blk_b"),
+      col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+    graft.operators.SkewJoin.saltedInnerJoin(
+      a, b,
+      col("blk_a") === col("blk_b") && col("id_a") < col("id_b"),
+      salts, col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        cosinePrenormed(col("qv_a"), col("qv_b"),
+          col("nrm_a"), col("nrm_b")).as("cos"))
       .where(col("cos") > threshold)
   }
 }
