@@ -408,6 +408,34 @@ class PlanSpec extends SparkSpec {
       s"expected the two scalars to join back as aggregate equi-joins:\n$p")
   }
 
+  test("ANN ranking tails are bounded partial top-k aggregates, not windows") {
+    // the round-4 sf1 curve's worst offender: ranking Q x N scored pairs
+    // through row_number() shuffles every pair (225M rows at sf1 for the
+    // brute path). The TopKAggExpr rewrite partial-aggregates map-side,
+    // so only bounded k-entry buffers reach the exchange. Pin: no Window
+    // node anywhere in an ANN scoring plan, and the aggregate is the
+    // object-hash kind (TypedImperativeAggregate) with a partial pass.
+    // p7b/p28 keep one PARTITIONED window each over a bounded frame
+    // (probe-rank over nPivots cells; label votes over <= k labels) —
+    // those are fine; the windowless pin applies to the pure-scoring
+    // paths where any Window would mean pair-proportional shuffle.
+    for (name <- Seq("p7_ann_brute", "p8_ann_lsh", "p8b_ann_prebucket",
+        "p7b_ann_ivf", "p28_knn_label")) {
+      val p = plan(name)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name lost the typed top-k aggregate:\n$p")
+      assert(p.toLowerCase.contains("partial_topkaggexpr"),
+        s"$name top-k aggregate is not partial (map-side):\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"$name funnels through one task:\n$p")
+    }
+    for (name <- Seq("p7_ann_brute", "p8_ann_lsh", "p8b_ann_prebucket")) {
+      val p = plan(name)
+      assert(!p.linesIterator.exists(_.matches(".*\\) Window$")),
+        s"$name ranks through a window (unbounded pair shuffle):\n$p")
+    }
+  }
+
   test("q37: z-order block stats partial-aggregate map-side") {
     val p = plan("q37_zorder_layout")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
