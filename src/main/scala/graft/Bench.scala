@@ -26,6 +26,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (every TypedImperativeAggregate: TopK, CMS)
+      // falls back to SORT-based aggregation after 128 distinct groups
+      // per task — which sorts the aggregate's whole INPUT. For the
+      // bounded top-k that means spilling the QxN scored-pair stream the
+      // aggregate exists to avoid (56 GB of spill at sf10 before this).
+      // Buffers are k entries, so 1M groups/task is still only ~MBs.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.getOrElse("SPARK_GRAFT_PIN", "0") == "1")
@@ -39,6 +47,7 @@ object Bench {
     // would make regressions look like speedups. Failures are reported
     // per-query on stderr and counted in the JSON line.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val pinned = sys.env.getOrElse("SPARK_GRAFT_PIN", "0") == "1"
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -47,7 +56,18 @@ object Bench {
           failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
           System.err.println(s"[bench] $name FAILED: ${failed(name)}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint blocks from iterative operators (CC fixpoint,
+      // distributed-rank offsets) outlive their query in this long-lived
+      // JVM; at sf10 the accumulated blocks crowd the unified memory
+      // region and inflate LATER queries' timings (measured: p27 9.6 s
+      // in the warmup sweep, 64.7 s once rounds carried the full
+      // catalog's leftovers). Clock stops first — cleanup is not the
+      // query's cost.
+      if (!pinned)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      t
     }
     val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
     if (warmup) names.foreach { n =>

@@ -32,6 +32,18 @@ import org.apache.spark.sql.types._
   * k <= a-few-hundred regime every catalog query uses. Output is
   * ARRAY<STRUCT<rank INT, neighbor_id BIGINT, cos DOUBLE>> with ranks
   * 1..min(k, seen), ready to explode.
+  *
+  * DEPLOYMENT NOTE: ObjectHashAggregate (the physical operator for any
+  * TypedImperativeAggregate) falls back to sort-based aggregation once a
+  * task sees more than `spark.sql.objectHashAggregate.sortBased
+  * .fallbackThreshold` distinct groups — and Spark's DEFAULT is 128.
+  * Sort-based fallback sorts the aggregate's entire INPUT, i.e. exactly
+  * the QxN scored-pair stream this aggregate exists to keep out of any
+  * sort or shuffle (observed: 56 GB of task spill at a 20k-query scale
+  * factor). Since each group's buffer is bounded at k entries, raising
+  * the threshold to ~1e6 costs only megabytes per task; every session
+  * that groups by a high-cardinality key through this aggregate should
+  * set it (Bench/Verify do).
   */
 object TopK {
 

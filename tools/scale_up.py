@@ -9,10 +9,11 @@ its base table, so joins stay consistent and replicas are disjoint:
   orders/lineitem share the o_orderkey offset, orders.o_custkey tracks
   customer, lineitem.l_partkey/l_suppkey track part/supplier.
 region/nation don't scale (TPC-H semantics). Documents get a per-replica
-suffix token so exact-dup structure scales linearly instead of creating
-cross-replica dup clusters; embeddings get a per-replica sign-flip
-pattern (norm-preserving) so cross-replica cosines decorrelate and
-near-dup pair counts scale linearly, not quadratically.
+WORD RENAMING (every whitespace token suffixed) so exact- AND near-dup
+structure scales linearly — cross-replica shingle sets are disjoint while
+within-replica Jaccard is untouched; embeddings get a per-replica
+sign-flip pattern (norm-preserving) so cross-replica cosines decorrelate
+and near-dup pair counts scale linearly, not quadratically.
 
 Deterministic: no RNG anywhere — offsets, suffixes, and sign patterns
 are pure functions of (replica, position).
@@ -82,15 +83,28 @@ def main():
             reps.append(t)
         write(dest, name, pa.concat_tables(reps))
 
-    # documents: suffix token per replica keeps dup structure linear
+    # documents: per-replica word renaming. A single appended suffix
+    # token decorrelates EXACT dups but leaves cross-replica shingle
+    # Jaccard at ~0.99 for long docs, so every base near-dup cluster of
+    # size s becomes one cluster of size s*factor and pair counts grow
+    # with factor^2 (at factor=100 that was ~345M pairs and an OOM).
+    # Renaming EVERY whitespace token with a replica suffix is a
+    # bijection on words: within-replica dup/near-dup structure is
+    # preserved exactly (token sets map 1:1, shingle Jaccard unchanged),
+    # while cross-replica shingle sets become fully disjoint — so both
+    # exact- and near-dup pairs scale linearly, as the embeddings'
+    # sign-flip already does for cosine pairs.
     base = read(src, "documents")
     reps = []
     for r in range(factor):
         t = offset_col(base, "doc_id", r * spans["doc"])
         if r > 0:
-            texts = pa.compute.binary_join_element_wise(
-                t.column("text").cast(pa.string()),
-                pa.scalar(f"rep{r}"), " ")
+            suf = f"r{r}x"
+            texts = pa.array(
+                [None if v is None else
+                 " ".join(w + suf if w else w for w in v.split(" "))
+                 for v in t.column("text").to_pylist()],
+                type=pa.string())
             i = t.schema.get_field_index("text")
             t = t.set_column(i, t.schema.field("text"), texts)
         reps.append(t)
