@@ -81,7 +81,19 @@ object GraftFunctions {
           case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
           case other => throw new IllegalArgumentException(
             s"predict_lang floor must be a numeric literal, got $other")
-        })))
+        })),
+    // aggregates: the registry builder returns the bare AggregateFunction
+    // and the analyzer wraps it in AggregateExpression(Complete) — same
+    // mechanism Spark's own built-in aggregates use.
+    (FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKAggExpr].getName, "topk_pairs"),
+      (args: Seq[Expression]) =>
+        TopKAggExpr(args.head, args(1), intArg(args(2), "k"))),
+    (FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsAggExpr].getName, "cms_sketch"),
+      (args: Seq[Expression]) => CmsAggExpr(args.head,
+        if (args.length > 1) intArg(args(1), "depth") else 4,
+        if (args.length > 2) intArg(args(2), "width") else 1024)))
 
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit =

@@ -58,4 +58,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(8) == "und")
     assert(r.getSeq[Long](9) == Seq(500000L))
   }
+
+  test("aggregate functions (topk_pairs, cms_sketch) callable from spark.sql") {
+    val spark = SparkSpec.session
+    GraftFunctions.install(spark)
+    val tk = spark.sql(
+      """SELECT q, topk_pairs(c, id, 2) AS tk FROM VALUES
+        |  (1, 0.9D, 10L), (1, 0.7D, 11L), (1, 0.8D, 12L),
+        |  (2, 0.5D, 20L), (2, 0.5D, 19L)
+        |  AS t(q, c, id) GROUP BY q ORDER BY q""".stripMargin).collect()
+    val r1 = tk(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(r1.map(e => (e.getInt(0), e.getLong(1))) == Seq((1, 10L), (2, 12L)))
+    // ties break by id ascending, matching the Column API
+    val r2 = tk(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(r2.map(_.getLong(1)) == Seq(19L, 20L))
+    val cms = spark.sql(
+      """SELECT cms_sketch(k, 2, 8) AS s FROM VALUES ('a'), ('a'), ('b')
+        |  AS t(k)""".stripMargin).collect().head.getSeq[Long](0)
+    assert(cms.length == 16 && cms.sum == 6L) // 3 keys x 2 rows each
+  }
 }
