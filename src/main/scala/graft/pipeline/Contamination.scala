@@ -41,6 +41,41 @@ object Contamination {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document duplicated-span fraction: the share of a doc's n-gram
+    * WINDOWS (every position, duplicates kept — unlike the distinct
+    * shingle sets above) whose hash occurs >= `minCount` times anywhere
+    * in the corpus, including inside the same document. The
+    * window-level analog of exact-substring training-data dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): a high `dup_frac` doc is mostly text that exists
+    * verbatim elsewhere and is a drop/trim candidate, even when no
+    * whole-document or shingle-SET near-dup fires.
+    *
+    * SCALE: identical shape to [[boilerplateStats]] — one shuffle keyed
+    * by the md5 window hash (an unordered window count, so the
+    * scan/shingle subtree is built once), then a per-doc groupBy with
+    * map-side partial aggregation. Raw text never shuffles; the
+    * quadratic "compare every span pair" formulation never appears.
+    *
+    * @return (doc_id, n_windows, n_dup, dup_frac)
+    */
+  def dupSpanStats(
+      docs: DataFrame, nGram: Int = 8, minCount: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), nGram)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val withCnt = sh.withColumn("cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))))
+    withCnt.groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_windows"))
+  }
+
   /** Per-document boilerplate fraction: the share of a doc's distinct
     * n-gram shingles that are corpus-frequent (appearing in >= `minDf`
     * docs) — the "repeated template/navigation text" signal web-corpus

@@ -1535,6 +1535,49 @@ object Pipeline {
              |SELECT source, n_docs, src_tokens,
              |((1000 // n_sources) * total_tokens) // src_tokens AS repeat_pm
              |FROM p, t ORDER BY source""".stripMargin),
-      "equal-share mixture plan: per-source permille repeat factors from one aggregate + one broadcast")
+      "equal-share mixture plan: per-source permille repeat factors from one aggregate + one broadcast"),
+
+    // ---- Duplicated-span fraction (Lee et al. 2022 exact-substring
+    // dedup, window-level): share of each doc's 8-gram windows occurring
+    // >=2 times corpus-wide. Occurrences, not distinct shingles — in-doc
+    // repetition counts too.
+    QueryDef(
+      "p50_dup_spans",
+      (s, dir) => {
+        import s.implicits._
+        Contamination.dupSpanStats(T(s, dir, "documents"), nGram = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT w.doc_id, u.h FROM w, UNNEST(CASE WHEN len(words)>=8
+             |  THEN list_transform(range(1, len(words)-6), i -> md5(words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||words[i+5]||' '||words[i+6]||' '||words[i+7]))
+             |  ELSE [] END) AS u(h)),
+             |c AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt FROM sh)
+             |SELECT doc_id, COUNT(*) AS n_windows,
+             |CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS dup_frac
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "duplicated-span fraction: per-doc share of 8-gram windows repeated anywhere in the corpus"),
+
+    // ---- Model-based quality filter via feature hashing (the
+    // fastText/FineWeb classifier-filter shape; hash-derived stand-in
+    // weights, real plan shape — see TextAnalysis.hashedFeatureScore).
+    QueryDef(
+      "p51_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.hashedFeatureScore(T(s, dir, "documents"), dim = 1024)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, u.t FROM
+             |  (SELECT doc_id, string_split(text,' ') AS words FROM documents), UNNEST(words) AS u(t)),
+             |b AS (SELECT doc_id, CAST('0x'||substr(md5('qw:'||t),1,8) AS BIGINT) % 1024 AS b FROM t),
+             |a AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(b) AS BIGINT) AS wsum FROM b GROUP BY doc_id)
+             |SELECT doc_id, n_tokens,
+             |(CAST(wsum AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 511.5) / 1024.0 AS score,
+             |CAST(CASE WHEN (CAST(wsum AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 511.5) / 1024.0 > 0
+             |  THEN 1 ELSE 0 END AS INTEGER) AS keep
+             |FROM a ORDER BY doc_id""".stripMargin),
+      "feature-hashing linear quality scorer: mean hashed-slot weight per doc, keep = score > 0")
   )
 }
