@@ -229,6 +229,56 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate removal over embeddings — cluster with a
+    * coarse quantizer, compare pairs ONLY within a cluster, and drop
+    * every vector that has a lower-id cluster-mate above the cosine
+    * threshold `tau`. Output is the DROP list: (vec_id, dup_of, cos)
+    * where dup_of is the lowest-id qualifying mate (deterministic
+    * representative choice, same keep-lowest-id convention as
+    * [[Dedup]]); anti-join it against the corpus to materialize the
+    * deduplicated set.
+    *
+    * Clustering reuses [[ivfTopK]]'s Voronoi assignment: pivots fold in
+    * as literals, so assignment is one codegen'd projection — no join.
+    * SCALE: this is exactly the paper's design point — the quadratic
+    * pair comparison is confined to single cells, so cost is
+    * sum(|cell|^2) not |corpus|^2, and the cell count scales with
+    * `nPivots` (k-means k in the paper; ~10-100k clusters at web
+    * scale, keeping cells ~constant-size as the corpus grows). The
+    * pair join is a cell-keyed equi-join (never cartesian) carrying
+    * quantized vectors + precomputed norms; the drop-list aggregate is
+    * a per-vector min — partial-agg'd map-side. */
+  def semanticDedup(
+      corpus: DataFrame, tau: Double, nPivots: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpusSide(corpus, idCol, embCol)
+    val piv = c.orderBy(col("neighbor_id")).limit(nPivots)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
+    val affs = piv.map { case (pid, pemb, pnrm) => struct(
+      cosinePrenormed(col("c_emb"), typedLit(pemb), col("c_nrm"),
+        lit(pnrm)).as("cos"),
+      lit(-pid).as("tb")) }
+    val assigned = c.withColumn("cell", -greatest(affs: _*).getField("tb"))
+    val a = assigned.select(col("neighbor_id").as("id_a"),
+      col("c_emb").as("ea"), col("c_nrm").as("na"), col("cell").as("cell_a"))
+    val b = assigned.select(col("neighbor_id").as("id_b"),
+      col("c_emb").as("eb"), col("c_nrm").as("nb"), col("cell").as("cell_b"))
+    val pairs = a.join(b,
+        col("cell_a") === col("cell_b") && col("id_b") < col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        cosinePrenormed(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= tau)
+    // min + min_by (not min over a struct): both are declarative
+    // aggregates, so the drop list hash-aggregates with a map-side
+    // partial pass — min(struct) would force a SortAggregate
+    pairs.groupBy(col("id_a").as("vec_id"))
+      .agg(min(col("id_b")).as("dup_of"),
+        min_by(col("cos"), col("id_b")).as("cos"))
+  }
+
   /** Persist the IVF index: quantized corpus + self-norms written ONCE
     * partitioned by Voronoi cell (`path/cell=N/...`) — [[ivfTopK]]'s
     * assignment, made write-once/probe-many like [[writeBucketedCorpus]].

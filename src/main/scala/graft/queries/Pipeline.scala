@@ -1578,6 +1578,38 @@ object Pipeline {
              |CAST(CASE WHEN (CAST(wsum AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 511.5) / 1024.0 > 0
              |  THEN 1 ELSE 0 END AS INTEGER) AS keep
              |FROM a ORDER BY doc_id""".stripMargin),
-      "feature-hashing linear quality scorer: mean hashed-slot weight per doc, keep = score > 0")
+      "feature-hashing linear quality scorer: mean hashed-slot weight per doc, keep = score > 0"),
+
+    // ---- SemDeDup: semantic near-dup drop list — IVF-cell clustering,
+    // within-cell cosine >= tau, keep the lowest id (Abbas et al. 2023;
+    // same cell assignment as p7b, so the oracle reuses its CTEs).
+    QueryDef(
+      "p52_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.semanticDedup(T(s, dir, "embeddings"), tau = 0.4,
+            nPivots = 8)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |piv AS (SELECT vec_id AS pivot_id, qv AS pv FROM q WHERE vec_id < 8),
+             |aff AS (SELECT c.vec_id, p.pivot_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> c.qv[i]*p.pv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.qv[i]*c.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> p.pv[i]*p.pv[i])) AS DOUBLE)) AS acos
+             |  FROM q c, piv p),
+             |cells AS (SELECT vec_id, pivot_id AS cell FROM (
+             |  SELECT vec_id, pivot_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY acos DESC, pivot_id) AS rn FROM aff) WHERE rn = 1),
+             |pairs AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+             |  CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qb.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> qa.qv[i]*qa.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> qb.qv[i]*qb.qv[i])) AS DOUBLE)) AS cos
+             |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND cb.vec_id < ca.vec_id
+             |  JOIN q qa ON qa.vec_id = ca.vec_id JOIN q qb ON qb.vec_id = cb.vec_id),
+             |hit AS (SELECT id_a, id_b, cos, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY id_b) AS rn
+             |  FROM pairs WHERE cos >= 0.4)
+             |SELECT id_a AS vec_id, id_b AS dup_of, cos FROM hit WHERE rn = 1
+             |ORDER BY vec_id""".stripMargin),
+      "SemDeDup drop list: within-IVF-cell cosine >= 0.4, lowest-id representative kept")
   )
 }

@@ -408,6 +408,20 @@ class PlanSpec extends SparkSpec {
       s"expected the two scalars to join back as aggregate equi-joins:\n$p")
   }
 
+  test("p52: SemDeDup pairs join on the cell key; assignment is a projection") {
+    // SemDeDup's whole scale argument is that pair comparison is
+    // confined to cells: the pair join must be a cell-keyed equi-join
+    // (never cartesian/nested-loop over the corpus), cell assignment a
+    // literal-folded projection (no join — same pin as p7b), and the
+    // drop-list min a partial aggregate.
+    val p = plan("p52_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"pair join is cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join lost its cell equi-key:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"drop-list min is not partial-agg'd:\n$p")
+  }
+
   test("ANN ranking tails are bounded partial top-k aggregates, not windows") {
     // the round-4 sf1 curve's worst offender: ranking Q x N scored pairs
     // through row_number() shuffles every pair (225M rows at sf1 for the
