@@ -93,7 +93,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CmsAggExpr].getName, "cms_sketch"),
       (args: Seq[Expression]) => CmsAggExpr(args.head,
         if (args.length > 1) intArg(args(1), "depth") else 4,
-        if (args.length > 2) intArg(args(2), "width") else 1024)))
+        if (args.length > 2) intArg(args(2), "width") else 1024)),
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomAggExpr].getName, "bloom_build"),
+      (args: Seq[Expression]) => BloomAggExpr(args.head,
+        if (args.length > 1) intArg(args(1), "numBits") else 1 << 20,
+        if (args.length > 2) intArg(args(2), "numHashes") else 6)),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "bloom_contains"),
+      (args: Seq[Expression]) => BloomContainsExpr(args.head, args(1))))
 
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit =

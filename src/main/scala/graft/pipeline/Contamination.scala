@@ -41,6 +41,42 @@ object Contamination {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[shingleHits]] with a broadcast Bloom-filter pre-filter on the
+    * training side — the shape that holds at 100 TB when even the
+    * held-out DISTINCT hash set is too big to broadcast cheaply: the
+    * filter is `numBits/8` bytes TOTAL regardless of held-out
+    * cardinality, the corpus's shingle stream probes it inside the
+    * scan's codegen pass, and only true hits plus the ~1% false-
+    * positive residue ever reach the exchange. The exact equi-join
+    * against the held-out hashes then removes the residue (a Bloom
+    * filter has no false negatives), so the output is bit-identical to
+    * [[shingleHits]] — same oracle, different (much cheaper) plan.
+    *
+    * The same [[graft.functions.Bloom]] aggregate is mergeable
+    * (bitwise OR), so held-out splits arriving incrementally — a
+    * streaming micro-batch per benchmark release — fold into the one
+    * filter without rebuilding.
+    */
+  def bloomShingleHits(
+      train: DataFrame, heldOut: DataFrame, nGram: Int = 3,
+      numBits: Int = 1 << 20, numHashes: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def hashes(d: DataFrame) = d
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val tr = hashes(train)
+    val te = hashes(heldOut).select(col("h")).distinct()
+    val bloom = te.agg(graft.functions.Bloom.build(
+      col("h"), numBits, numHashes).as("bf"))
+    val pre = tr.join(broadcast(bloom))
+      .where(graft.functions.Bloom.contains(col("bf"), col("h")))
+      .drop("bf")
+    pre.join(te, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Per-document duplicated-span fraction: the share of a doc's n-gram
     * WINDOWS (every position, duplicates kept — unlike the distinct
     * shingle sets above) whose hash occurs >= `minCount` times anywhere

@@ -1610,6 +1610,35 @@ object Pipeline {
              |  FROM pairs WHERE cos >= 0.4)
              |SELECT id_a AS vec_id, id_b AS dup_of, cos FROM hit WHERE rn = 1
              |ORDER BY vec_id""".stripMargin),
-      "SemDeDup drop list: within-IVF-cell cosine >= 0.4, lowest-id representative kept")
+      "SemDeDup drop list: within-IVF-cell cosine >= 0.4, lowest-id representative kept"),
+
+    // ---- Decontamination with a broadcast Bloom pre-filter: identical
+    // semantics to the exact join (the filter admits no false
+    // negatives; the verify join removes false positives) — the plan
+    // that survives a held-out set too large to broadcast as a hash
+    // set. 4-gram so it complements p20's 3-gram report.
+    QueryDef(
+      "p53_bloom_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+          .withColumn("split", Sampling.hashSplit($"doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        Contamination.bloomShingleHits(
+          d.where($"split" === "train"), d.where($"split" === "test"),
+          nGram = 4)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sp AS (SELECT doc_id,
+             |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 AS sb FROM documents),
+             |sh AS (SELECT w.doc_id, list_distinct(CASE WHEN len(words)>=4
+             |  THEN list_transform(range(1, len(words)-2), i -> md5(words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]))
+             |  ELSE [] END) AS hs FROM w),
+             |tr AS (SELECT s.doc_id, u.h FROM sh s JOIN sp ON sp.doc_id = s.doc_id AND sp.sb < 800, UNNEST(s.hs) AS u(h)),
+             |te AS (SELECT DISTINCT u.h FROM sh s JOIN sp ON sp.doc_id = s.doc_id AND sp.sb >= 900, UNNEST(s.hs) AS u(h))
+             |SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN te ON tr.h = te.h
+             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
+      "Bloom-prefiltered decontamination: 1 MiB broadcast filter + exact verify join, bit-identical to the equi-join")
   )
 }

@@ -422,6 +422,21 @@ class PlanSpec extends SparkSpec {
     assert(hashAggs >= 2, s"drop-list min is not partial-agg'd:\n$p")
   }
 
+  test("p53: bloom probe filters the corpus before any exchange") {
+    // the whole point of the bloom path: the corpus-side shingle stream
+    // is reduced BEFORE it shuffles. The probe must appear as a filter
+    // (not a join), the 1-row filter relation must broadcast, and no
+    // cartesian may appear anywhere.
+    val p = plan("p53_bloom_decontaminate")
+    val lower = p.toLowerCase
+    assert(lower.contains("bloomcontains"),
+      s"bloom probe missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bloom path:\n$p")
+    // the bloom (a 1-row aggregate) reaches the probe via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bloom filter not broadcast:\n$p")
+  }
+
   test("ANN ranking tails are bounded partial top-k aggregates, not windows") {
     // the round-4 sf1 curve's worst offender: ranking Q x N scored pairs
     // through row_number() shuffles every pair (225M rows at sf1 for the
