@@ -22,16 +22,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name), {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and normalize to TimestampType
-      // (microsecond) so every downstream operator sees a real timestamp.
+      // events.ts arrives in generator-dependent physical types — parquet
+      // TIMESTAMP(NANOS) (which Spark's vectorized reader rejects; read
+      // nanos as long), epoch-long, or TIMESTAMP_NTZ — so normalize by the
+      // ACTUAL schema to session-zoned TimestampType (microseconds) and
+      // every downstream operator sees one canonical type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df
+      if (name == "events") {
+        import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+        import org.apache.spark.sql.types.{LongType, TimestampType}
+        df.schema("ts").dataType match {
+          case LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampType => df
+          case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+        }
+      } else df
     })
 
   /** Pin every testdata table in executor memory (deserialized columnar
