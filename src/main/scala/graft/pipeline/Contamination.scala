@@ -112,6 +112,51 @@ object Contamination {
         col("n_dup").cast("double") / col("n_windows"))
   }
 
+  /** Pairwise source-overlap matrix: n-gram Jaccard similarity between
+    * every pair of corpus sources (domains / crawls / snapshots) over
+    * their DISTINCT shingle-hash sets — the cross-source leakage audit
+    * run before mixing sources into a training corpus (two "different"
+    * sources with high Jaccard are the same crawl twice, and their
+    * mixture weights double-count).
+    *
+    * SCALE: one shuffle keyed by shingle hash; per-hash state is the
+    * SET OF SOURCES containing it, bounded by the source count (tens to
+    * thousands — never corpus-proportional), and the pair expansion is
+    * per-hash quadratic in that bounded set, not in documents. Source
+    * sizes are a separate vocabulary-style aggregate, broadcast back
+    * onto the (|sources| choose 2)-row pair table. Text never shuffles.
+    *
+    * @return (src_a, src_b, n_a, n_b, inter, jaccard) for pairs with
+    *         at least one shared shingle, src_a < src_b
+    */
+  def sourceOverlap(
+      docs: DataFrame, nGram: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(srcCol).as("src"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
+      .select(col("src"), md5(col("s")).as("h"))
+    val perSrc = sh.groupBy("src").agg(countDistinct(col("h")).as("n"))
+    val pairs = sh.groupBy("h")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(perSrc.select(col("src").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(perSrc.select(col("src").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Per-document boilerplate fraction: the share of a doc's distinct
     * n-gram shingles that are corpus-frequent (appearing in >= `minDf`
     * docs) — the "repeated template/navigation text" signal web-corpus

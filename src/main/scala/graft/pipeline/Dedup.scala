@@ -17,6 +17,33 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Event-log dedup: keep the FIRST row per key within each tumbling
+    * event-time window — the batch twin of Structured Streaming's
+    * `dropDuplicatesWithinWatermark` (StatefulOps.dedupByContent), and
+    * the standard collapse of retry/refresh storms before sessionizing
+    * an interaction log. Survivor = earliest (ts, id) in the bucket,
+    * so the result is deterministic under any partitioning.
+    *
+    * SCALE: the ranking window partitions by (keys..., bucket) — tens
+    * of rows per partition in any real log, never corpus-proportional;
+    * one shuffle on those compound keys. No global window anywhere.
+    *
+    * @return input rows that survive, plus their `win_bucket`
+    */
+  def firstPerWindow(
+      events: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, windowSec: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols.map(col) :+ col("win_bucket")): _*)
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("win_bucket",
+        floor(unix_timestamp(col(tsCol)) / windowSec).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * shingle(nGram) -> k-permutation MinHash signature -> `bands` LSH

@@ -182,6 +182,39 @@ object Vocab {
       .groupBy("pair")
       .agg(sum(col("tf")).as("n"))
 
+  /** Per-document top-k terms by true tf-idf weight — the keyword-
+    * extraction / doc-representation statistic (complements
+    * [[topTermsPerDoc]], which ranks by (tf, df) lexicographically
+    * without a weighting function). idf = ln(N/df), quantized to
+    * integer micro-nats BEFORE the tf multiplication so the score is
+    * an exact integer — ranking ties and cross-engine comparisons are
+    * bit-deterministic, never at the mercy of float summation order.
+    *
+    * SCALE: identical shape to [[topTermsPerDoc]] — the df table and
+    * the one-row corpus count are vocabulary-sized broadcasts onto the
+    * per-doc term counts; the ranking window partitions by document.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val perDoc = toks.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = toks.groupBy("token")
+      .agg(countDistinct(col("doc")).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("doc")
+      .orderBy(col("tfidf_q").desc, col("token"))
+    perDoc.join(broadcast(dfTab), "token").crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("token"), col("tf"), col("df"),
+        (col("tf") * floor(log(col("n_docs").cast("double") /
+          col("df").cast("double")) * lit(1e6)).cast("long"))
+          .as("tfidf_q"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc"), col("rk"), col("token"), col("tf"), col("df"),
+        col("tfidf_q"))
+  }
+
   /** Per-document top-k distinctive terms: rank by within-doc frequency
     * descending, then corpus document-frequency ascending (rarer-in-
     * corpus wins the tie — the rank-based analog of tf-idf without

@@ -1639,6 +1639,76 @@ object Pipeline {
              |te AS (SELECT DISTINCT u.h FROM sh s JOIN sp ON sp.doc_id = s.doc_id AND sp.sb >= 900, UNNEST(s.hs) AS u(h))
              |SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN te ON tr.h = te.h
              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
-      "Bloom-prefiltered decontamination: 1 MiB broadcast filter + exact verify join, bit-identical to the equi-join")
+      "Bloom-prefiltered decontamination: 1 MiB broadcast filter + exact verify join, bit-identical to the equi-join"),
+
+    // ---- Event-log windowed dedup: first event per (user, type) in
+    // each 10-minute tumbling bucket — the batch twin of streaming
+    // dropDuplicatesWithinWatermark; window partitions by compound key,
+    // never globally.
+    QueryDef(
+      "p54_window_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.firstPerWindow(T(s, dir, "events"),
+            Seq("user_id", "event_type"), "ts", "event_id", 600)
+          .select($"event_id", $"user_id", $"event_type", $"win_bucket",
+            $"value")
+          .orderBy($"event_id")
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, event_type, value, ts,
+             |  CAST(floor(epoch(ts)/600) AS BIGINT) AS win_bucket FROM events),
+             |r AS (SELECT *, ROW_NUMBER() OVER (
+             |  PARTITION BY user_id, event_type, win_bucket
+             |  ORDER BY ts, event_id) AS rn FROM b)
+             |SELECT event_id, user_id, event_type, win_bucket, value
+             |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin),
+      "windowed event dedup: first per (user, type) in 10-min tumbling buckets, batch twin of dropDuplicatesWithinWatermark"),
+
+    // ---- Cross-source overlap matrix: pairwise 3-gram Jaccard between
+    // sources — the leakage audit before assigning mixture weights.
+    QueryDef(
+      "p55_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        Contamination.sourceOverlap(T(s, dir, "documents"), nGram = 3)
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH w AS (SELECT source, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT DISTINCT w.source AS src, u.h FROM w, UNNEST(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> md5(words[i]||' '||words[i+1]||' '||words[i+2]))
+             |  ELSE [] END) AS u(h)),
+             |n AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY src),
+             |p AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+             |SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, inter,
+             |CAST(inter AS DOUBLE)/CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+             |FROM p JOIN n na ON na.src = src_a JOIN n nb ON nb.src = src_b
+             |ORDER BY src_a, src_b""".stripMargin),
+      "cross-source 3-gram Jaccard overlap matrix: per-hash bounded source sets, one hash-keyed shuffle"),
+
+    // ---- True tf-idf keyword extraction: top-3 terms per doc by
+    // tf * ln(N/df), integer-quantized idf for exact ranking.
+    QueryDef(
+      "p56_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", k = 3)
+          .select($"doc".as("doc_id"), $"rk", $"token", $"tf", $"df",
+            $"tfidf_q")
+          .orderBy($"doc_id", $"rk")
+      },
+      Some("""WITH t AS (SELECT doc_id, u.t AS token FROM
+             |  (SELECT doc_id, string_split(text,' ') AS words FROM documents), UNNEST(words) AS u(t)),
+             |pd AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+             |sc AS (SELECT pd.doc_id, pd.token, pd.tf, dfx.df,
+             |  pd.tf * CAST(floor(ln(CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE))*1000000) AS BIGINT) AS tfidf_q
+             |  FROM pd JOIN dfx USING(token) CROSS JOIN n),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |  ORDER BY tfidf_q DESC, token) AS rk FROM sc)
+             |SELECT doc_id, rk, token, tf, df, tfidf_q
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+      "tf-idf keyword extraction: top-3 per doc by tf * micro-nat-quantized ln(N/df)")
   )
 }
