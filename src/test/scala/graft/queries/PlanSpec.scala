@@ -475,4 +475,39 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("l_partkey") && readSchema.contains("l_suppkey"))
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"))
   }
+
+  test("p54: windowed dedup partitions by compound key, never globally") {
+    val p = plan("p54_window_dedup")
+    // the ranking window must carry the full (user, type, bucket) key —
+    // a window missing the bucket (or empty partitioning) funnels a
+    // key's whole history through one task
+    val winLine = p.linesIterator.find(_.contains("row_number()")).get
+    assert(winLine.contains("user_id") && winLine.contains("event_type")
+      && winLine.contains("win_bucket"),
+      s"window must partition by (user_id, event_type, win_bucket):\n$p")
+  }
+
+  test("p55: source overlap shuffles hashes once; no cartesian anywhere") {
+    val p = plan("p55_source_overlap")
+    assert(!p.contains("CartesianProduct"), s"p55 has a cartesian:\n$p")
+    // per-source sizes join back by broadcast (pair table is tiny)
+    assert(p.contains("BroadcastHashJoin"), s"sizes should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in p55 justifies a sort-merge exchange:\n$p")
+    // text must be projected away before any exchange: only hashes and
+    // source names shuffle
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"))
+  }
+
+  test("p56: tf-idf df table and corpus count broadcast onto term counts") {
+    val p = plan("p56_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df table should broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row corpus count should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the ranking window partitions by doc
+    val winLine = p.linesIterator.find(_.contains("row_number()")).get
+    assert(winLine.contains("doc"), s"window must partition by doc:\n$p")
+  }
 }

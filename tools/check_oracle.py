@@ -10,6 +10,9 @@ import sys, json, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# optional: comma-separated query names to skip (oracle-side intractable
+# at large scale factors, e.g. p52's within-cell quadratic list math)
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     t = os.path.basename(p).replace(".parquet", "")
@@ -18,6 +21,9 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIP {name}", flush=True)
+        continue
     spark_glob = f"{out_dir}/{name}/*.parquet"
     if not glob.glob(spark_glob):
         print(f"FAIL {name}: no spark output")
@@ -60,6 +66,6 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: col {c} row {i}: spark={va!r} duck={vb!r}")
         fails += 1
     else:
-        print(f"OK   {name} ({len(sdf)} rows)")
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+        print(f"OK   {name} ({len(sdf)} rows)", flush=True)
+print(f"\n{len(oracle) - fails - len(skip)}/{len(oracle) - len(skip)} queries match" + (f" ({len(skip)} skipped)" if skip else ""))
 sys.exit(1 if fails else 0)
