@@ -99,6 +99,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram-Jaccard duplicate pairs — the ground truth the
+    * LSH candidate generator approximates. Not all-pairs: docs are
+    * exploded to (doc, md5(shingle)) and self-joined on the HASH, so
+    * only pairs that actually share a shingle ever meet, and the
+    * shuffle key is fixed-width. Any pair at Jaccard >= threshold > 0
+    * shares >= 1 shingle, so the join loses nothing.
+    *
+    * SCALE: cost is Σ per-shingle collision group sizes² — linear for
+    * natural text on a bounded sample, quadratic on a full corpus with
+    * stop-shingle blowup. This is deliberately the harness's EXACT
+    * side: run it on a hash-sampled subset (p59 samples 40 %) to score
+    * the LSH banding's recall before trusting it corpus-wide.
+    */
+  def exactJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), nGram)
+    val shingleSets = df
+      .select(col(idCol).as("doc"), array_distinct(sh).as("shingle_set"))
+      .where(size(col("shingle_set")) > 0)
+    val exploded = shingleSets
+      .select(col("doc"), explode(col("shingle_set")).as("s"))
+      .select(col("doc"), md5(col("s")).as("h"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("__inter"))
+    val sizes = shingleSets.select(
+      col("doc"), size(col("shingle_set")).cast("long").as("__nsh"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("__nsh").as("__na")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("__nsh").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash signatures per document (one codegen'd pass per doc). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame =

@@ -117,4 +117,57 @@ object Sampling {
     df.withColumn("rk",
       row_number().over(Window.partitionBy(col(groupCol)).orderBy(order: _*)))
       .where(col("rk") <= n)
+
+  /** EXACT-size stratified sample: allocate `total` slots across the
+    * strata proportionally with largest-remainder (Hamilton) rounding —
+    * the eval-set construction where "100 docs, stratum shares as close
+    * to proportional as integers allow" is a hard spec, unlike
+    * [[balancedSample]]'s per-group expectation. Within a stratum the
+    * survivors are the `quota` lowest md5 draws (deterministic,
+    * engine-portable, re-run-stable).
+    *
+    * Largest-remainder: base_s = floor(total*n_s/N); the
+    * `total - Σ base_s` leftover slots go to the strata with the largest
+    * `(total*n_s) mod N`, ties broken by the stratum key. All integer
+    * arithmetic — both engines agree exactly.
+    *
+    * SCALE: quota math runs on the |strata|-row aggregate (an
+    * unpartitioned window over strata is bounded by stratum CARDINALITY,
+    * not corpus size — the IVF-pivot pattern); quotas broadcast back and
+    * the only corpus-proportional work is the per-stratum rank window,
+    * which partitions by stratum. Output rows = `total`.
+    *
+    * Returns the input columns plus `quota` (the stratum's slot count)
+    * and `rk` (1-based draw rank within the stratum). */
+  def stratifiedQuota(
+      df: DataFrame, strata: Seq[String], idCol: String, total: Int,
+      salt: String = "quota"): DataFrame = {
+    require(strata.nonEmpty && total > 0)
+    val sCols = strata.map(col)
+    val counts = df.groupBy(sCols: _*).agg(count(lit(1)).as("__n"))
+    // grand total + leftover as whole-frame windows over the tiny
+    // strata aggregate (avoids a self-join of counts with its own agg)
+    val wAll = Window.partitionBy()
+    // NB: "__tot", not "__N" — Spark resolves column names
+    // case-insensitively by default, so withColumn("__N") would
+    // silently REPLACE "__n"
+    val quotas = counts
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn("__base", expr(s"($total * __n) DIV __tot"))
+      .withColumn("__rem", expr(s"($total * __n) % __tot"))
+      .withColumn("__extra", sum(col("__base")).over(wAll))
+      .withColumn("__rrk", row_number().over(
+        Window.orderBy(col("__rem").desc +: sCols: _*)))
+      .withColumn("quota",
+        (col("__base") +
+          when(col("__rrk") <= lit(total) - col("__extra"), 1L)
+            .otherwise(0L)).cast("long"))
+      .select(sCols :+ col("quota"): _*)
+    val wd = Window.partitionBy(sCols: _*)
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.join(broadcast(quotas), strata)
+      .withColumn("rk", row_number().over(wd).cast("long"))
+      .where(col("rk") <= col("quota"))
+  }
 }

@@ -79,4 +79,53 @@ object Sketch {
 
   def hllSummary(df: DataFrame, valueCol: String): DataFrame =
     estimateFromBuckets(hllBuckets(df, valueCol))
+
+  /** Histogram quantile sketch: per-group quantile ESTIMATES from a
+    * fixed equi-width bin grid — the third mergeable sketch next to HLL
+    * and CMS. Exact per-group quantiles need a full sort or rank of the
+    * group; the histogram reduces each partition to at most `bins`
+    * counted rows map-side (counts are additive = mergeable), so the
+    * shuffle is O(groups × bins) whatever the corpus size, and two
+    * corpora's histograms merge by adding counts. The estimate is the
+    * inclusive upper edge of the first bin whose cumulative count
+    * reaches ceil(q·n) — off by at most one bin width from the exact
+    * quantile, which p58's oracle-checked audit measures directly.
+    *
+    * The grid is GLOBAL (one [min,max] for all groups), which is what
+    * makes per-group histograms mergeable into corpus-level ones and
+    * the sketch usable as streaming update-mode state. All arithmetic
+    * is exact integer ops on the canonical long values — both engines
+    * agree bit-for-bit. Caller guarantees (max-min+1)·bins fits a long.
+    *
+    * @param qsPermille quantiles as permille (500 = median, 900 = p90)
+    * @return one row per group: groupCol, n, and `p<q>_est` per q
+    */
+  def histQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int, qsPermille: Seq[Int]): DataFrame = {
+    require(bins > 0 && qsPermille.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val bounds = vals.agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val binned = vals.crossJoin(broadcast(bounds))
+      .withColumn("__span", col("__hi") - col("__lo") + lit(1L))
+      .withColumn("__bin", expr(s"((__v - __lo) * $bins) DIV __span"))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"),
+        first("__lo").as("__lo"), first("__span").as("__span"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = binned
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .withColumn("__edge",
+        expr(s"__lo + ((__bin + 1) * __span) DIV $bins - 1"))
+    val ests = qsPermille.map { q =>
+      min(when(col("__cum") >= expr(s"($q * __n + 999) DIV 1000"),
+        col("__edge"))).as(s"p${q}_est")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max("__n").as("n"), ests: _*)
+  }
 }

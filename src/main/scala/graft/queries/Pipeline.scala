@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextOps, Vocab}
+import graft.pipeline.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -1709,6 +1709,178 @@ object Pipeline {
              |  ORDER BY tfidf_q DESC, token) AS rk FROM sc)
              |SELECT doc_id, rk, token, tf, df, tfidf_q
              |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
-      "tf-idf keyword extraction: top-3 per doc by tf * micro-nat-quantized ln(N/df)")
+      "tf-idf keyword extraction: top-3 per doc by tf * micro-nat-quantized ln(N/df)"),
+
+    // ---- EXACT-size stratified eval sample: largest-remainder quota
+    // per (lang, source) stratum, survivors = lowest md5 draws. Quota
+    // math runs on the |strata|-row aggregate (strata-bounded window,
+    // the IVF-pivot pattern); the corpus-side rank partitions by
+    // stratum. Output is exactly `total` rows at any corpus size.
+    QueryDef(
+      "p57_stratified_quota",
+      (s, dir) => {
+        import s.implicits._
+        Sampling.stratifiedQuota(T(s, dir, "documents"),
+            Seq("lang", "source"), "doc_id", total = 100)
+          .select($"lang", $"source", $"quota", $"rk", $"doc_id")
+          .orderBy($"lang", $"source", $"rk")
+      },
+      Some("""WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+             |t AS (SELECT SUM(n) AS nn FROM c),
+             |q0 AS (SELECT lang, source, (100 * n) // nn AS base, (100 * n) % nn AS rem FROM c CROSS JOIN t),
+             |q1 AS (SELECT *, SUM(base) OVER () AS sb,
+             |  ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rrk FROM q0),
+             |q AS (SELECT lang, source,
+             |  CAST(base + CASE WHEN rrk <= 100 - sb THEN 1 ELSE 0 END AS BIGINT) AS quota FROM q1),
+             |r AS (SELECT lang, source, doc_id, ROW_NUMBER() OVER (
+             |  PARTITION BY lang, source
+             |  ORDER BY md5('quota:'||CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+             |SELECT r.lang, r.source, q.quota, CAST(r.rk AS BIGINT) AS rk, r.doc_id
+             |FROM r JOIN q USING (lang, source) WHERE r.rk <= q.quota
+             |ORDER BY lang, source, rk""".stripMargin),
+      "exact-size stratified sample: largest-remainder quotas over (lang, source), deterministic md5 draws"),
+
+    // ---- Histogram quantile sketch vs exact: per-source p50/p90 of
+    // n_chars from a 64-bin mergeable histogram, with the exact
+    // quantiles joined alongside — the estimator audit (like p8c for
+    // ANN) that prices the sketch's error before using it corpus-wide.
+    QueryDef(
+      "p58_hist_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val Wnd = org.apache.spark.sql.expressions.Window
+        val est = Sketch.histQuantiles(T(s, dir, "documents"),
+          "source", "n_chars", bins = 64, qsPermille = Seq(500, 900))
+        val ranked = T(s, dir, "documents")
+          .select($"source", $"n_chars".cast("long").as("__v"), $"doc_id")
+          .withColumn("__rn", row_number().over(
+            Wnd.partitionBy($"source").orderBy($"__v", $"doc_id")).cast("long"))
+          .withColumn("__n", count(lit(1)).over(Wnd.partitionBy($"source")))
+        val exact = ranked.groupBy($"source").agg(
+          min(when($"__rn" === expr("(500 * __n + 999) DIV 1000"), $"__v"))
+            .as("p500_exact"),
+          min(when($"__rn" === expr("(900 * __n + 999) DIV 1000"), $"__v"))
+            .as("p900_exact"))
+        est.join(exact, "source")
+          .select($"source", $"n", $"p500_est", $"p500_exact",
+            $"p900_est", $"p900_exact")
+          .orderBy($"source")
+      },
+      Some("""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v, doc_id FROM documents),
+             |b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+             |bn AS (SELECT source, ((v - lo) * 64) // (hi - lo + 1) AS bin, lo, hi - lo + 1 AS span
+             |  FROM v CROSS JOIN b),
+             |g AS (SELECT source, bin, lo, span, COUNT(*) AS cnt FROM bn GROUP BY 1, 2, 3, 4),
+             |c AS (SELECT source, bin, cnt, lo + ((bin + 1) * span) // 64 - 1 AS edge,
+             |  CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+             |  CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM g),
+             |est AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+             |  MIN(CASE WHEN cum >= (500 * n + 999) // 1000 THEN edge END) AS p500_est,
+             |  MIN(CASE WHEN cum >= (900 * n + 999) // 1000 THEN edge END) AS p900_est
+             |  FROM c GROUP BY source),
+             |r AS (SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rn,
+             |  COUNT(*) OVER (PARTITION BY source) AS n FROM v),
+             |ex AS (SELECT source,
+             |  MIN(CASE WHEN rn = (500 * n + 999) // 1000 THEN v END) AS p500_exact,
+             |  MIN(CASE WHEN rn = (900 * n + 999) // 1000 THEN v END) AS p900_exact
+             |  FROM r GROUP BY source)
+             |SELECT est.source, est.n, p500_est, p500_exact, p900_est, p900_exact
+             |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin),
+      "mergeable 64-bin histogram quantile sketch (p50/p90) audited against the exact per-source quantiles"),
+
+    // ---- LSH dedup recall harness: MinHash-LSH candidate pairs scored
+    // against the EXACT 3-gram-Jaccard ground truth on a 40 % hash
+    // sample — the banding-config audit before a corpus-wide dedup run
+    // (the dedup twin of p8c's ANN recall).
+    QueryDef(
+      "p59_lsh_dedup_recall",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T(s, dir, "documents")
+          .where(Sampling.hashBucket($"doc_id", "recall") < 400)
+        val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+          nGram = 3, threshold = 0.2).select($"doc_a", $"doc_b")
+        val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+          nGram = 3, k = 6, bands = 3, threshold = 0.0)
+          .select($"doc_a", $"doc_b")
+        truth.withColumn("__t", lit(1L))
+          .join(cand.withColumn("__c", lit(1L)),
+            Seq("doc_a", "doc_b"), "full")
+          .agg(count($"__t").as("n_truth"), count($"__c").as("n_cand"),
+            count(when($"__t".isNotNull && $"__c".isNotNull, 1)).as("n_hit"))
+          .select($"n_truth", $"n_cand", $"n_hit",
+            when($"n_truth" > 0,
+              $"n_hit".cast("double") / $"n_truth".cast("double"))
+              .as("recall"),
+            when($"n_cand" > 0,
+              $"n_hit".cast("double") / $"n_cand".cast("double"))
+              .as("precision"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS words FROM documents
+             |  WHERE CAST('0x'||substr(md5('recall:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 < 400),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM d),
+             |shf AS (SELECT * FROM sh WHERE len(ss) > 0),
+             |ex AS (SELECT doc_id, md5(u.s) AS h FROM shf, UNNEST(ss) AS u(s)),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+             |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(ss) AS n FROM shf),
+             |truth AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+             |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2),
+             |sig AS (SELECT doc_id,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM shf),
+             |bands AS (SELECT doc_id, u.b AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             |m AS (SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+             |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+             |  CAST((SELECT COUNT(*) FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS BIGINT) AS n_hit)
+             |SELECT n_truth, n_cand, n_hit,
+             |CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+             |CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision
+             |FROM m""".stripMargin),
+      "LSH banding recall/precision vs exact Jaccard ground truth on a 40 % hash sample"),
+
+    // ---- Curation funnel report: per-source survivor counts through
+    // length -> quality -> exact-dedup stages — the audit table a
+    // curation run publishes. One scan, one groupBy on source; the
+    // dedup stage counts distinct md5, never shuffling text.
+    QueryDef(
+      "p60_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val toks = TextOps.tokens($"text")
+        T(s, dir, "documents")
+          .select($"source",
+            size(toks).cast("long").as("__tok"),
+            TextAnalysis.qualityScore(toks).as("__q"),
+            md5($"text").as("__h"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when($"__tok" >= 20, 1)).as("n_len"),
+            count(when($"__tok" >= 20 && $"__q" >= 0.40, 1)).as("n_quality"),
+            countDistinct(when($"__tok" >= 20 && $"__q" >= 0.40, $"__h"))
+              .as("n_unique"))
+          .orderBy($"source")
+      },
+      Some("""WITH w AS (SELECT source, text, string_split(text, ' ') AS words FROM documents),
+             |q AS (SELECT source, text, CAST(len(words) AS BIGINT) AS tok,
+             |  0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+             |  + 0.3 * least((CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) / 8.0, 1.0)
+             |  + 0.3 * least((CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / CAST(len(words) AS DOUBLE)) * 3.0, 1.0)
+             |  AS q FROM w)
+             |SELECT source, COUNT(*) AS n_total,
+             |COUNT(CASE WHEN tok >= 20 THEN 1 END) AS n_len,
+             |COUNT(CASE WHEN tok >= 20 AND q >= 0.40 THEN 1 END) AS n_quality,
+             |COUNT(DISTINCT CASE WHEN tok >= 20 AND q >= 0.40 THEN md5(text) END) AS n_unique
+             |FROM q GROUP BY source ORDER BY source""".stripMargin),
+      "per-source curation funnel: total -> length filter -> quality filter -> exact-dedup survivors")
   )
 }

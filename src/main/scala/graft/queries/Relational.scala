@@ -961,6 +961,39 @@ object Relational {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name ORDER BY n_name""".stripMargin),
-      "TPC-H Q5-shape six-way join: broadcast dimension chain, one fact-fact shuffle, local-supplier twist")
+      "TPC-H Q5-shape six-way join: broadcast dimension chain, one fact-fact shuffle, local-supplier twist"),
+
+    // ---- Interval join with NO equi-key: every event (any user) in
+    // the 60 s before each purchase. The declarative form is a pure
+    // range predicate, which Catalyst can only nested-loop (O(|A|·|B|));
+    // operators/RangeJoin quantizes the axis into width-(hi-lo) buckets
+    // so each pair meets on a bucket equi-join (<= 2 probes per left
+    // row) and the exact predicate filters after — one fixed-width-key
+    // shuffle, linear rows. q27 is the partitioned-window cousin (needs
+    // an equi-key to partition by); this is the general case.
+    QueryDef(
+      "q40_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = T(s, dir, "events")
+        val purchases = e.where($"event_type" === "purchase")
+          .select($"event_id", unix_micros($"ts").as("__p_us"))
+        val near = e.select($"event_id".as("__n_id"),
+          unix_micros($"ts").as("__n_us"))
+        val pairs = graft.operators.RangeJoin.bandJoin(
+          purchases, near, $"__p_us", $"__n_us", -60L * 1000000L, 0L)
+        purchases
+          .join(pairs.groupBy($"event_id").agg(count(lit(1)).as("__cnt")),
+            Seq("event_id"), "left")
+          .select($"event_id",
+            coalesce($"__cnt", lit(0L)).as("n_prev_60s"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_prev_60s
+             |FROM events p LEFT JOIN events e
+             |  ON e.ts >= p.ts - INTERVAL 60 SECOND AND e.ts < p.ts
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
+      "equi-key-free interval join via bucket quantization — no nested loop, one bucket-key shuffle")
   )
 }

@@ -510,4 +510,56 @@ class PlanSpec extends SparkSpec {
     val winLine = p.linesIterator.find(_.contains("row_number()")).get
     assert(winLine.contains("doc"), s"window must partition by doc:\n$p")
   }
+
+  test("q40: interval join is a bucket equi-join, never a nested loop") {
+    val p = plan("q40_range_join")
+    assert(!p.contains("CartesianProduct"), s"q40 has a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q40 must not nested-loop the range predicate:\n$p")
+    // the pair join carries an equi-key (the quantized bucket)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+  }
+
+  test("p57: quota table broadcasts; corpus rank window partitions by stratum") {
+    val p = plan("p57_stratified_quota")
+    assert(p.contains("BroadcastHashJoin"),
+      s"strata quota table should broadcast onto the corpus:\n$p")
+    // the corpus-proportional window must partition by the strata;
+    // the only unpartitioned windows run on the |strata|-row aggregate
+    val corpusWin = p.linesIterator.filter(_.contains("row_number()"))
+      .filter(l => !l.contains("__rrk")).toSeq
+    assert(corpusWin.nonEmpty && corpusWin.forall(l =>
+      l.contains("lang") && l.contains("source")),
+      s"corpus rank must partition by (lang, source):\n$p")
+  }
+
+  test("p58: histogram sketch aggregates partially before the group shuffle") {
+    val p = plan("p58_hist_quantiles")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"bin counting must be partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the global [lo,hi] bounds are a one-row broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row bounds should broadcast:\n$p")
+  }
+
+  test("p59: both the truth and candidate joins are hash equi-joins") {
+    val p = plan("p59_lsh_dedup_recall")
+    assert(!p.contains("CartesianProduct"), s"p59 has a cartesian:\n$p")
+    // truth side joins on md5(shingle); candidate side on (band, bkey);
+    // metric join on (doc_a, doc_b) — every join has an equi-key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+  }
+
+  test("p60: funnel is one scan + one partial-then-final aggregation") {
+    val p = plan("p60_curation_funnel")
+    // one Location line per distinct scan (the formatted tree + detail
+    // sections both repeat the "Scan parquet" label for a single scan)
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans == 1, s"funnel must read documents exactly once:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final aggregation:\n$p")
+  }
 }
