@@ -236,4 +236,42 @@ object Vocab {
       .filter(col("rank") <= k)
       .select(col("doc"), col("rank"), col("token"), col("tf"), col("df"))
   }
+
+  /** Term-distribution drift between two corpus snapshots: the top-k
+    * tokens by absolute per-token KL contribution
+    * `p_a(t) * ln(p_a(t)/p_b(t))` — the monitor a recurring crawl
+    * ingestion runs to catch topic/spam shifts before mixing a new
+    * snapshot into training data. Tokens must appear in BOTH snapshots
+    * (the crawl-delta tokens are p38/p43's job); contributions are
+    * micro-nat-quantized (floor at 1e-9 nat) so ranking and values are
+    * exact across engines.
+    *
+    * SCALE: tokens partial-aggregate into ONE (token, n_a, n_b) table
+    * (vocabulary-sized, one shuffle); totals are a one-row broadcast;
+    * top-k is TakeOrdered. Text never shuffles.
+    *
+    * @param splitA boolean column over `df` assigning rows to snapshot A
+    */
+  def termDrift(
+      docs: DataFrame, idCol: String, textCol: String,
+      splitA: org.apache.spark.sql.Column, k: Int = 20): DataFrame = {
+    val counts = docs
+      .select(splitA.as("__a"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(when(col("__a"), 1)).as("n_a"),
+        count(when(!col("__a"), 1)).as("n_b"))
+    val totals = counts.agg(
+      sum("n_a").cast("long").as("__ta"), sum("n_b").cast("long").as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("drift_q",
+        floor((col("n_a").cast("double") / col("__ta").cast("double")) *
+          log((col("n_a").cast("double") * col("__tb").cast("double")) /
+            (col("n_b").cast("double") * col("__ta").cast("double"))) *
+          lit(1e9)).cast("long"))
+      .select(col("tok"), col("n_a"), col("n_b"), col("drift_q"))
+      .orderBy(abs(col("drift_q")).desc, col("tok"))
+      .limit(k)
+  }
 }

@@ -1881,6 +1881,30 @@ object Pipeline {
              |COUNT(CASE WHEN tok >= 20 AND q >= 0.40 THEN 1 END) AS n_quality,
              |COUNT(DISTINCT CASE WHEN tok >= 20 AND q >= 0.40 THEN md5(text) END) AS n_unique
              |FROM q GROUP BY source ORDER BY source""".stripMargin),
-      "per-source curation funnel: total -> length filter -> quality filter -> exact-dedup survivors")
+      "per-source curation funnel: total -> length filter -> quality filter -> exact-dedup survivors"),
+
+    // ---- Snapshot drift monitor: top-20 tokens by absolute KL
+    // contribution between two hash-split corpus halves — the check a
+    // recurring crawl runs before mixing a new snapshot into training
+    // data. One vocabulary-sized shuffle; totals broadcast; TakeOrdered.
+    QueryDef(
+      "p61_term_drift",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.termDrift(T(s, dir, "documents"), "doc_id", "text",
+          Sampling.hashBucket($"doc_id", "drift") < 500, k = 20)
+      },
+      Some("""WITH t AS (SELECT u.tok,
+             |  (CAST('0x'||substr(md5('drift:'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 1000 < 500) AS in_a
+             |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) w, UNNEST(ws) AS u(tok)),
+             |c AS (SELECT tok, COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+             |  COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b FROM t GROUP BY tok),
+             |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
+             |SELECT tok, n_a, n_b,
+             |CAST(floor((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)) *
+             |  ln((CAST(n_a AS DOUBLE) * CAST(tb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1000000000.0) AS BIGINT) AS drift_q
+             |FROM c CROSS JOIN tot WHERE n_a > 0 AND n_b > 0
+             |ORDER BY abs(drift_q) DESC, tok LIMIT 20""".stripMargin),
+      "snapshot term-distribution drift: top-20 tokens by nano-nat-quantized KL contribution between hash-split halves")
   )
 }

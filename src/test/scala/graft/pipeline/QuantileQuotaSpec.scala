@@ -119,4 +119,24 @@ class QuantileQuotaSpec extends SparkSpec {
     assert(lsh.nonEmpty)
     for ((k, v) <- lsh) assert(math.abs(exact(k) - v) < 1e-12)
   }
+
+  test("termDrift: signs and counts match the hand-computed KL contributions") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, true, "x x x y"), // snapshot A: x overrepresented
+      (2L, true, "x y z"),
+      (3L, false, "y y z z"), // snapshot B
+      (4L, false, "x y z")
+    ).toDF("doc_id", "in_a", "text")
+    val rows = Vocab.termDrift(d, "doc_id", "text", col("in_a"), k = 10)
+      .collect().map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("drift_q"))).toMap
+    // A: x=4, y=2, z=1 (ta=7); B: x=1, y=3, z=3 (tb=7)
+    assert(rows("x") == ((4L, 1L, math.floor(4.0/7 * math.log(4.0/1) * 1e9).toLong)))
+    assert(rows("y")._3 < 0 && rows("z")._3 < 0) // underrepresented in A
+    // top |contribution| is x (0.79 nat weighted) — first in ranking
+    val top = Vocab.termDrift(d, "doc_id", "text", col("in_a"), k = 1)
+      .collect().head.getAs[String]("tok")
+    assert(top == "x")
+  }
 }
