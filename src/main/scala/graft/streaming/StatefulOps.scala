@@ -279,6 +279,52 @@ object StatefulOps {
         col("p_ts"), col("v_ts"))
   }
 
+  /** Streaming distribution monitor: fixed-grid histogram bin counts as
+    * a single update-mode aggregation — the streaming twin of the batch
+    * histogram quantile sketch (pipeline/Sketch.histQuantiles). The
+    * grid is STATIC (lo/width/bins pinned at query start): a streaming
+    * agg cannot depend on a second min/max aggregation, and a
+    * production monitor pins its grid anyway so week-over-week
+    * histograms stay mergeable. Out-of-grid values clamp into the edge
+    * bins (a monitor must count outliers, not drop them). State is at
+    * most `bins` rows however long the stream runs; estimate quantiles
+    * batch-side with [[quantilesFromBins]] in foreachBatch — the same
+    * split as CMS and trending top-k.
+    */
+  def histBinCounts(
+      values: DataFrame, valueCol: String,
+      lo: Long, width: Long, bins: Int): DataFrame = {
+    require(width > 0 && bins > 0)
+    val d = col(valueCol).cast("long") - lit(lo)
+    // exact floor-div (see operators/RangeJoin): pmod keeps it correct
+    // for below-grid values, then both ends clamp
+    val raw = ((d - pmod(d, lit(width))) / lit(width)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    values.groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates over a [[histBinCounts]] state table
+    * (foreachBatch-side): one row with `n` and a `p<q>_est` inclusive
+    * upper-edge estimate per requested permille — same arithmetic as
+    * the batch sketch, exact integers throughout. */
+  def quantilesFromBins(
+      binCounts: DataFrame, lo: Long, width: Long,
+      qsPermille: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = binCounts
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__edge", lit(lo) + (col("bin") + 1) * lit(width) - 1)
+    val ests = qsPermille.map { q =>
+      min(when(col("__cum") >= expr(s"($q * __n + 999) DIV 1000"),
+        col("__edge"))).as(s"p${q}_est")
+    }
+    cum.agg(max(col("__n")).as("n"), ests: _*)
+  }
+
   /** Event-time windowed rates with watermarking — the tumbling-window
     * aggregation the reference lacks any analog for (SURVEY §2.11 note:
     * no event-time semantics). Late data beyond `delay` is dropped;

@@ -359,6 +359,48 @@ class StatefulOpsSpec extends SparkSpec {
       assert(expected.nonEmpty) // the corpus genuinely contains dups
     } finally q.stop()
   }
+
+  test("histBinCounts: streaming bin counts accumulate; quantile estimates track") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val df = input.toDF().toDF("v")
+    val ckpt = Files.createTempDirectory("hist").toString
+    // grid: [0, 1000) in 10 bins of width 100; outliers clamp to the edges
+    val q = StatefulOps.histBinCounts(df, "v", lo = 0L, width = 100L, bins = 10)
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      val bins1 = spark.table("hist_out")
+      // 1..99 land in bin 0, each full bin holds 100, value 500 opens bin 5
+      val m1 = bins1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m1(0L) == 99L && m1(4L) == 100L && m1(5L) == 1L)
+      val est1 = StatefulOps.quantilesFromBins(bins1, 0L, 100L, Seq(500, 900))
+        .collect().head
+      assert(est1.getAs[Long]("n") == 500L)
+      // exact p50=250 -> bin 2, edge 299; p90=450 -> bin 4, edge 499
+      assert(est1.getAs[Long]("p500_est") == 299L)
+      assert(est1.getAs[Long]("p900_est") == 499L)
+
+      // second batch shifts the distribution up; counts must accumulate
+      input.addData(501L to 1000L: _*)
+      input.addData(-50L, 5000L) // outliers clamp into bins 0 and 9
+      q.processAllAvailable()
+      val bins2 = spark.table("hist_out")
+      val m2 = bins2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m2(0L) == 100L) // 99 in-grid + 1 clamped below
+      assert(m2(9L) == 102L) // 900-999 + value 1000 clamped + 5000 clamped
+      val est2 = StatefulOps.quantilesFromBins(bins2, 0L, 100L, Seq(500, 900))
+        .collect().head
+      assert(est2.getAs[Long]("n") == 1002L)
+      // median moved up a full grid half: bin 5 edge
+      assert(est2.getAs[Long]("p500_est") == 599L)
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState for unit-testing the fold outside a stream. */
