@@ -994,6 +994,41 @@ object Relational {
              |  ON e.ts >= p.ts - INTERVAL 60 SECOND AND e.ts < p.ts
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
-      "equi-key-free interval join via bucket quantization — no nested loop, one bucket-key shuffle")
+      "equi-key-free interval join via bucket quantization — no nested loop, one bucket-key shuffle"),
+
+    // ---- Frame-dependent window functions: first/last/nth value and
+    // percent_rank over per-customer order history. All windows
+    // partition by the customer key (one shuffle, parallel frames);
+    // last/nth use an explicit unbounded-both-ends frame because the
+    // default frame stops at CURRENT ROW — the classic last_value trap,
+    // spelled out identically in the oracle.
+    QueryDef(
+      "q41_window_frame_fns",
+      (s, dir) => {
+        import s.implicits._
+        val wRun = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val wAll = wRun.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        T(s, dir, "orders")
+          .where($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            first($"o_totalprice").over(wAll).as("first_total"),
+            last($"o_totalprice").over(wAll).as("last_total"),
+            nth_value($"o_totalprice", 2).over(wAll).as("second_total"),
+            percent_rank().over(wRun).as("pct_rank"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |first_value(o_totalprice) OVER wa AS first_total,
+             |last_value(o_totalprice) OVER wa AS last_total,
+             |nth_value(o_totalprice, 2) OVER wa AS second_total,
+             |percent_rank() OVER wr AS pct_rank
+             |FROM orders WHERE o_orderstatus = 'F'
+             |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin),
+      "first/last/nth_value + percent_rank with explicit unbounded frames, partitioned by customer")
   )
 }
