@@ -237,6 +237,71 @@ object Vocab {
       .select(col("doc"), col("rank"), col("token"), col("tf"), col("df"))
   }
 
+  /** Iterative BPE tokenizer training over word TYPES: `rounds` greedy
+    * merge rounds, each picking the most frequent adjacent symbol pair
+    * (ties: lexicographic) and merging it left-to-right non-overlapping
+    * in every word — the actual merge-table construction, where
+    * [[bpePairCounts]] is only round zero's statistics.
+    *
+    * SCALE: the loop state is the word-TYPE table (vocabulary-sized,
+    * ≪ corpus — the corpus is touched once by termStats); each round is
+    * one vocabulary-sized aggregation plus a driver round-trip of
+    * exactly ONE row (the argmax pair — bounded metadata, the IVF-pivot
+    * pattern), and `localCheckpoint` truncates the growing lineage.
+    * The fold-based merge is a higher-order `aggregate` (non-codegen),
+    * acceptable off the corpus hot path. Inherently sequential rounds
+    * are the algorithm, not the plan: no SQL oracle exists, so p62 is a
+    * rows-only driver check backed by a hand-computed reference spec.
+    *
+    * @return one row per round: (round, a, b, n) — merge `a`+`b` with
+    *         weighted pair count `n` at that round
+    */
+  def bpeTrain(
+      docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = termStats(docs, idCol, textCol)
+      .select(expr(
+        "transform(sequence(1, length(token)), i -> substring(token, i, 1))")
+        .as("sym"), col("tf"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = words
+        .where(size(col("sym")) >= 2)
+        .select(col("tf"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> struct(element_at(sym, i) AS a, element_at(sym, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("tf").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, n))
+        val merged = lit(a + b)
+        // greedy left-to-right fold: append, or replace the tail symbol
+        // when (tail, next) is exactly the chosen pair
+        words = words.withColumn("sym",
+          aggregate(col("sym"),
+            lit(Array.empty[String]),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(s)))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "a", "b", "n")
+  }
+
   /** Term-distribution drift between two corpus snapshots: the top-k
     * tokens by absolute per-token KL contribution
     * `p_a(t) * ln(p_a(t)/p_b(t))` — the monitor a recurring crawl

@@ -1905,6 +1905,21 @@ object Pipeline {
              |  ln((CAST(n_a AS DOUBLE) * CAST(tb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1000000000.0) AS BIGINT) AS drift_q
              |FROM c CROSS JOIN tot WHERE n_a > 0 AND n_b > 0
              |ORDER BY abs(drift_q) DESC, tok LIMIT 20""".stripMargin),
-      "snapshot term-distribution drift: top-20 tokens by nano-nat-quantized KL contribution between hash-split halves")
+      "snapshot term-distribution drift: top-20 tokens by nano-nat-quantized KL contribution between hash-split halves"),
+
+    // ---- Iterative BPE training: the real merge-table construction
+    // (p29 is round zero's pair statistics). Inherently sequential
+    // greedy rounds — no SQL oracle exists, so this is a rows-only
+    // driver check; the algorithm itself is verified against a
+    // hand-computed reference in QuantileQuotaSpec.
+    QueryDef(
+      "p62_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.bpeTrain(T(s, dir, "documents"), "doc_id", "text", rounds = 5)
+          .orderBy($"round")
+      },
+      None,
+      "iterative BPE merge table: 5 greedy most-frequent-pair rounds over the word-type table")
   )
 }

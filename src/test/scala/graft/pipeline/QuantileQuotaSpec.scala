@@ -139,4 +139,47 @@ class QuantileQuotaSpec extends SparkSpec {
       .collect().head.getAs[String]("tok")
     assert(top == "x")
   }
+
+  test("bpeTrain matches a hand-rolled reference on the textbook corpus") {
+    import spark.implicits._
+    // classic BPE example word frequencies
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val text = freqs.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+
+    // reference implementation: greedy most-frequent adjacent pair,
+    // ties lexicographic, left-to-right non-overlapping merge
+    def refBpe(rounds: Int): Seq[(Int, String, String, Long)] = {
+      var words = freqs.toSeq.map { case (w, f) =>
+        (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- words; p <- syms.zip(syms.tail))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        if (counts.nonEmpty) {
+          val ((a, b), n) = counts.toSeq
+            .minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((r, a, b, n))
+          words = words.map { case (syms, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms) {
+              if (acc.nonEmpty && acc.last == a && s == b)
+                acc(acc.length - 1) = a + b
+              else acc += s
+            }
+            (acc.toVector, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    val got = Vocab.bpeTrain(d, "doc_id", "text", rounds = 6)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == refBpe(6), s"got=$got want=${refBpe(6)}")
+    // sanity on the textbook: round 1 merges the most frequent pair
+    assert(got.head._4 == got.map(_._4).max)
+  }
 }
