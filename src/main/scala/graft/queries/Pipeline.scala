@@ -1920,6 +1920,72 @@ object Pipeline {
           .orderBy($"round")
       },
       None,
-      "iterative BPE merge table: 5 greedy most-frequent-pair rounds over the word-type table")
+      "iterative BPE merge table: 5 greedy most-frequent-pair rounds over the word-type table"),
+
+    // ---- Best-representative survivor selection: within each near-dup
+    // cluster keep the most CENTRAL member (max summed quantized
+    // Jaccard to its neighbors, doc id tiebreak) instead of p1/p16's
+    // lowest-id convention — the curation policy that keeps the
+    // canonical copy, not an arbitrary one. Jaccards are micro-unit
+    // longs BEFORE summing, so the centrality score is an exact integer
+    // under any partitioning. Only edge-bearing docs enter the ranking
+    // (singletons can't be multi-member representatives); the ranking
+    // window partitions by cluster.
+    QueryDef(
+      "p63_cluster_representative",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val pr = Dedup.minhashPairs(d, "doc_id", "text",
+            nGram = 3, k = 6, bands = 3, threshold = 0.2)
+          .select($"doc_a", $"doc_b",
+            floor($"jaccard" * 1e6).cast("long").as("jq"))
+          .localCheckpoint() // one pair generation feeds labels AND scores
+        val labels = Dedup.clusters(d.select($"doc_id"),
+          pr.select($"doc_a", $"doc_b"))
+        val scores = pr.select($"doc_a".as("doc_id"), $"jq")
+          .union(pr.select($"doc_b".as("doc_id"), $"jq"))
+          .groupBy($"doc_id").agg(sum($"jq").as("score_q"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id")
+        val wr = wc.orderBy($"score_q".desc, $"doc_id")
+        labels.join(scores, "doc_id")
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("n_members", count(lit(1)).over(wc))
+          .where($"rk" === 1)
+          .select($"cluster_id", $"doc_id".as("rep_id"),
+            $"n_members", $"score_q".as("rep_score_q"))
+          .orderBy($"cluster_id")
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w),
+             |sig AS (SELECT doc_id, ss,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM sh WHERE len(ss) > 0),
+             |bands AS (SELECT doc_id, ss, u.b AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+             |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id),
+             |pr AS (SELECT doc_a, doc_b, CAST(floor(jaccard * 1000000.0) AS BIGINT) AS jq
+             |  FROM cand WHERE jaccard >= 0.2),
+             |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+             |reach(src, dst) AS (SELECT src, dst FROM ed
+             |  UNION SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
+             |lab AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
+             |sc AS (SELECT doc_id, SUM(jq) AS score_q FROM
+             |  (SELECT doc_a AS doc_id, jq FROM pr UNION ALL SELECT doc_b, jq FROM pr) GROUP BY doc_id),
+             |r AS (SELECT lab.cluster_id, lab.doc_id, sc.score_q,
+             |  ROW_NUMBER() OVER (PARTITION BY lab.cluster_id ORDER BY sc.score_q DESC, lab.doc_id) AS rk,
+             |  COUNT(*) OVER (PARTITION BY lab.cluster_id) AS n_members
+             |  FROM lab JOIN sc ON lab.doc_id = sc.doc_id)
+             |SELECT cluster_id, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
+             |CAST(score_q AS BIGINT) AS rep_score_q
+             |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
+      "best-representative dedup survivor: max summed micro-Jaccard centrality per near-dup cluster")
   )
 }

@@ -182,4 +182,30 @@ class QuantileQuotaSpec extends SparkSpec {
     // sanity on the textbook: round 1 merges the most frequent pair
     assert(got.head._4 == got.map(_._4).max)
   }
+
+  test("cluster representative is the most central member, not the lowest id") {
+    import spark.implicits._
+    // star around doc 3: J(3,1)=J(3,2)=0.6, J(1,2)=1/3 -> doc 3 has the
+    // highest summed similarity even though doc 1 has the lowest id
+    val d = Seq(
+      (1L, "x y c d e f g h i j"),
+      (2L, "a b c d e f g h p q"),
+      (3L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val pr = Dedup.minhashPairs(d, "doc_id", "text", 3, 6, 3, 0.2)
+      .select($"doc_a", $"doc_b",
+        floor($"jaccard" * 1e6).cast("long").as("jq"))
+    val labels = Dedup.clusters(d.select($"doc_id"),
+      pr.select($"doc_a", $"doc_b"))
+    val scores = pr.select($"doc_a".as("doc_id"), $"jq")
+      .union(pr.select($"doc_b".as("doc_id"), $"jq"))
+      .groupBy($"doc_id").agg(sum($"jq").as("score_q"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"score_q".desc, $"doc_id")
+    val rep = labels.join(scores, "doc_id")
+      .withColumn("rk", row_number().over(wr))
+      .where($"rk" === 1)
+      .select($"doc_id").as[Long].collect()
+    assert(rep.toSeq == Seq(3L), s"representative should be the hub, got ${rep.toSeq}")
+  }
 }
