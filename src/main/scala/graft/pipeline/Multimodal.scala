@@ -110,19 +110,28 @@ object Multimodal {
     * fixture machinery AND the proof that real payloads flow through
     * the same media schema as the stubs. */
   def encodePng(
-      df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+      df: DataFrame, idCol: String, wCol: String, hCol: String,
+      seedCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val out = widen(df.select(col(idCol).cast("long"),
-      col(wCol).cast("int"), col(hCol).cast("int"))).rdd.mapPartitions { it =>
+      col(wCol).cast("int"), col(hCol).cast("int"),
+      col(seedCol.getOrElse(idCol)).cast("long"))).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        val seed = r.getLong(3)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // bit-scrambled per-(seed,x,y) fill: the odd-constant multiply
+        // decorrelates neighboring pixels, so derived fingerprints
+        // (phashCodec) distribute uniformly instead of collapsing onto
+        // a handful of gradient hashes; same `seedCol` => identical
+        // image, the knob fixtures use to plant true duplicates
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, (id * 2654435761L + y.toLong * w + x).toInt & 0xffffff)
+            img.setRGB(x, y, ((seed * 2654435761L +
+              (y.toLong * w + x) * 2246822519L) & 0xffffff).toInt)
             x += 1
           }
           y += 1
@@ -154,6 +163,92 @@ object Multimodal {
       val hex = digest.digest(bytes).map("%02x".format(_)).mkString
       Row(id, img.getWidth, img.getHeight, hex)
     }
+  }
+
+  /** Perceptual difference-hash (dHash) codec: REAL pixel path — decode
+    * with `javax.imageio`, box-average luma onto a 9x8 grid, then one
+    * bit per horizontal neighbor comparison -> a 64-bit fingerprint
+    * (hex, row-major, one byte per grid row). Near-identical images
+    * (resizes, small edits, re-encodes) land within a few bits, so
+    * image near-dup becomes the same banded equi-join + bounded-verify
+    * shape as MinHash/SimHash text dedup — fingerprints are 8 bytes
+    * however large the payload, and only fingerprints ever shuffle.
+    * All-integer arithmetic (truncating division), so the oracle can
+    * replay the grid math exactly from the fixture's pixel pattern.
+    * Same batch signature as [[imageIoCodec]]; requires width>=9 and
+    * height>=8 (one pixel per grid cell). */
+  def phashCodec(batch: Seq[(Long, Array[Byte])]): Seq[Row] = {
+    batch.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"media_id=$id: no registered reader for payload")
+      val w = img.getWidth; val h = img.getHeight
+      require(w >= 9 && h >= 8, s"media_id=$id: $w x $h below 9x8 grid")
+      val g = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+          val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+          var s = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              s += (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          g(gy)(gx) = s / n
+          gx += 1
+        }
+        gy += 1
+      }
+      val sb = new java.lang.StringBuilder(16)
+      gy = 0
+      while (gy < 8) {
+        var b = 0
+        var gx = 0
+        while (gx < 8) {
+          if (g(gy)(gx + 1) > g(gy)(gx)) b |= (1 << gx)
+          gx += 1
+        }
+        sb.append(f"$b%02x")
+        gy += 1
+      }
+      Row(id, w, h, sb.toString)
+    }
+  }
+
+  /** Image near-dup candidate pairs from dHash fingerprints: band on
+    * the first `bandHex` hex chars (exact-match prefix — any few-bit
+    * global difference still collides on SOME band in a multi-band
+    * setup; one band suffices for the fixture), then verify full
+    * 64-bit Hamming distance <= maxHamming per candidate.
+    * SCALE: the join is a fixed-width equi-join on the band key (never
+    * all-pairs); Hamming runs only on band survivors, per-byte via
+    * codegen'd conv/xor/bit_count columns — no UDF, no HOF. */
+  def phashPairs(
+      decoded: DataFrame, maxHamming: Int, bandHex: Int = 4): DataFrame = {
+    val a = decoded.select(col("media_id").as("doc_a"),
+      col("feature_hash").as("ph_a"),
+      substring(col("feature_hash"), 1, bandHex).as("band"))
+    val b = decoded.select(col("media_id").as("doc_b"),
+      col("feature_hash").as("ph_b"),
+      substring(col("feature_hash"), 1, bandHex).as("band"))
+    val ham = (0 until 8).map { i =>
+      bit_count(
+        conv(substring(col("ph_a"), 2 * i + 1, 2), 16, 10).cast("long")
+          .bitwiseXOR(
+            conv(substring(col("ph_b"), 2 * i + 1, 2), 16, 10).cast("long")))
+    }.reduce(_ + _)
+    a.join(b, Seq("band")).where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", ham.cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Resize planning: aspect-preserving fit of decoded (width, height)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
+import graft.pipeline.{Contamination, Dedup, KMeans, Multimodal, Packing, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -1986,6 +1986,174 @@ object Pipeline {
              |SELECT cluster_id, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
              |CAST(score_q AS BIGINT) AS rep_score_q
              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
-      "best-representative dedup survivor: max summed micro-Jaccard centrality per near-dup cluster")
+      "best-representative dedup survivor: max summed micro-Jaccard centrality per near-dup cluster"),
+
+    // ---- Distributed k-means training (Lloyd's) — the offline coarse-
+    // quantizer trainer IVF/SemDeDup assume. Assignment folds the k
+    // centroids in as literals (one codegen'd projection per round, no
+    // join); the update shuffles only partial-agg'd (cluster, dim) sums
+    // and the driver holds k*dim longs of model state. 2 rounds from
+    // the k lowest-id seeds; exact-integer math end to end, so the
+    // oracle replays the identical iteration in SQL.
+    QueryDef(
+      "p64_kmeans_train",
+      (s, dir) =>
+        KMeans.trainStats(T(s, dir, "embeddings"), k = 8, iters = 2),
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
+             |  FROM q ORDER BY vec_id LIMIT 8),
+             |d1 AS (
+             |  SELECT q.vec_id, c0.cid, q.v,
+             |    list_sum(list_transform(list_zip(q.v, c0.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+             |  FROM q, c0),
+             |a1 AS (
+             |  SELECT vec_id, cid, v FROM (
+             |    SELECT vec_id, cid, v, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1
+             |  ) WHERE rn = 1),
+             |m1 AS (
+             |  SELECT cid, i, CAST(trunc(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval FROM (
+             |    SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM a1
+             |  ) GROUP BY cid, i),
+             |c1 AS (
+             |  SELECT c0.cid, COALESCE(g.cv, c0.cv) AS cv
+             |  FROM c0 LEFT JOIN (SELECT cid, list(mval ORDER BY i) AS cv FROM m1 GROUP BY cid) g USING (cid)),
+             |d2 AS (
+             |  SELECT q.vec_id, c1.cid, q.v,
+             |    list_sum(list_transform(list_zip(q.v, c1.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+             |  FROM q, c1),
+             |a2 AS (
+             |  SELECT vec_id, cid, v FROM (
+             |    SELECT vec_id, cid, v, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2
+             |  ) WHERE rn = 1),
+             |m2 AS (
+             |  SELECT cid, i, CAST(trunc(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval FROM (
+             |    SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM a2
+             |  ) GROUP BY cid, i),
+             |c2 AS (
+             |  SELECT c1.cid, COALESCE(g.cv, c1.cv) AS cv
+             |  FROM c1 LEFT JOIN (SELECT cid, list(mval ORDER BY i) AS cv FROM m2 GROUP BY cid) g USING (cid)),
+             |d3 AS (
+             |  SELECT q.vec_id, c2.cid,
+             |    list_sum(list_transform(list_zip(q.v, c2.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+             |  FROM q, c2),
+             |a3 AS (
+             |  SELECT vec_id, cid, dist FROM (
+             |    SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3
+             |  ) WHERE rn = 1)
+             |SELECT c2.cid,
+             |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_members,
+             |  CAST(list_sum(list_transform(c2.cv, x -> abs(x))) AS BIGINT) AS c_l1,
+             |  CAST(COALESCE(s.inertia, 0) AS BIGINT) AS inertia
+             |FROM c2 LEFT JOIN (
+             |  SELECT cid, COUNT(*) AS n, SUM(dist) AS inertia FROM a3 GROUP BY cid
+             |) s USING (cid)
+             |ORDER BY cid""".stripMargin),
+      "distributed Lloyd's k-means: literal-folded assignment, partial-agg'd (cluster,dim) update, exact-integer model"),
+
+    // ---- Image perceptual fingerprint over REAL decoded pixels:
+    // encode one PNG per doc (seed = doc_id % 97 plants identical-image
+    // groups), javax.imageio-decode it back, box-average luma to a 9x8
+    // grid, dHash to a 64-bit hex fingerprint. The oracle replays the
+    // grid arithmetic from the fixture's pixel pattern — if decode,
+    // pooling, or bit packing drift by one pixel anywhere, the hash
+    // diverges. 8-byte fingerprints are the only thing that leaves the
+    // codec stage, whatever the payload size.
+    QueryDef(
+      "p65_phash",
+      (s, dir) => {
+        import s.implicits._
+        val dims = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(9) + $"n_chars" % 48).cast("int").as("w"),
+            (lit(8) + $"n_chars" % 31).cast("int").as("h"),
+            ($"doc_id" % 97).as("seed"))
+        val media = Multimodal.encodePng(dims, "doc_id", "w", "h", Some("seed"))
+        Multimodal.decodeBatched(media, codec = Multimodal.phashCodec)
+          .select($"media_id", $"width", $"height", $"feature_hash")
+          .orderBy($"media_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, CAST(9 + n_chars % 48 AS BIGINT) AS w, CAST(8 + n_chars % 31 AS BIGINT) AS h,
+             |    doc_id % 97 AS b
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, gy.y AS gy, gx.x AS gx,
+             |    SUM((((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) // 3) // COUNT(*) AS g
+             |  FROM docs d,
+             |    UNNEST(range(8)) AS gy(y), UNNEST(range(9)) AS gx(x),
+             |    UNNEST(range((gx.x*d.w)//9, ((gx.x+1)*d.w)//9)) AS ux(x),
+             |    UNNEST(range((gy.y*d.h)//8, ((gy.y+1)*d.h)//8)) AS uy(y),
+             |    LATERAL (SELECT (d.b * 2654435761 + (uy.y*d.w + ux.x) * 2246822519) & 16777215 AS p) pp
+             |  GROUP BY 1,2,3,4,5),
+             |bits AS (
+             |  SELECT doc_id, w, h, gy, gx,
+             |    CASE WHEN lead(g) OVER (PARTITION BY doc_id, gy ORDER BY gx) > g THEN 1 ELSE 0 END AS b
+             |  FROM px),
+             |rb AS (
+             |  SELECT doc_id, w, h, gy, SUM(b * (1 << gx)) AS byte
+             |  FROM bits WHERE gx < 8 GROUP BY 1,2,3,4)
+             |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY gy) AS feature_hash
+             |FROM rb GROUP BY 1,2,3 ORDER BY media_id""".stripMargin),
+      "image dHash fingerprint from real javax.imageio-decoded pixels; oracle replays the grid math per pixel"),
+
+    // ---- Image near-dup pairs off those fingerprints: band on the
+    // first 16 hash bits (equi-join, never all-pairs — scrambled
+    // fixtures keep bands uniform, so band population ~ n/2^16), then
+    // exact 64-bit Hamming <= 4 on band survivors via per-byte
+    // conv/xor/bit_count columns. The planted seed groups surface as
+    // hamming=0 pairs; everything else collides only by chance.
+    QueryDef(
+      "p66_phash_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val dims = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(9) + $"n_chars" % 48).cast("int").as("w"),
+            (lit(8) + $"n_chars" % 31).cast("int").as("h"),
+            ($"doc_id" % 97).as("seed"))
+        val media = Multimodal.encodePng(dims, "doc_id", "w", "h", Some("seed"))
+        val decoded = Multimodal.decodeBatched(media, codec = Multimodal.phashCodec)
+        Multimodal.phashPairs(decoded, maxHamming = 4)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, CAST(9 + n_chars % 48 AS BIGINT) AS w, CAST(8 + n_chars % 31 AS BIGINT) AS h,
+             |    doc_id % 97 AS b
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+             |    SUM((((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) // 3) // COUNT(*) AS g
+             |  FROM docs d,
+             |    UNNEST(range(8)) AS gy(y), UNNEST(range(9)) AS gx(x),
+             |    UNNEST(range((gx.x*d.w)//9, ((gx.x+1)*d.w)//9)) AS ux(x),
+             |    UNNEST(range((gy.y*d.h)//8, ((gy.y+1)*d.h)//8)) AS uy(y),
+             |    LATERAL (SELECT (d.b * 2654435761 + (uy.y*d.w + ux.x) * 2246822519) & 16777215 AS p) pp
+             |  GROUP BY 1,2,3),
+             |bits AS (
+             |  SELECT doc_id, gy, gx,
+             |    CASE WHEN lead(g) OVER (PARTITION BY doc_id, gy ORDER BY gx) > g THEN 1 ELSE 0 END AS b
+             |  FROM px),
+             |rb AS (
+             |  SELECT doc_id, gy, SUM(b * (1 << gx)) AS byte
+             |  FROM bits WHERE gx < 8 GROUP BY 1,2),
+             |hsh AS (
+             |  SELECT doc_id, string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY gy) AS ph
+             |  FROM rb GROUP BY 1),
+             |cand AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM hsh a JOIN hsh b ON substr(a.ph,1,4) = substr(b.ph,1,4) AND a.doc_id < b.doc_id),
+             |ham AS (
+             |  SELECT c.doc_a, c.doc_b, SUM(bit_count(xor(ra.byte, rbb.byte))) AS hd
+             |  FROM cand c
+             |  JOIN rb ra ON ra.doc_id = c.doc_a
+             |  JOIN rb rbb ON rbb.doc_id = c.doc_b AND rbb.gy = ra.gy
+             |  GROUP BY 1,2)
+             |SELECT doc_a, doc_b, CAST(hd AS BIGINT) AS hamming
+             |FROM ham WHERE hd <= 4 ORDER BY doc_a, doc_b""".stripMargin),
+      "image near-dup via dHash banding: fixed-width band equi-join + bounded Hamming verify, planted dup groups")
   )
 }

@@ -1029,6 +1029,40 @@ object Relational {
              |wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_orderkey""".stripMargin),
-      "first/last/nth_value + percent_rank with explicit unbounded frames, partitioned by customer")
+      "first/last/nth_value + percent_rank with explicit unbounded frames, partitioned by customer"),
+
+    // ---- FULL OUTER join: per-nation premium-customer vs premium-
+    // supplier counts, where each filtered side covers a different
+    // nation subset (one-sided rows are the point of the operator).
+    // Aggregate-then-join: both sides reduce to <=|nation| rows BEFORE
+    // the join, so the full-outer is over two broadcast-size aggregates
+    // however large the fact tables — never join-then-aggregate.
+    QueryDef(
+      "q42_full_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = T(s, dir, "customer")
+          .where($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 9000)
+          .groupBy($"c_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = T(s, dir, "supplier")
+          .where($"s_acctbal" > 9000)
+          .groupBy($"s_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, Seq("nk"), "full_outer")
+          .select($"nk".as("nationkey"),
+            coalesce($"n_cust", lit(0L)).as("n_cust"),
+            coalesce($"n_supp", lit(0L)).as("n_supp"))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             |CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+             |CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+             |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+             |      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000 GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+             |      WHERE s_acctbal > 9000 GROUP BY 1) s ON c.nk = s.nk
+             |ORDER BY nationkey""".stripMargin),
+      "full outer join of two filtered per-nation aggregates; aggregate-then-join keeps both sides broadcast-size")
   )
 }

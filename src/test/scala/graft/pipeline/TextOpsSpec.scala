@@ -349,4 +349,34 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").collect().map(_.getLong(0)).toSeq
     assert(frames == Seq(0L, 3L, 6L, 9L))
   }
+
+  test("phashCodec: same seed+dims => same hash; hashes deterministic") {
+    import spark.implicits._
+    // ids 1 and 3 share seed+dims (planted dup); 2 differs
+    val dims = Seq((1L, 20, 12, 7L), (2L, 20, 12, 8L), (3L, 20, 12, 7L))
+      .toDF("media_id", "w", "h", "seed")
+    val media = Multimodal.encodePng(dims, "media_id", "w", "h", Some("seed"))
+    def hashes(bs: Int) = Multimodal
+      .decodeBatched(media, bs, codec = Multimodal.phashCodec)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    val h = hashes(64)
+    assert(h.map(_._2).forall(_.length == 16))
+    assert(h(0)._2 == h(2)._2, "same seed+dims must fingerprint equal")
+    assert(h(0)._2 != h(1)._2, "different seeds must diverge")
+    assert(hashes(1) == h, "batch size must not change fingerprints")
+  }
+
+  test("phashPairs: planted dups survive, ordering and threshold hold") {
+    import spark.implicits._
+    val dims = ((1L to 6L).map(i => (i, 18, 16, i % 3)))
+      .toDF("media_id", "w", "h", "seed")
+    val media = Multimodal.encodePng(dims, "media_id", "w", "h", Some("seed"))
+    val decoded = Multimodal.decodeBatched(media, codec = Multimodal.phashCodec)
+    val pairs = Multimodal.phashPairs(decoded, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // seeds repeat mod 3: (1,4), (2,5), (3,6) are identical images
+    assert(pairs.toSet == Set((1L, 4L, 0L), (2L, 5L, 0L), (3L, 6L, 0L)))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
 }
