@@ -196,6 +196,36 @@ object Similarity {
     val piv = c.orderBy(col("neighbor_id")).limit(nPivots)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
+      .toIndexedSeq
+    ivfTopKPivots(queries, c, k, piv, nProbe, idCol, embCol)
+  }
+
+  /** IVF probe with a TRAINED coarse quantizer: the [[KMeans.Model]]'s
+    * centroids (quantized means, not corpus vectors) become the pivot
+    * set — the production IVF shape, where an offline training job
+    * fits the cells to the data distribution instead of hoping the k
+    * lowest-id vectors spread well. Assignment/probe mechanics are
+    * byte-identical to [[ivfTopK]]: centroids fold in as literals with
+    * precomputed norms, cells are argmax-cosine, queries probe their
+    * `nProbe` best cells. Model state is k x dim longs — training
+    * ([[KMeans.train]]) and probing stay two independent jobs, the
+    * write-once/probe-many split an index at 100 TB needs. */
+  def ivfTopKTrained(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      model: KMeans.Model, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.centroids.size)
+    val piv = model.centroids.map { case (cid, cv) =>
+      (cid, cv, cv.map(x => x * x).sum)
+    }
+    ivfTopKPivots(queries, corpusSide(corpus, idCol, embCol),
+      k, piv, nProbe, idCol, embCol)
+  }
+
+  private def ivfTopKPivots(
+      queries: DataFrame, c: DataFrame, k: Int,
+      piv: IndexedSeq[(Long, IndexedSeq[Long], Long)], nProbe: Int,
+      idCol: String, embCol: String): DataFrame = {
     // per-row affinity structs (cos, tiebreak) against each literal pivot
     def aff(emb: Column, nrm: Column, tiebreak: Long => Column) = piv.map {
       case (pid, pemb, pnrm) => struct(

@@ -2154,6 +2154,79 @@ object Pipeline {
              |  GROUP BY 1,2)
              |SELECT doc_a, doc_b, CAST(hd AS BIGINT) AS hamming
              |FROM ham WHERE hd <= 4 ORDER BY doc_a, doc_b""".stripMargin),
-      "image near-dup via dHash banding: fixed-width band equi-join + bounded Hamming verify, planted dup groups")
+      "image near-dup via dHash banding: fixed-width band equi-join + bounded Hamming verify, planted dup groups"),
+
+    // ---- IVF probe with a TRAINED coarse quantizer: k-means centroids
+    // (p64's exact-integer model) as the pivot set instead of the
+    // lowest-id corpus vectors — training and probing as two separate
+    // jobs sharing only k x dim longs of model state. The oracle chains
+    // the full Lloyd iteration into the same assignment/probe SQL as
+    // p7b, so any drift in either stage breaks the hash.
+    QueryDef(
+      "p67_ann_ivf_kmeans",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        val model = KMeans.train(em, k = 8, iters = 2)
+        Similarity.ivfTopKTrained(em.filter($"vec_id" < 10), em, 3,
+          model, nProbe = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
+             |  FROM q ORDER BY vec_id LIMIT 8),
+             |d1 AS (
+             |  SELECT q.vec_id, c0.cid, q.v,
+             |    list_sum(list_transform(list_zip(q.v, c0.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+             |  FROM q, c0),
+             |a1 AS (
+             |  SELECT vec_id, cid, v FROM (
+             |    SELECT vec_id, cid, v, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1
+             |  ) WHERE rn = 1),
+             |m1 AS (
+             |  SELECT cid, i, CAST(trunc(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval FROM (
+             |    SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM a1
+             |  ) GROUP BY cid, i),
+             |c1 AS (
+             |  SELECT c0.cid, COALESCE(g.cv, c0.cv) AS cv
+             |  FROM c0 LEFT JOIN (SELECT cid, list(mval ORDER BY i) AS cv FROM m1 GROUP BY cid) g USING (cid)),
+             |d2 AS (
+             |  SELECT q.vec_id, c1.cid, q.v,
+             |    list_sum(list_transform(list_zip(q.v, c1.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+             |  FROM q, c1),
+             |a2 AS (
+             |  SELECT vec_id, cid, v FROM (
+             |    SELECT vec_id, cid, v, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2
+             |  ) WHERE rn = 1),
+             |m2 AS (
+             |  SELECT cid, i, CAST(trunc(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval FROM (
+             |    SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM a2
+             |  ) GROUP BY cid, i),
+             |c2 AS (
+             |  SELECT c1.cid, COALESCE(g.cv, c1.cv) AS cv
+             |  FROM c1 LEFT JOIN (SELECT cid, list(mval ORDER BY i) AS cv FROM m2 GROUP BY cid) g USING (cid)),
+             |piv AS (SELECT cid AS pivot_id, cv AS pv FROM c2),
+             |aff AS (SELECT c.vec_id, p.pivot_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> c.v[i]*p.pv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.v[i]*c.v[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> p.pv[i]*p.pv[i])) AS DOUBLE)) AS acos
+             |  FROM q c, piv p),
+             |rnk AS (SELECT vec_id, pivot_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY acos DESC, pivot_id) AS rn FROM aff),
+             |cells AS (SELECT vec_id, pivot_id AS cell FROM rnk WHERE rn = 1),
+             |probes AS (SELECT vec_id, pivot_id AS cell FROM rnk WHERE rn <= 2 AND vec_id < 10),
+             |scored AS (SELECT pr.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> qa.v[i]*qb.v[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> qa.v[i]*qa.v[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> qb.v[i]*qb.v[i])) AS DOUBLE)) AS cos
+             |  FROM probes pr JOIN cells cb ON cb.cell = pr.cell AND cb.vec_id <> pr.vec_id
+             |  JOIN q qa ON qa.vec_id = pr.vec_id JOIN q qb ON qb.vec_id = cb.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin),
+      "IVF ANN with k-means-trained cells: offline Lloyd training feeds the same literal-folded probe")
   )
 }

@@ -171,6 +171,23 @@ class SimilaritySpec extends SparkSpec {
     assert(cos(0) > 0.99 && math.abs(cos(1)) < 1e-6 && cos(2) == -1.0)
   }
 
+  test("k-means-trained IVF finds within-blob neighbors (matches brute top-1)") {
+    import spark.implicits._
+    // two tight, well-separated direction blobs; 2 trained cells align
+    // with them, so a 1-cell probe must already agree with brute force
+    val a = (0L until 10L).map(i => (i, Array(1.0f, 0.001f * i, 0f)))
+    val b = (10L until 20L).map(i => (i, Array(0f, 0.001f * i, 1.0f)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val model = KMeans.train(corpus, k = 2, iters = 2)
+    val queries = corpus.filter($"vec_id".isin(3L, 13L))
+    val trained = Similarity.ivfTopKTrained(queries, corpus, 1, model, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val brute = Similarity.bruteForceTopK(queries, corpus, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(trained == brute)
+    assert(trained.keySet == Set(3L, 13L))
+  }
+
   test("quantized cosine is exact for clean vectors") {
     import spark.implicits._
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")

@@ -562,4 +562,35 @@ class PlanSpec extends SparkSpec {
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, s"expected partial+final aggregation:\n$p")
   }
+
+  test("p64: k-means final assignment is join-free (centroids fold as literals)") {
+    val p = plan("p64_kmeans_train")
+    // the corpus side (embeddings scan -> assignment -> per-cluster agg)
+    // must carry no join at all: the only joins allowed are the tiny
+    // k-row model/aggregate stitch at the very top
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"cluster stats must partial-aggregate:\n$p")
+  }
+
+  test("p66: phash pair join is a band equi-join, never all-pairs") {
+    val p = plan("p66_phash_pairs")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no equi-key:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the band key:\n$p")
+  }
+
+  test("q42: both full-outer sides aggregate before the join") {
+    val p = plan("q42_full_outer_join")
+    assert(p.contains("FullOuter"), s"expected a full outer join:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4, s"each side must partial+final aggregate first:\n$p")
+    // the join input is two aggregates over <=|nation| rows, so no
+    // fact-table row may reach the join: scans prune to the 3 columns
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("c_name") && !reads.contains("s_name"),
+      s"scan reads unused columns:\n$reads")
+  }
 }
