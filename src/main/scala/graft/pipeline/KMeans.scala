@@ -46,7 +46,7 @@ object KMeans {
 
   /** (vec_id, v, qn) quantized projection with self-norm; compute-dense
     * per-row stages downstream, so widen to the parallelism floor. */
-  private def quantized(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+  private[graft] def quantized(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
     Par.widen(corpus.select(
       col(idCol).cast("long").as("vec_id"),
       Similarity.quantize(col(embCol)).as("v")))
@@ -62,7 +62,7 @@ object KMeans {
 
   /** Argmin cluster id over the centroid set: lexicographic `least()`
     * on (dist, cid) structs — codegen'd, ties break to the lowest cid. */
-  private def assignExpr(cs: IndexedSeq[(Long, IndexedSeq[Long])]): Column =
+  private[graft] def assignExpr(cs: IndexedSeq[(Long, IndexedSeq[Long])]): Column =
     least(cs.map { case (cid, c) =>
       struct(distTo(c).as("d"), lit(cid).as("cid"))
     }: _*).getField("cid")
