@@ -42,4 +42,36 @@ object Packing {
         expr(s"_prefix div ${budget}L").as("shard_id"),
         (col("_prefix") % budget).as("shard_offset"))
   }
+
+  /** Materialize the packed shards: join the assignment back to the
+    * full rows and write ONE parquet file per shard under
+    * `out/shard_id=N/`, plus a `_manifest` parquet (shard_id, n_docs,
+    * n_tokens, first_doc, last_doc) — the unit a training job consumes
+    * (open shard k, read docs in doc_id order, concatenate).
+    *
+    * SCALE: the assignment scan carries only (id, tokens); text joins
+    * in by id AFTER packing (one hash shuffle of the payload, its only
+    * move). `repartition(shard_id)` gives each shard exactly one
+    * writer task -> one file, and `partitionBy` makes shard reads
+    * partition-pruned. One file per ~budget tokens is the intended
+    * file size knob; shards-per-job stays bounded by data/budget, so
+    * the 200-ish-MB-file discipline holds at any corpus size.
+    */
+  def writeShards(
+      df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+      out: String, numParts: Int = 0): DataFrame = {
+    val assigned = packShards(df, idCol, tokenCol, budget, numParts)
+    val rows = df.withColumnRenamed(idCol, "doc_id")
+      .join(assigned.select(col("doc_id"), col("shard_id"), col("shard_offset")),
+        Seq("doc_id"))
+    rows.repartition(col("shard_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    val manifest = assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$out/_manifest")
+    manifest
+  }
 }

@@ -86,4 +86,40 @@ class PackingSpec extends SparkSpec {
         .forall(_.contains("_pid")),
       s"unpartitioned window found:\n$plan")
   }
+
+  test("writeShards: one file per shard dir, pruned reads, manifest ties out") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("shards").toString + "/packed"
+    val d = (1L to 120L).map(i => (i, s"doc-$i body", (i * 13) % 50 + 1))
+      .toDF("doc_id", "text", "tokens")
+    val manifest = Packing.writeShards(d, "doc_id", "tokens", budget = 500L, out)
+      .collect()
+    // manifest totals cover every doc and token exactly once
+    assert(manifest.map(_.getLong(1)).sum == 120L)
+    assert(manifest.map(_.getLong(2)).sum ==
+      (1L to 120L).map(i => (i * 13) % 50 + 1).sum)
+    // shard ranges are contiguous in doc order: next first = prev last + 1
+    val ranges = manifest.map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    ranges.sliding(2).foreach {
+      case Array((_, _, lastA), (_, firstB, _)) => assert(firstB == lastA + 1)
+      case _ => ()
+    }
+    // exactly one data file per shard_id= dir
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard_id=")).toSeq
+    assert(dirs.size == manifest.length)
+    dirs.foreach { dir =>
+      val files = Files.list(dir).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"$dir has $files files")
+    }
+    // a one-shard read is partition-pruned and returns that shard's docs
+    val one = spark.read.parquet(out).where($"shard_id" === 0)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard_id"))
+    val m0 = manifest.find(_.getLong(0) == 0L).get
+    assert(one.count() == m0.getLong(1))
+  }
 }
