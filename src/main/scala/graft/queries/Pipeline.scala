@@ -2227,6 +2227,59 @@ object Pipeline {
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
              |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
              |ORDER BY query_id, rank""".stripMargin),
-      "IVF ANN with k-means-trained cells: offline Lloyd training feeds the same literal-folded probe")
+      "IVF ANN with k-means-trained cells: offline Lloyd training feeds the same literal-folded probe"),
+
+    // ---- Image exact-dup GROUPS off the fingerprints — the linear
+    // production formulation (p66's pair enumeration is the audit view:
+    // on a dup-heavy corpus, in-group pairs grow quadratically with
+    // group size, measured 46k pairs at sf1 -> 4.8M at sf10; this
+    // grouping stays one fixed-width groupBy of 8-byte keys however
+    // large the groups get). Keep-lowest-id survivor, same convention
+    // as exact text dedup.
+    QueryDef(
+      "p68_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val dims = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(9) + $"n_chars" % 48).cast("int").as("w"),
+            (lit(8) + $"n_chars" % 31).cast("int").as("h"),
+            ($"doc_id" % 97).as("seed"))
+        val media = Multimodal.encodePng(dims, "doc_id", "w", "h", Some("seed"))
+        Multimodal.decodeBatched(media, codec = Multimodal.phashCodec)
+          .groupBy($"feature_hash")
+          .agg(count(lit(1)).as("n_members"),
+            min($"media_id").as("survivor_id"))
+          .where($"n_members" > 1)
+          .select($"feature_hash", $"n_members", $"survivor_id")
+          .orderBy($"feature_hash")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, CAST(9 + n_chars % 48 AS BIGINT) AS w, CAST(8 + n_chars % 31 AS BIGINT) AS h,
+             |    doc_id % 97 AS b
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, gy.y AS gy, gx.x AS gx,
+             |    SUM((((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) // 3) // COUNT(*) AS g
+             |  FROM docs d,
+             |    UNNEST(range(8)) AS gy(y), UNNEST(range(9)) AS gx(x),
+             |    UNNEST(range((gx.x*d.w)//9, ((gx.x+1)*d.w)//9)) AS ux(x),
+             |    UNNEST(range((gy.y*d.h)//8, ((gy.y+1)*d.h)//8)) AS uy(y),
+             |    LATERAL (SELECT (d.b * 2654435761 + (uy.y*d.w + ux.x) * 2246822519) & 16777215 AS p) pp
+             |  GROUP BY 1,2,3),
+             |bits AS (
+             |  SELECT doc_id, gy, gx,
+             |    CASE WHEN lead(g) OVER (PARTITION BY doc_id, gy ORDER BY gx) > g THEN 1 ELSE 0 END AS b
+             |  FROM px),
+             |rb AS (
+             |  SELECT doc_id, gy, SUM(b * (1 << gx)) AS byte
+             |  FROM bits WHERE gx < 8 GROUP BY 1,2),
+             |hsh AS (
+             |  SELECT doc_id, string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY gy) AS feature_hash
+             |  FROM rb GROUP BY 1)
+             |SELECT feature_hash, CAST(COUNT(*) AS BIGINT) AS n_members,
+             |  MIN(doc_id) AS survivor_id
+             |FROM hsh GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY feature_hash""".stripMargin),
+      "image exact-dup groups on 8-byte fingerprints: linear groupBy formulation, keep-lowest-id survivor")
   )
 }
