@@ -165,6 +165,95 @@ object Multimodal {
     }
   }
 
+  /** Deterministic WAV fixture generator: one real RIFF/PCM-16 mono
+    * payload per row, `nSamplesCol` samples at `sampleRate` Hz, sample
+    * i = ((seed * 2654435761 + i * 2246822519) & 0xffff) - 32768 — the
+    * same scrambled-integer pattern as [[encodePng]], so decoded audio
+    * features are oracle-replayable. Encoded with the JDK's built-in
+    * `javax.sound.sampled` (AudioSystem WAV writer) — like the PNG
+    * fixtures, this is proof that REAL codec bytes flow through the
+    * media schema, not a hand-rolled header. */
+  def encodeWav(
+      df: DataFrame, idCol: String, nSamplesCol: String,
+      seedCol: Option[String] = None, sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    val out = widen(df.select(col(idCol).cast("long"),
+      col(nSamplesCol).cast("int"),
+      col(seedCol.getOrElse(idCol)).cast("long"))).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0); val n = r.getInt(1); val seed = r.getLong(2)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((seed * 2654435761L + i * 2246822519L) & 0xffff) - 32768L).toInt
+          pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM-16
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val bytes = bos.toByteArray
+        Row(id, bytes, "audio/wav", bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Decoded-audio schema: typed metadata + exact integer signal stats. */
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("peak", LongType),      // max |sample|
+    StructField("sum_abs", LongType)))  // L1 mass (integer-exact "loudness")
+
+  /** REAL audio decode — the `javax.sound.sampled` analog of
+    * [[imageIoCodec]]: parse the WAV container, stream PCM-16 frames,
+    * and report sample rate, frame count, peak and L1 amplitude. All
+    * integer arithmetic, so the oracle replays the stats from the
+    * fixture's sample pattern exactly. Same batch signature as the
+    * other codecs (swap via [[decodeBatched]]-style plumbing); video
+    * remains the one stubbed modality — the JDK ships no codec for it. */
+  def wavCodec(batch: Seq[(Long, Array[Byte])]): Seq[Row] = {
+    batch.map { case (id, bytes) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media_id=$id: expected mono PCM-16, got $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var peak = 0L; var sumAbs = 0L
+      var i = 0
+      while (i < n) {
+        val lo = data(2 * i) & 0xff
+        val hi = data(2 * i + 1).toInt // sign-extends
+        val s = math.abs((hi << 8) | lo).toLong
+        if (s > peak) peak = s
+        sumAbs += s
+        i += 1
+      }
+      Row(id, fmt.getSampleRate.toInt, n.toLong, peak, sumAbs)
+    }
+  }
+
+  /** Batched WAV decode over a media table — [[decodeBatched]] with the
+    * audio row shape. */
+  def decodeWavBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = widen(media.select("media_id", "payload")).rdd.mapPartitions { it =>
+      it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .grouped(batchSize)
+        .flatMap(batch => wavCodec(batch))
+    }
+    spark.createDataFrame(out, decodedAudioSchema)
+  }
+
   /** Perceptual difference-hash (dHash) codec: REAL pixel path — decode
     * with `javax.imageio`, box-average luma onto a 9x8 grid, then one
     * bit per horizontal neighbor comparison -> a 64-bit fingerprint

@@ -2280,6 +2280,37 @@ object Pipeline {
              |SELECT feature_hash, CAST(COUNT(*) AS BIGINT) AS n_members,
              |  MIN(doc_id) AS survivor_id
              |FROM hsh GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY feature_hash""".stripMargin),
-      "image exact-dup groups on 8-byte fingerprints: linear groupBy formulation, keep-lowest-id survivor")
+      "image exact-dup groups on 8-byte fingerprints: linear groupBy formulation, keep-lowest-id survivor"),
+
+    // ---- REAL audio decode: javax.sound.sampled WAV fixtures (RIFF
+    // container written by the JDK's own encoder) decoded back to
+    // exact integer signal stats — sample rate, frame count, peak and
+    // L1 amplitude. The oracle replays the PCM pattern per sample; a
+    // one-sample drift in container parsing or sign handling breaks it.
+    // Only fixed-width stats leave the codec stage, never samples.
+    QueryDef(
+      "p69_wav_stats",
+      (s, dir) => {
+        import s.implicits._
+        val spec = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(400) + $"n_chars" % 1600).cast("int").as("n_samples"))
+        val media = Multimodal.encodeWav(spec, "doc_id", "n_samples")
+        Multimodal.decodeWavBatched(media)
+          .select($"media_id", $"sample_rate", $"n_samples",
+            $"peak", $"sum_abs")
+          .orderBy($"media_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, CAST(400 + n_chars % 1600 AS BIGINT) AS n FROM documents),
+             |smp AS (
+             |  SELECT d.doc_id, d.n,
+             |    abs(((d.doc_id * 2654435761 + u.i * 2246822519) & 65535) - 32768) AS a
+             |  FROM docs d, UNNEST(range(d.n)) AS u(i))
+             |SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(MAX(a) AS BIGINT) AS peak, CAST(SUM(a) AS BIGINT) AS sum_abs
+             |FROM smp GROUP BY 1, 3 ORDER BY media_id""".stripMargin),
+      "real javax.sound WAV decode: container-parsed PCM stats vs a per-sample oracle replay")
   )
 }
