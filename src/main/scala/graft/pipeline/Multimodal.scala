@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[imageIoCodec]] reads PNG/BMP/GIF/JPEG with
   * the JDK's built-in `javax.imageio` and reports true pixel
   * dimensions ([[encodePng]] generates genuine PNG fixtures to prove
-  * the round trip). AUDIO/VIDEO decode stays STUBBED (no codecs in the
-  * JDK) with a deterministic fake derived from the bytes; the
-  * Spark-side plumbing — schema, batch shape, partition-local
-  * iteration, metadata threading — is identical for both, so swapping
-  * a stub for a JNI/codec call (or routing through mapInArrow to a
-  * Python worker) changes only the codec function.
+  * the round trip); [[phashCodec]] derives perceptual fingerprints
+  * from the decoded pixels. AUDIO decode is REAL too: [[wavCodec]]
+  * parses RIFF/PCM WAV with `javax.sound.sampled`. VIDEO decode stays
+  * STUBBED (the JDK ships no video codec) with a deterministic fake
+  * derived from the bytes; the Spark-side plumbing — schema, batch
+  * shape, partition-local iteration, metadata threading — is identical
+  * for all modalities, so swapping a stub for a JNI/codec call (or
+  * routing through mapInArrow to a Python worker) changes only the
+  * codec function.
   */
 object Multimodal {
 
@@ -79,14 +82,15 @@ object Multimodal {
   def decodeBatched(
       media: DataFrame,
       batchSize: Int = 64,
-      codec: Seq[(Long, Array[Byte])] => Seq[Row] = stubCodec): DataFrame = {
+      codec: Seq[(Long, Array[Byte])] => Seq[Row] = stubCodec,
+      schema: StructType = decodedSchema): DataFrame = {
     val spark = media.sparkSession
     val out = widen(media.select("media_id", "payload")).rdd.mapPartitions { it =>
       it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
         .grouped(batchSize)
         .flatMap(batch => codec(batch))
     }
-    spark.createDataFrame(out, decodedSchema)
+    spark.createDataFrame(out, schema)
   }
 
   /** Stub batch codec — same deterministic fake as decodeStub, but with
@@ -150,9 +154,10 @@ object Multimodal {
     * and reports true pixel dimensions; feature hash is the payload
     * md5. Same batch signature as [[stubCodec]] — callers swap codecs,
     * the plumbing (schema, batching, partition-local iteration) is
-    * untouched. Audio/video stay on the stub: the JDK ships no codec
-    * for them, and the point of the batched shape is that only this
-    * function changes when one arrives. */
+    * untouched. Audio has its own real path ([[wavCodec]]); video
+    * stays on the stub — the JDK ships no codec for it, and the point
+    * of the batched shape is that only this function changes when one
+    * arrives. */
   def imageIoCodec(batch: Seq[(Long, Array[Byte])]): Seq[Row] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     batch.map { case (id, bytes) =>
@@ -224,8 +229,13 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-        s"media_id=$id: expected mono PCM-16, got $fmt")
+      // encoding and byte order matter as much as width: a big-endian
+      // or unsigned 16-bit stream would pass a width-only check and
+      // silently mis-sign every sample below
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        !fmt.isBigEndian,
+        s"media_id=$id: expected mono little-endian signed PCM-16, got $fmt")
       val data = ais.readAllBytes()
       val n = data.length / 2
       var peak = 0L; var sumAbs = 0L
@@ -244,15 +254,8 @@ object Multimodal {
 
   /** Batched WAV decode over a media table — [[decodeBatched]] with the
     * audio row shape. */
-  def decodeWavBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val out = widen(media.select("media_id", "payload")).rdd.mapPartitions { it =>
-      it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
-        .grouped(batchSize)
-        .flatMap(batch => wavCodec(batch))
-    }
-    spark.createDataFrame(out, decodedAudioSchema)
-  }
+  def decodeWavBatched(media: DataFrame, batchSize: Int = 64): DataFrame =
+    decodeBatched(media, batchSize, wavCodec, decodedAudioSchema)
 
   /** Perceptual difference-hash (dHash) codec: REAL pixel path — decode
     * with `javax.imageio`, box-average luma onto a 9x8 grid, then one
@@ -322,10 +325,15 @@ object Multimodal {
     * codegen'd conv/xor/bit_count columns — no UDF, no HOF. */
   def phashPairs(
       decoded: DataFrame, maxHamming: Int, bandHex: Int = 4): DataFrame = {
-    val a = decoded.select(col("media_id").as("doc_a"),
+    // pin the fingerprints before the self-join: `decoded` is usually
+    // the codec pass, and without this both join sides would re-run
+    // the full decode lineage — the catalog's heaviest stage, twice
+    val fp = decoded.select(col("media_id"), col("feature_hash"))
+      .localCheckpoint()
+    val a = fp.select(col("media_id").as("doc_a"),
       col("feature_hash").as("ph_a"),
       substring(col("feature_hash"), 1, bandHex).as("band"))
-    val b = decoded.select(col("media_id").as("doc_b"),
+    val b = fp.select(col("media_id").as("doc_b"),
       col("feature_hash").as("ph_b"),
       substring(col("feature_hash"), 1, bandHex).as("band"))
     val ham = (0 until 8).map { i =>

@@ -60,12 +60,20 @@ object Packing {
   def writeShards(
       df: DataFrame, idCol: String, tokenCol: String, budget: Long,
       out: String, numParts: Int = 0): DataFrame = {
+    // pin the assignment (16 bytes/row): the shard write AND the
+    // manifest both consume it, and without this the second action
+    // would re-run the whole two-phase prefix scan from scratch
     val assigned = packShards(df, idCol, tokenCol, budget, numParts)
+      .localCheckpoint()
     val rows = df.withColumnRenamed(idCol, "doc_id")
       .join(assigned.select(col("doc_id"), col("shard_id"), col("shard_offset")),
         Seq("doc_id"))
+    // sort key must LEAD with the partition column: the parquet writer
+    // requires ordering on partitionBy columns and would otherwise
+    // plan its own shard_id sort, leaving in-file doc order to sort
+    // stability instead of this explicit spec
     rows.repartition(col("shard_id"))
-      .sortWithinPartitions(col("doc_id"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(out)
     val manifest = assigned.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),

@@ -95,16 +95,20 @@ object AnnIndexSink {
     rows.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(staging)
     val stagingDir = Paths.get(staging)
-    val touched = Files.list(stagingDir).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(s"$partCol="))
-      .toSeq.sortBy(_.getFileName.toString)
+    val touched = scala.util.Using.resource(Files.list(stagingDir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$partCol="))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
     touched.foreach { dir =>
       val dest = Paths.get(path, dir.getFileName.toString)
       Files.createDirectories(dest)
-      val parts = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+      val parts = scala.util.Using.resource(Files.list(dir)) { st =>
+        st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
       parts.zipWithIndex.foreach { case (f, i) =>
         // deterministic destination name = idempotent replay
         val name = if (i == 0) s"batch-$batchId.parquet"
@@ -118,8 +122,10 @@ object AnnIndexSink {
     Files.write(logPath(path), s"$batchId\n".getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    scala.util.Using.resource(Files.walk(stagingDir)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList
+    }.foreach(Files.deleteIfExists(_))
     true
   }
 }

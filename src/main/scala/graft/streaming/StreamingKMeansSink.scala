@@ -70,9 +70,11 @@ object StreamingKMeansSink {
   def loadState(root: String): Option[State] = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return None
-    val newest = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("state-"))
-      .maxByOption(_.getFileName.toString.stripPrefix("state-").toLong)
+    val newest = scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("state-"))
+        .maxByOption(_.getFileName.toString.stripPrefix("state-").toLong)
+    }
     newest.map(read)
   }
 
@@ -100,6 +102,18 @@ object StreamingKMeansSink {
     Files.move(tmp, dir.resolve(s"state-${s.applied}"),
       StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    // compact: strictly-older states are dead once the new one is
+    // durable (newest-wins on reload) — without this a long-running
+    // stream accumulates one file per batch forever and every reload
+    // lists all of them
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("state-") && n.stripPrefix("state-").toLong < s.applied
+        }
+        .toList
+    }.foreach(Files.deleteIfExists(_))
   }
 
   /** Fold one micro-batch into the model. Returns true if applied,
@@ -113,10 +127,14 @@ object StreamingKMeansSink {
     val state = prev match {
       case Some(st) => st
       case None =>
-        // seed from this first batch's k lowest-id vectors
+        // seed from the first batch's k lowest-id vectors; until a
+        // batch with >= k vectors arrives there is nothing to seed
+        // from, so skip WITHOUT failing the query (sparse sources
+        // routinely open with empty/short batches) and without
+        // recording the id — a later replay may carry data
         val seeds = q.orderBy(col("vec_id")).limit(k).collect()
           .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
-        require(seeds.size == k, s"first batch has ${seeds.size} < k=$k vectors")
+        if (seeds.size < k) return false
         val dim = seeds.head.size
         State(-1L, seeds, IndexedSeq.fill(k)(IndexedSeq.fill(dim)(0L)),
           IndexedSeq.fill(k)(0L))

@@ -37,6 +37,24 @@ class StreamingKMeansSinkSpec extends SparkSpec {
     assert(s2.applied == 1L && s2 != s1)
   }
 
+  test("short/empty opening batches skip without failing; state compacts") {
+    val root = Files.createTempDirectory("skm").toString + "/m"
+    // batch 0 empty, batch 1 below k: both skip, no state, no crash
+    assert(!StreamingKMeansSink.mergeBatch(blobA(Seq.empty), root, 0L, k = 3))
+    assert(!StreamingKMeansSink.mergeBatch(blobA(0L until 2L), root, 1L, k = 3))
+    assert(StreamingKMeansSink.loadState(root).isEmpty)
+    // first viable batch seeds; further batches fold in
+    assert(StreamingKMeansSink.mergeBatch(blobA(0L until 5L), root, 2L, k = 3))
+    assert(StreamingKMeansSink.mergeBatch(blobB(10L until 15L), root, 3L, k = 3))
+    assert(StreamingKMeansSink.loadState(root).get.applied == 3L)
+    // only the newest state file survives compaction
+    import scala.jdk.CollectionConverters._
+    val states = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("state-")).toSeq
+    assert(states == Seq("state-3"))
+  }
+
   test("incrementally streamed blobs end up separated; model probes IVF") {
     val root = Files.createTempDirectory("skm").toString + "/m"
     // batch 0 contains members of BOTH blobs (seeds must straddle them)
