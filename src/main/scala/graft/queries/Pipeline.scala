@@ -2294,7 +2294,7 @@ object Pipeline {
         import s.implicits._
         val spec = T(s, dir, "documents")
           .select($"doc_id",
-            (lit(400) + $"n_chars" % 1600).cast("int").as("n_samples"))
+            (lit(200) + $"n_chars" % 800).cast("int").as("n_samples"))
         val media = Multimodal.encodeWav(spec, "doc_id", "n_samples")
         Multimodal.decodeWavBatched(media)
           .select($"media_id", $"sample_rate", $"n_samples",
@@ -2302,7 +2302,7 @@ object Pipeline {
           .orderBy($"media_id")
       },
       Some("""WITH docs AS (
-             |  SELECT doc_id, CAST(400 + n_chars % 1600 AS BIGINT) AS n FROM documents),
+             |  SELECT doc_id, CAST(200 + n_chars % 800 AS BIGINT) AS n FROM documents),
              |smp AS (
              |  SELECT d.doc_id, d.n,
              |    abs(((d.doc_id * 2654435761 + u.i * 2246822519) & 65535) - 32768) AS a
