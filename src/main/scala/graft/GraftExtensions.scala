@@ -69,6 +69,9 @@ object GraftFunctions {
     (FunctionIdentifier("subword_est"),
       new ExpressionInfo(classOf[SubwordEstExpr].getName, "subword_est"),
       (args: Seq[Expression]) => SubwordEstExpr(args.head)),
+    (FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
+      (args: Seq[Expression]) => BpeCountExpr(args.head)),
     (FunctionIdentifier("quality_score"),
       new ExpressionInfo(classOf[QualityScoreExpr].getName, "quality_score"),
       (args: Seq[Expression]) => QualityScoreExpr(args.head)),

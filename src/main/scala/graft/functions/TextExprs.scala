@@ -161,6 +161,97 @@ object TextStats {
   }
 }
 
+/** Greedy BPE application with a FIXED pretrained merge table — the
+  * exact-token-count op a training pipeline runs corpus-wide once a
+  * tokenizer is frozen (SubwordEstExpr is the cheap estimate; this is
+  * the real thing). Per word: char-split into symbols, then each merge
+  * rule in table order does one greedy left-to-right non-overlapping
+  * pass. Merge semantics are exactly SQL REPLACE over a
+  * `|sym||sym||sym|` delimiter encoding, which is what the DuckDB
+  * oracle replays (p70) — validated rule-by-rule in BpeSpec.
+  *
+  * SCALE: the merge table is a few hundred bytes folded into the
+  * codegen'd projection (one static call per row, inside whole-stage
+  * codegen); cost is O(rules × word_len) per word with zero allocation
+  * beyond the symbol array. Vocabulary-level caching (encode word
+  * TYPES once, join back) is the next lever at 100 TB — the word-type
+  * table is what [[graft.pipeline.Vocab.bpeTrain]] already builds.
+  */
+object Bpe {
+
+  /** Pretrained on the sf0.01 documents word frequencies (24 greedy
+    * rounds, ties lexicographic) — fixed forever after, like shipping a
+    * tokenizer artifact. Chained merges (h+ash, b+atch, s+can) exercise
+    * multi-level merge order. */
+  val PRETRAINED: Array[Array[String]] = Array(
+    Array("e", "r"), Array("i", "n"), Array("o", "w"), Array("o", "r"),
+    Array("s", "t"), Array("m", "er"), Array("a", "t"), Array("l", "u"),
+    Array("a", "r"), Array("p", "ar"), Array("j", "o"), Array("jo", "in"),
+    Array("a", "s"), Array("as", "h"), Array("h", "ash"), Array("r", "ow"),
+    Array("at", "c"), Array("atc", "h"), Array("b", "atch"), Array("a", "n"),
+    Array("c", "an"), Array("s", "can"), Array("c", "o"), Array("c", "u"))
+
+  /** Symbol sequence for one word after applying every rule in order. */
+  def encodeWord(word: String, merges: Array[Array[String]]): Array[String] = {
+    var syms = new Array[String](word.length)
+    var i = 0
+    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var r = 0
+    while (r < merges.length && syms.length >= 2) {
+      val a = merges(r)(0)
+      val b = merges(r)(1)
+      // cheap presence scan first: most rules touch few words
+      var hit = false
+      i = 0
+      while (i < syms.length - 1 && !hit) {
+        if (syms(i) == a && syms(i + 1) == b) hit = true
+        i += 1
+      }
+      if (hit) {
+        val out = new Array[String](syms.length)
+        var oi = 0
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out(oi) = a + b; oi += 1; j += 2
+          } else { out(oi) = syms(j); oi += 1; j += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, oi)
+      }
+      r += 1
+    }
+    syms
+  }
+
+  /** Total token count over a word array (null words count 0). */
+  def encodeCount(words: ArrayData, merges: Array[Array[String]]): Long = {
+    val n = words.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null) total += encodeWord(w.toString, merges).length.toLong
+      i += 1
+    }
+    total
+  }
+}
+
+/** ARRAY<STRING> words -> BIGINT exact BPE token count under the fixed
+  * pretrained merge table (see [[Bpe]]). */
+final case class BpeCountExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Bpe.encodeCount(input.asInstanceOf[ArrayData], Bpe.PRETRAINED)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Bpe.encodeCount($c, graft.functions.Bpe.PRETRAINED())")
+  override protected def withNewChildInternal(c: Expression): BpeCountExpr =
+    copy(child = c)
+}
+
 final case class SubwordEstExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
@@ -225,4 +316,6 @@ object Text {
     Bridge.column(PredictLangExpr(Bridge.expression(words), floor))
   def repetitionStats(words: Column): Column =
     Bridge.column(RepetitionStatsExpr(Bridge.expression(words)))
+  def bpeCount(words: Column): Column =
+    Bridge.column(BpeCountExpr(Bridge.expression(words)))
 }

@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
+  /** Per-document exact BPE token counts via the vocabulary cache: the
+    * 100 TB plan for frozen-tokenizer encoding (p70 is the direct
+    * per-row kernel; identical results, PlanSpec-pinned plans).
+    *
+    * A natural corpus is Zipfian — word TYPES ≪ word occurrences — and
+    * a production merge table is ~50k rules, so encoding cost per word
+    * is the workload. Encode each distinct word ONCE (the type table is
+    * vocabulary-sized), broadcast the (word → token count) map back
+    * onto the token stream, and partial-aggregate per document: the
+    * corpus is scanned once, the only corpus-sized shuffle carries
+    * (doc, count-sum) partials, and the encode kernel runs |vocab|
+    * times instead of |corpus-words| times.
+    *
+    * @return (doc, n_words, n_chars, bpe_tokens) — one row per doc
+    */
+  def bpeTokensCached(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val types = toks.select("word").distinct()
+      .select(col("word"),
+        graft.functions.Text.bpeCount(array(col("word"))).as("n_tok"),
+        length(col("word")).cast("long").as("n_ch"))
+    toks.join(broadcast(types), "word")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_ch").as("n_chars"),
+        sum("n_tok").as("bpe_tokens"))
+  }
+
   /** Corpus-wide (token, tf, df): total occurrences and number of
     * distinct documents containing the token. */
   def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =

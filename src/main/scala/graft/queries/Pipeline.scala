@@ -2311,6 +2311,84 @@ object Pipeline {
              |  CAST(n AS BIGINT) AS n_samples,
              |  CAST(MAX(a) AS BIGINT) AS peak, CAST(SUM(a) AS BIGINT) AS sum_abs
              |FROM smp GROUP BY 1, 3 ORDER BY media_id""".stripMargin),
-      "real javax.sound WAV decode: container-parsed PCM stats vs a per-sample oracle replay")
+      "real javax.sound WAV decode: container-parsed PCM stats vs a per-sample oracle replay"),
+
+    // ---- Exact tokenization with a frozen BPE tokenizer: the count a
+    // token-budgeted pipeline actually bills by (p9/subword_est is the
+    // estimate; shard packing, mixture planning and context-window
+    // chunking all want the real number). The 24-rule merge table is a
+    // fixed pretrained artifact (graft.functions.Bpe.PRETRAINED);
+    // encoding is one codegen'd pass per row. The oracle replays greedy
+    // merge-in-table-order exactly: each rule r is one REPLACE pass
+    // over a '|sym||sym|' delimiter encoding of the word — SQL REPLACE's
+    // left-to-right non-overlapping scan IS BPE's greedy pass (the
+    // double-bar separators make symbol boundaries unambiguous even
+    // when one symbol is a suffix of another).
+    QueryDef(
+      "p70_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select($"doc_id",
+            size(TextOps.tokens($"text")).cast("long").as("n_words"),
+            length(regexp_replace($"text", " ", "")).cast("long")
+              .as("n_chars"),
+            graft.functions.Text.bpeCount(TextOps.tokens($"text"))
+              .as("bpe_tokens"))
+          .withColumn("chars_per_token_ppm",
+            when($"bpe_tokens" > 0,
+              expr("n_chars * 1000000 DIV bpe_tokens")).otherwise(0L))
+          .orderBy($"doc_id")
+      },
+      Some(bpeEncodeOracle),
+      "exact BPE token counts under a frozen 24-rule merge table; oracle replays greedy merges as delimiter-encoded REPLACE chains"),
+
+    // ---- The same computation through the vocabulary cache — the plan
+    // that wins at 100 TB with a production-sized (~50k rule) merge
+    // table: encode each distinct word ONCE, broadcast the (word →
+    // token count) map back, partial-aggregate per doc. Same oracle as
+    // p70; PlanSpec pins the broadcast join + partial aggregation.
+    QueryDef(
+      "p71_bpe_vocab_cached",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.bpeTokensCached(T(s, dir, "documents"), "doc_id", "text")
+          .select($"doc".as("doc_id"), $"n_words", $"n_chars",
+            $"bpe_tokens",
+            when($"bpe_tokens" > 0,
+              expr("n_chars * 1000000 DIV bpe_tokens")).otherwise(0L)
+              .as("chars_per_token_ppm"))
+          .orderBy($"doc_id")
+      },
+      Some(bpeEncodeOracle),
+      "vocabulary-cached BPE encoding: encode word types once, broadcast-join counts back — identical output to p70 under the scale plan")
   )
+
+  /** Shared oracle for p70/p71: greedy BPE application replayed as a
+    * REPLACE chain per merge rule over a `|sym||sym|` delimiter
+    * encoding (REPLACE's left-to-right non-overlapping scan is exactly
+    * the greedy merge pass; double-bar separators keep symbol
+    * boundaries unambiguous under suffix-overlapping symbols). */
+  private lazy val bpeEncodeOracle: String = {
+    val chain = graft.functions.Bpe.PRETRAINED.foldLeft(
+      "regexp_replace(word,'(.)','|\\1|','g')") { case (acc, m) =>
+      s"replace($acc, '|${m(0)}||${m(1)}|', '|${m(0)}${m(1)}|')"
+    }
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+       |  FROM documents),
+       |e AS (SELECT doc_id, word, $chain AS seq FROM w),
+       |a AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum((length(seq) - length(replace(seq,'|','')))//2)
+       |      AS BIGINT) AS bpe_tokens
+       |  FROM e GROUP BY doc_id)
+       |SELECT a.doc_id, n_words,
+       |  CAST(length(replace(d.text,' ','')) AS BIGINT) AS n_chars,
+       |  bpe_tokens,
+       |  CASE WHEN bpe_tokens > 0 THEN
+       |    CAST(length(replace(d.text,' ','')) * 1000000 // bpe_tokens
+       |      AS BIGINT) ELSE 0 END AS chars_per_token_ppm
+       |FROM a JOIN documents d ON a.doc_id = d.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
 }

@@ -425,4 +425,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 4L, 0L), (2L, 5L, 0L), (3L, 6L, 0L)))
     assert(pairs.forall(p => p._1 < p._2))
   }
+
+  test("vocab-cached BPE == direct per-row kernel (p70/p71 equivalence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the customer batch hash scan"),
+      (2L, "stream stream query order"),
+      (3L, ""), // empty text -> [""] token, zero chars, zero tokens
+      (4L, "zzz unknown alphabet"),
+      (5L, "erer eeer")
+    ).toDF("doc_id", "text")
+    val direct = docs.select($"doc_id".as("doc"),
+      size(TextOps.tokens($"text")).cast("long").as("n_words"),
+      length(regexp_replace($"text", " ", "")).cast("long").as("n_chars"),
+      graft.functions.Text.bpeCount(TextOps.tokens($"text"))
+        .as("bpe_tokens"))
+    val cached = Vocab.bpeTokensCached(docs, "doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(direct.collect().map(key).toSet ===
+      cached.select("doc", "n_words", "n_chars", "bpe_tokens")
+        .collect().map(key).toSet)
+  }
 }

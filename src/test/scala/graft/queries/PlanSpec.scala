@@ -593,4 +593,28 @@ class PlanSpec extends SparkSpec {
     assert(!reads.contains("c_name") && !reads.contains("s_name"),
       s"scan reads unused columns:\n$reads")
   }
+
+  test("p70: BPE encode is one codegen'd pass; scan prunes to id+text") {
+    val p = plan("p70_bpe_encode")
+    assert(p.contains("bpecountexpr"), p)
+    // per-row projection: no join, no aggregation, the only exchange is
+    // the final deterministic sort
+    assert(!p.contains("Join"), s"p70 must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"p70 must not aggregate:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(reads.contains("doc_id") && reads.contains("text") &&
+      !reads.contains("lang") && !reads.contains("source"),
+      s"scan must prune to doc_id+text:\n$reads")
+  }
+
+  test("p71: vocab-cached BPE broadcasts the type table and partial-aggregates") {
+    val p = plan("p71_bpe_vocab_cached")
+    // the (word -> token count) type table is vocabulary-sized: it must
+    // broadcast back onto the token stream, never shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), s"type table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+    // per-doc sums partial-aggregate map-side before the doc shuffle
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4, s"expected partial+final aggs (types + docs):\n$p")
+  }
 }
