@@ -1063,6 +1063,73 @@ object Relational {
              |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
              |      WHERE s_acctbal > 9000 GROUP BY 1) s ON c.nk = s.nk
              |ORDER BY nationkey""".stripMargin),
-      "full outer join of two filtered per-nation aggregates; aggregate-then-join keeps both sides broadcast-size")
+      "full outer join of two filtered per-nation aggregates; aggregate-then-join keeps both sides broadcast-size"),
+
+    // ---- Array aggregation surface: per-order sorted distinct part
+    // set, its cardinality, bounds, and an md5 fingerprint of the
+    // joined list (arrays themselves don't hash-compare across engines;
+    // the canonical string fingerprint does, and is also what an
+    // array-valued column would ship to a dedup/diff step). collect_set
+    // partial-aggregates map-side, so the shuffle carries per-order
+    // part-id sets, never lineitem rows; the filter prunes at the scan.
+    QueryDef(
+      "q43_array_agg",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem")
+          .where($"l_orderkey" % 100 === 0)
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+          .select($"l_orderkey",
+            size($"parts").cast("long").as("n_parts"),
+            element_at($"parts", 1).as("first_part"),
+            element_at($"parts", -1).as("last_part"),
+            md5(array_join(transform($"parts", _.cast("string")), ","))
+              .as("parts_md5"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+             |CAST(len(parts) AS BIGINT) AS n_parts,
+             |parts[1] AS first_part, parts[-1] AS last_part,
+             |md5(array_to_string(parts, ',')) AS parts_md5
+             |FROM (SELECT l_orderkey,
+             |        list_sort(list(DISTINCT l_partkey)) AS parts
+             |      FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1)
+             |ORDER BY l_orderkey""".stripMargin),
+      "array aggregation: sorted distinct per-group sets with a canonical md5 list fingerprint, DuckDB list-function parity"),
+
+    // ---- Skew diagnostic: the measurement step BEFORE q23's salted
+    // join — per-key frequencies for a join key, each hot key's corpus
+    // share, and the salt fan-out that would level it to average load
+    // (ceil(cnt/avg), integer math so the recommendation is exact and
+    // engine-independent). At 100 TB this is the cheap pre-flight that
+    // decides between plain AQE and explicit salting: one partial-agg'd
+    // key-cardinality-sized aggregation, top-k via TakeOrdered — the
+    // fact table is scanned once and only (key, count) pairs shuffle.
+    QueryDef(
+      "q44_skew_profile",
+      (s, dir) => {
+        import s.implicits._
+        val keys = T(s, dir, "lineitem")
+          .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+        val tot = keys.agg(sum($"cnt").as("total"),
+          count(lit(1)).as("n_keys"))
+        keys.crossJoin(broadcast(tot))
+          .select($"l_partkey", $"cnt",
+            expr("cnt * 1000000 DIV total").as("share_ppm"),
+            expr("(cnt + (total DIV n_keys) - 1) DIV (total DIV n_keys)")
+              .as("salt_factor"))
+          .orderBy($"cnt".desc, $"l_partkey")
+          .limit(10)
+      },
+      Some("""WITH k AS (SELECT l_partkey, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM k)
+             |SELECT l_partkey, cnt,
+             |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+             |  CAST((cnt + (total // n_keys) - 1) // (total // n_keys)
+             |    AS BIGINT) AS salt_factor
+             |FROM k, t ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin),
+      "join-key skew pre-flight: hot-key shares + exact integer salt-factor recommendation feeding q23's mitigation")
   )
 }
