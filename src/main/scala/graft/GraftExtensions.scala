@@ -97,6 +97,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => CmsAggExpr(args.head,
         if (args.length > 1) intArg(args(1), "depth") else 4,
         if (args.length > 2) intArg(args(2), "width") else 1024)),
+    (FunctionIdentifier("gram_agg"),
+      new ExpressionInfo(classOf[GramAggExpr].getName, "gram_agg"),
+      (args: Seq[Expression]) =>
+        GramAggExpr(args.head, intArg(args(1), "dim"))),
     (FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomAggExpr].getName, "bloom_build"),
       (args: Seq[Expression]) => BloomAggExpr(args.head,

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking — splitting documents into overlapping
+  * token-budget windows, the step between curation and shard packing in
+  * a training pipeline (every example must fit the model's context).
+  *
+  * Shape at 100 TB: chunk planning is pure per-row integer arithmetic +
+  * a generator (`explode(sequence(...))`) — a map-only stage, no
+  * shuffle, no state. A document expands to its chunk rows inside one
+  * task; nothing driver-side. The chunk fingerprint (md5 of the joined
+  * token slice) is what leaves the stage for downstream dedup — 16
+  * bytes per chunk regardless of window size, the same ship-the-hash
+  * discipline as [[Dedup]].
+  *
+  * Window arithmetic (win tokens, stride = win − overlap):
+  * n_chunks = 1 + ceil(max(ntok − win, 0) / stride), chunk k covers
+  * token indices [k·stride, min(k·stride + win, ntok)). The last chunk
+  * may be short; every token is covered; consecutive chunks overlap by
+  * win − stride. All integer ops — exactly replayable in DuckDB.
+  */
+object Chunking {
+
+  val Win = 120
+  val Stride = 96
+
+  /** Chunk plan per document: (doc_id, source, chunk_id, tok_start,
+    * tok_end, n_tok, chunk_md5), one row per chunk. */
+  def plan(docs: DataFrame, win: Int = Win, stride: Int = Stride)
+      : DataFrame = {
+    val toks: Column = TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("source"), toks.as("toks"),
+        size(toks).as("ntok"))
+      .withColumn("n_chunks",
+        lit(1) + expr(s"(GREATEST(ntok - $win, 0) + ${stride - 1}) DIV $stride"))
+      .select(col("doc_id"), col("source"), col("toks"), col("ntok"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("tok_end", least(col("tok_start") + win, col("ntok")))
+      .withColumn("n_tok", col("tok_end") - col("tok_start"))
+      .withColumn("chunk_md5",
+        md5(concat_ws(" ",
+          slice(col("toks"), col("tok_start") + 1, col("n_tok")))))
+      .select(col("doc_id"),
+        col("source"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        col("tok_end").cast("long").as("tok_end"),
+        col("n_tok").cast("long").as("n_tok"),
+        col("chunk_md5"))
+  }
+
+  /** Chunk-level dedup audit per source: how many tokens does exact
+    * chunk dedup save? Chunks with the same fingerprint inside a source
+    * keep one copy; the rest are `tok_saved`. Shuffles only (source,
+    * md5, n_tok) triples — never chunk text. */
+  def dedupAudit(docs: DataFrame, win: Int = Win, stride: Int = Stride)
+      : DataFrame = {
+    val chunks = plan(docs, win, stride)
+    chunks
+      // same fingerprint ⇒ same token slice ⇒ same n_tok, so per-group
+      // n_tok is constant; min() just names that constant
+      .groupBy(col("source"), col("chunk_md5"))
+      .agg(count(lit(1)).as("copies"), min(col("n_tok")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") * col("n_tok")).as("tok_total"),
+        sum((col("copies") - 1) * col("n_tok")).as("tok_saved"))
+      .orderBy(col("source"))
+  }
+}

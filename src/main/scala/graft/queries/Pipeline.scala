@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Contamination, Dedup, KMeans, Multimodal, Packing, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
+import graft.pipeline.{Chunking, Contamination, Dedup, KMeans, Multimodal, Packing, Pca, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -2361,8 +2361,149 @@ object Pipeline {
           .orderBy($"doc_id")
       },
       Some(bpeEncodeOracle),
-      "vocabulary-cached BPE encoding: encode word types once, broadcast-join counts back — identical output to p70 under the scale plan")
+      "vocabulary-cached BPE encoding: encode word types once, broadcast-join counts back — identical output to p70 under the scale plan"),
+
+    // ---- Distributed PCA, phase 1: the principal component of the
+    // embedding corpus. One pass reduces the corpus to a bounded
+    // (dim+1)² second-moment matrix (GramAggExpr — fixed 17 KB buffers,
+    // map-side combined, vectors never shuffle); the eigen-iteration is
+    // driver-side integer power iteration on that 64×64 model state.
+    // Exact-integer end to end (quantized inputs, truncating rescales),
+    // so the oracle replays the identical recurrence as chained CTE
+    // matrix-vector steps — any drift in centering, rescale, or
+    // iteration order diverges the result.
+    QueryDef(
+      "p72_pca_power",
+      (s, dir) => Pca.topComponent(s, T(s, dir, "embeddings")),
+      Some(s"""$pcaChainSql,
+             |w9 AS (SELECT g.i, SUM(g.gv * v.v) AS w
+             |       FROM gs g JOIN v${Pca.Steps} v ON g.j = v.i GROUP BY 1),
+             |lam AS (SELECT CAST(SUM(a.v * w9.w) AS BIGINT) AS num,
+             |               CAST(SUM(a.v * a.v) AS BIGINT) AS den
+             |        FROM v${Pca.Steps} a JOIN w9 ON a.i = w9.i)
+             |SELECT CAST(a.i AS INTEGER) AS dim, CAST(a.v AS BIGINT) AS v_q,
+             |  (SELECT num FROM lam) AS lam_num,
+             |  (SELECT den FROM lam) AS lam_den
+             |FROM v${Pca.Steps} a ORDER BY dim""".stripMargin),
+      "distributed PCA: one-pass bounded Gram aggregate + exact-integer power iteration, oracle-replayed as a CTE recurrence"),
+
+    // ---- Distributed PCA, phase 2: per-label distribution along the
+    // learned axis — the embedding-drift / outlier audit a curation
+    // pipeline runs per snapshot. Component and centering constant fold
+    // in as literals (score = dot(q,v) − dot(mu,v)): projection is a
+    // map-only codegen'd integer dot, then a partial-agg'd groupBy —
+    // nothing pair-proportional, nothing driver-side but the 64-long
+    // model.
+    QueryDef(
+      "p73_pca_project",
+      (s, dir) => Pca.projectByLabel(T(s, dir, "embeddings")),
+      Some(s"""$pcaChainSql,
+             |dv AS (SELECT CAST(SUM(mu.m * v.v) AS BIGINT) AS c
+             |       FROM mu JOIN v${Pca.Steps} v ON mu.i = v.i),
+             |sc AS (SELECT e.vec_id, MIN(e.label) AS label,
+             |         CAST(SUM(e.val * v.v) AS BIGINT) - (SELECT c FROM dv) AS score
+             |       FROM e JOIN v${Pca.Steps} v ON e.i = v.i GROUP BY e.vec_id)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(score) AS BIGINT) AS score_sum,
+             |  CAST(MIN(score) AS BIGINT) AS score_min,
+             |  CAST(MAX(score) AS BIGINT) AS score_max
+             |FROM sc GROUP BY label ORDER BY label""".stripMargin),
+      "PCA projection audit: literal-folded component, map-only integer dot, per-label partial-agg'd distribution stats"),
+
+    // ---- Context-window chunking: split documents into overlapping
+    // 120-token windows (stride 96) — the curation→packing bridge step.
+    // Pure per-row integer arithmetic + a generator: map-only, no
+    // shuffle; only 16-byte chunk fingerprints leave the stage.
+    QueryDef(
+      "p74_chunk_plan",
+      (s, dir) => {
+        import s.implicits._
+        Chunking.plan(T(s, dir, "documents"))
+          .drop("source")
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |b AS (SELECT doc_id, words, len(words) AS ntok,
+             |        1 + (GREATEST(len(words) - 120, 0) + 95) // 96 AS nch FROM w),
+             |c AS (SELECT doc_id, words, ntok, u.k AS chunk_id
+             |      FROM b, UNNEST(range(b.nch)) AS u(k))
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(chunk_id * 96 AS BIGINT) AS tok_start,
+             |  CAST(LEAST(chunk_id * 96 + 120, ntok) AS BIGINT) AS tok_end,
+             |  CAST(LEAST(chunk_id * 96 + 120, ntok) - chunk_id * 96 AS BIGINT) AS n_tok,
+             |  md5(array_to_string(
+             |    words[chunk_id * 96 + 1 : LEAST(chunk_id * 96 + 120, ntok)],
+             |    ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+      "context-window chunk plan: overlapping token windows as map-only integer arithmetic; md5 fingerprint per chunk"),
+
+    // ---- Chunk-level dedup audit: tokens saved by exact chunk dedup
+    // per source — the paragraph-grain complement to p1's doc-grain
+    // dedup (boilerplate chunks repeat across documents long before
+    // whole docs do). Shuffles (source, md5, n_tok) triples only.
+    QueryDef(
+      "p75_chunk_dedup",
+      (s, dir) => Chunking.dedupAudit(T(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+             |b AS (SELECT doc_id, source, words, len(words) AS ntok,
+             |        1 + (GREATEST(len(words) - 120, 0) + 95) // 96 AS nch FROM w),
+             |c AS (SELECT doc_id, source, ntok, u.k AS chunk_id,
+             |        CAST(LEAST(u.k * 96 + 120, ntok) - u.k * 96 AS BIGINT) AS n_tok,
+             |        md5(array_to_string(
+             |          words[u.k * 96 + 1 : LEAST(u.k * 96 + 120, ntok)],
+             |          ' ')) AS chunk_md5
+             |      FROM b, UNNEST(range(b.nch)) AS u(k)),
+             |g AS (SELECT source, chunk_md5, COUNT(*) AS copies, MIN(n_tok) AS n_tok
+             |      FROM c GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(copies) AS BIGINT) AS n_chunks,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  CAST(SUM(copies * n_tok) AS BIGINT) AS tok_total,
+             |  CAST(SUM((copies - 1) * n_tok) AS BIGINT) AS tok_saved
+             |FROM g GROUP BY source ORDER BY source""".stripMargin),
+      "chunk-grain dedup audit: tokens saved by exact fingerprint dedup per source; only 16-byte hashes shuffle")
   )
+
+  /** Shared oracle prefix for p72/p73: quantize → per-dim sums →
+    * truncated integer means → algebraically-centered integer Gram
+    * (G − mu·sᵀ − s·muᵀ + n·mu·muᵀ, exact for truncated mu) → rescale →
+    * [[Pca.Steps]] chained matrix-vector power steps. Every division is
+    * DuckDB `//` (truncates toward zero, exactly Scala Long `/`), so the
+    * CTE chain reproduces graft.pipeline.Pca bit-for-bit. */
+  private lazy val pcaChainSql: String = {
+    // AS MATERIALIZED throughout: DuckDB inlines CTEs referenced more
+    // than once, and the 8-step recurrence references each level twice
+    // (the matvec and its MAX-ABS rescale) — inlining would re-evaluate
+    // the whole Gram 2^Steps times.
+    val steps = (1 to Pca.Steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT g.i, SUM(g.gv * v.v) AS w
+         |        FROM gs g JOIN v${t - 1} v ON g.j = v.i GROUP BY 1),
+         |v$t AS MATERIALIZED (SELECT i, (w * ${Pca.VScale}) //
+         |          GREATEST((SELECT MAX(ABS(w)) FROM w$t), 1) AS v
+         |        FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, label, generate_subscripts(v, 1) AS i,
+       |    unnest(v) AS val FROM q),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM q),
+       |su AS (SELECT i, SUM(val) AS s FROM e GROUP BY i),
+       |mu AS MATERIALIZED (SELECT i, s, s // (SELECT n FROM nn) AS m FROM su),
+       |g0 AS (SELECT a.i AS i, b.i AS j, SUM(a.val * b.val) AS gv
+       |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |g AS MATERIALIZED (SELECT g0.i, g0.j,
+       |        g0.gv - mi.m * mj.s - mj.m * mi.s
+       |          + (SELECT n FROM nn) * mi.m * mj.m AS gv
+       |      FROM g0 JOIN mu mi ON g0.i = mi.i JOIN mu mj ON g0.j = mj.i),
+       |cd AS (SELECT GREATEST((SELECT MAX(ABS(gv)) FROM g) // ${Pca.GramCap},
+       |         1) AS d),
+       |gs AS MATERIALIZED (SELECT i, j, gv // (SELECT d FROM cd) AS gv FROM g),
+       |v0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(${Pca.VScale} AS BIGINT) AS v
+       |       FROM UNNEST(range(1, ${Pca.Dim + 1})) AS t(i)),
+       |$steps""".stripMargin
+  }
 
   /** Shared oracle for p70/p71: greedy BPE application replayed as a
     * REPLACE chain per merge rule over a `|sym||sym|` delimiter
