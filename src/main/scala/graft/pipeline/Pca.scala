@@ -64,8 +64,9 @@ object Pca {
     * Using truncated mu keeps every term a Long — no floats anywhere. */
   def centered(n: Long, s: Array[Long], g: Array[Array[Long]])
       : Array[Array[Long]] = {
+    val d = s.length
     val mu = means(n, s)
-    Array.tabulate(Dim, Dim)((i, j) =>
+    Array.tabulate(d, d)((i, j) =>
       g(i)(j) - mu(i) * s(j) - mu(j) * s(i) + n * mu(i) * mu(j))
   }
 

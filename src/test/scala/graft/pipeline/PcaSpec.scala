@@ -93,6 +93,17 @@ class PcaSpec extends SparkSpec {
     (r.toLong, e, r % 3)
   })
 
+  test("the Gram pass partial-aggregates: bounded buffers shuffle, not vectors") {
+    val df = corpus64(40).repartition(4)
+    val aug = concat(graft.functions.Vectors.quantizeCol(col("embedding")),
+      array(lit(1L)))
+    val p = df.agg(Gram.agg(aug, Pca.Dim + 1))
+      .queryExecution.executedPlan.toString
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Sort "), s"no sort may touch the vector stream:\n$p")
+  }
+
   test("fit is partition-independent end to end") {
     val df = corpus64(40)
     val a = Pca.fit(df)

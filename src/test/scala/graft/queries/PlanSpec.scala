@@ -617,4 +617,28 @@ class PlanSpec extends SparkSpec {
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 4, s"expected partial+final aggs (types + docs):\n$p")
   }
+
+  test("p73: PCA projection is a literal-folded map stage + one agg shuffle") {
+    // the component and centering constant fold in as literals, so the
+    // projection must be join-free: one codegen'd dot per row, one
+    // exchange for the label groupBy (+ the final order), partial aggs.
+    val p = plan("p73_pca_project")
+    assert(!p.contains("Join"), s"p73 must not join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"projection shuffles more than agg+sort:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"label stats not partial-agg'd:\n$p")
+  }
+
+  test("p74: chunk planning is a shuffle-free generator stage") {
+    // chunking is per-row arithmetic + explode; only the deterministic
+    // output sort may exchange. A join or aggregation here would mean
+    // the chunker materializes cross-row state — wrong at any scale.
+    val p = plan("p74_chunk_plan")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
+    assert(!p.contains("Join"), s"p74 must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"p74 must not aggregate:\n$p")
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 1, s"only the output sort may exchange:\n$p")
+  }
 }
