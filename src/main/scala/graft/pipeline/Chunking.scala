@@ -27,9 +27,13 @@ object Chunking {
   val Stride = 96
 
   /** Chunk plan per document: (doc_id, source, chunk_id, tok_start,
-    * tok_end, n_tok, chunk_md5), one row per chunk. */
-  def plan(docs: DataFrame, win: Int = Win, stride: Int = Stride)
-      : DataFrame = {
+    * tok_end, n_tok, chunk_md5), one row per chunk. With `keepSlice`
+    * the chunk's token array rides along as `chunk_toks` for consumers
+    * that tokenize or fingerprint at chunk grain (still map-only — the
+    * slice exists only inside the generator stage unless the consumer
+    * shuffles it). */
+  def plan(docs: DataFrame, win: Int = Win, stride: Int = Stride,
+      keepSlice: Boolean = false): DataFrame = {
     val toks: Column = TextOps.tokens(col("text"))
     docs
       .select(col("doc_id"), col("source"), toks.as("toks"),
@@ -41,16 +45,17 @@ object Chunking {
       .withColumn("tok_start", col("chunk_id") * stride)
       .withColumn("tok_end", least(col("tok_start") + win, col("ntok")))
       .withColumn("n_tok", col("tok_end") - col("tok_start"))
-      .withColumn("chunk_md5",
-        md5(concat_ws(" ",
-          slice(col("toks"), col("tok_start") + 1, col("n_tok")))))
-      .select(col("doc_id"),
+      .withColumn("chunk_toks",
+        slice(col("toks"), col("tok_start") + 1, col("n_tok")))
+      .withColumn("chunk_md5", md5(concat_ws(" ", col("chunk_toks"))))
+      .select(Seq(col("doc_id"),
         col("source"),
         col("chunk_id").cast("long").as("chunk_id"),
         col("tok_start").cast("long").as("tok_start"),
         col("tok_end").cast("long").as("tok_end"),
         col("n_tok").cast("long").as("n_tok"),
-        col("chunk_md5"))
+        col("chunk_md5")) ++
+        (if (keepSlice) Seq(col("chunk_toks")) else Nil): _*)
   }
 
   /** Chunk-level dedup audit per source: how many tokens does exact

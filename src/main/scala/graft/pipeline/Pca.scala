@@ -70,6 +70,48 @@ object Pca {
       g(i)(j) - mu(i) * s(j) - mu(j) * s(i) + n * mu(i) * mu(j))
   }
 
+  /** Truncating rescale of the centered Gram so matvecs stay in Long. */
+  def rescaled(c: Array[Array[Long]]): Array[Array[Long]] = {
+    val d = c.length
+    var maxAbs = 1L
+    c.foreach(_.foreach(x => maxAbs = math.max(maxAbs, math.abs(x))))
+    val cdiv = math.max(maxAbs / GramCap, 1L)
+    Array.tabulate(d, d)((i, j) => c(i)(j) / cdiv)
+  }
+
+  private def matvec(gs: Array[Array[Long]], v: Array[Long]): Array[Long] =
+    Array.tabulate(gs.length) { i =>
+      var acc = 0L; var j = 0
+      while (j < gs.length) { acc += gs(i)(j) * v(j); j += 1 }
+      acc
+    }
+
+  /** One deterministic iteration run on an already-rescaled Gram: start
+    * all-[[VScale]], [[Steps]] × (matvec → optional orthogonalization
+    * against `ortho` → truncating rescale). With `ortho` set this is
+    * deflation by projection — the second-component iteration: proj =
+    * (w·o)/(o·o) truncated, w ← w − proj·o, every op elementwise
+    * integer (magnitudes ≤ 2^47, see scaladoc budget). */
+  def iterate(gs: Array[Array[Long]],
+      ortho: Option[Array[Long]] = None): Array[Long] = {
+    val d = gs.length
+    var v = Array.fill(d)(VScale)
+    var t = 0
+    while (t < Steps) {
+      var w = matvec(gs, v)
+      ortho.foreach { o =>
+        var dot = 0L; var den = 0L; var i = 0
+        while (i < d) { dot += w(i) * o(i); den += o(i) * o(i); i += 1 }
+        val pj = dot / math.max(den, 1L)
+        w = Array.tabulate(d)(i => w(i) - pj * o(i))
+      }
+      val mw = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x => x * VScale / mw)
+      t += 1
+    }
+    v
+  }
+
   /** Integer power iteration with truncating rescales.
     * Returns (component v at scale ±[[VScale]], Rayleigh numerator
     * Σ v·(Gs v), Rayleigh denominator Σ v·v) — the quotient estimates
@@ -78,27 +120,9 @@ object Pca {
     * the recurrence reproduces it exactly. */
   def powerIteration(c: Array[Array[Long]]): (Array[Long], Long, Long) = {
     val d = c.length
-    var maxAbs = 1L
-    c.foreach(_.foreach(x => maxAbs = math.max(maxAbs, math.abs(x))))
-    val cdiv = math.max(maxAbs / GramCap, 1L)
-    val gs = Array.tabulate(d, d)((i, j) => c(i)(j) / cdiv)
-
-    def matvec(v: Array[Long]): Array[Long] =
-      Array.tabulate(d) { i =>
-        var acc = 0L; var j = 0
-        while (j < d) { acc += gs(i)(j) * v(j); j += 1 }
-        acc
-      }
-
-    var v = Array.fill(d)(VScale)
-    var t = 0
-    while (t < Steps) {
-      val w = matvec(v)
-      val mw = math.max(w.map(math.abs).max, 1L)
-      v = w.map(x => x * VScale / mw)
-      t += 1
-    }
-    val w9 = matvec(v)
+    val gs = rescaled(c)
+    val v = iterate(gs)
+    val w9 = matvec(gs, v)
     var num = 0L; var den = 0L; var i = 0
     while (i < d) { num += v(i) * w9(i); den += v(i) * v(i); i += 1 }
     (v, num, den)
@@ -109,6 +133,30 @@ object Pca {
     val (n, s, g) = moments(emb)
     val (v, num, den) = powerIteration(centered(n, s, g))
     (v, means(n, s), num, den)
+  }
+
+  /** Top TWO components: the second is deflated by per-step projection
+    * against the converged first — same rescaled Gram, same integer
+    * recurrence, so both replay in the oracle's CTE chain. */
+  def fitTwo(emb: DataFrame): (Array[Long], Array[Long], Array[Long]) = {
+    val (n, s, g) = moments(emb)
+    val gs = rescaled(centered(n, s, g))
+    val v1 = iterate(gs)
+    val v2 = iterate(gs, Some(v1))
+    (v1, v2, means(n, s))
+  }
+
+  /** Both components as a 64-row frame (dim, v1_q, v2_q, plus their
+    * exact integer dot — the orthogonality audit, near 0 by
+    * construction). */
+  def topTwoComponents(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (v1, v2, _) = fitTwo(emb)
+    val orth = v1.indices.map(i => v1(i) * v2(i)).sum
+    v1.indices
+      .map(i => (i + 1, v1(i), v2(i), orth))
+      .toDF("dim", "v1_q", "v2_q", "orth_q")
+      .orderBy("dim")
   }
 
   /** The learned top component as a 64-row frame:

@@ -2411,28 +2411,30 @@ object Pipeline {
       "PCA projection audit: literal-folded component, map-only integer dot, per-label partial-agg'd distribution stats"),
 
     // ---- Context-window chunking: split documents into overlapping
-    // 120-token windows (stride 96) — the curation→packing bridge step.
-    // Pure per-row integer arithmetic + a generator: map-only, no
-    // shuffle; only 16-byte chunk fingerprints leave the stage.
+    // token windows — the curation→packing bridge step. Pure per-row
+    // integer arithmetic + a generator: map-only, no shuffle; only
+    // 16-byte chunk fingerprints leave the stage. The catalog entry
+    // runs win=32/stride=24 so the 10-99-word testdata docs genuinely
+    // multi-chunk (production default is 120/96, Chunking.Win/Stride).
     QueryDef(
       "p74_chunk_plan",
       (s, dir) => {
         import s.implicits._
-        Chunking.plan(T(s, dir, "documents"))
+        Chunking.plan(T(s, dir, "documents"), win = 32, stride = 24)
           .drop("source")
           .orderBy($"doc_id", $"chunk_id")
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
              |b AS (SELECT doc_id, words, len(words) AS ntok,
-             |        1 + (GREATEST(len(words) - 120, 0) + 95) // 96 AS nch FROM w),
+             |        1 + (GREATEST(len(words) - 32, 0) + 23) // 24 AS nch FROM w),
              |c AS (SELECT doc_id, words, ntok, u.k AS chunk_id
              |      FROM b, UNNEST(range(b.nch)) AS u(k))
              |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-             |  CAST(chunk_id * 96 AS BIGINT) AS tok_start,
-             |  CAST(LEAST(chunk_id * 96 + 120, ntok) AS BIGINT) AS tok_end,
-             |  CAST(LEAST(chunk_id * 96 + 120, ntok) - chunk_id * 96 AS BIGINT) AS n_tok,
+             |  CAST(chunk_id * 24 AS BIGINT) AS tok_start,
+             |  CAST(LEAST(chunk_id * 24 + 32, ntok) AS BIGINT) AS tok_end,
+             |  CAST(LEAST(chunk_id * 24 + 32, ntok) - chunk_id * 24 AS BIGINT) AS n_tok,
              |  md5(array_to_string(
-             |    words[chunk_id * 96 + 1 : LEAST(chunk_id * 96 + 120, ntok)],
+             |    words[chunk_id * 24 + 1 : LEAST(chunk_id * 24 + 32, ntok)],
              |    ' ')) AS chunk_md5
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
       "context-window chunk plan: overlapping token windows as map-only integer arithmetic; md5 fingerprint per chunk"),
@@ -2443,14 +2445,15 @@ object Pipeline {
     // whole docs do). Shuffles (source, md5, n_tok) triples only.
     QueryDef(
       "p75_chunk_dedup",
-      (s, dir) => Chunking.dedupAudit(T(s, dir, "documents")),
+      (s, dir) =>
+        Chunking.dedupAudit(T(s, dir, "documents"), win = 32, stride = 24),
       Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
              |b AS (SELECT doc_id, source, words, len(words) AS ntok,
-             |        1 + (GREATEST(len(words) - 120, 0) + 95) // 96 AS nch FROM w),
+             |        1 + (GREATEST(len(words) - 32, 0) + 23) // 24 AS nch FROM w),
              |c AS (SELECT doc_id, source, ntok, u.k AS chunk_id,
-             |        CAST(LEAST(u.k * 96 + 120, ntok) - u.k * 96 AS BIGINT) AS n_tok,
+             |        CAST(LEAST(u.k * 24 + 32, ntok) - u.k * 24 AS BIGINT) AS n_tok,
              |        md5(array_to_string(
-             |          words[u.k * 96 + 1 : LEAST(u.k * 96 + 120, ntok)],
+             |          words[u.k * 24 + 1 : LEAST(u.k * 24 + 32, ntok)],
              |          ' ')) AS chunk_md5
              |      FROM b, UNNEST(range(b.nch)) AS u(k)),
              |g AS (SELECT source, chunk_md5, COUNT(*) AS copies, MIN(n_tok) AS n_tok
@@ -2460,7 +2463,82 @@ object Pipeline {
              |  CAST(SUM(copies * n_tok) AS BIGINT) AS tok_total,
              |  CAST(SUM((copies - 1) * n_tok) AS BIGINT) AS tok_saved
              |FROM g GROUP BY source ORDER BY source""".stripMargin),
-      "chunk-grain dedup audit: tokens saved by exact fingerprint dedup per source; only 16-byte hashes shuffle")
+      "chunk-grain dedup audit: tokens saved by exact fingerprint dedup per source; only 16-byte hashes shuffle"),
+
+    // ---- The curation→training bridge end to end: chunk documents
+    // into context windows, count each chunk's EXACT BPE tokens (the
+    // number training bills by — frozen merge table, codegen'd kernel),
+    // pack chunks into ~500-token shards with the distributed
+    // prefix-sum scan. Composition of p74 × p70 × p18: chunking and
+    // encoding are one map-only stage; only (chunk key, token count) —
+    // 16 bytes/chunk — enters the packing scan. The oracle recomputes
+    // per-word BPE counts once per word and window-sums them per chunk,
+    // then replays the prefix arithmetic.
+    QueryDef(
+      "p76_chunk_pack",
+      (s, dir) => {
+        import s.implicits._
+        val ch = Chunking
+          .plan(T(s, dir, "documents"), win = 32, stride = 24,
+            keepSlice = true)
+          .select($"doc_id", $"chunk_id",
+            graft.functions.Text.bpeCount($"chunk_toks").as("bpe_tokens"))
+          // chunk key: unique + orderable; 4096 bounds chunks/doc until
+          // ~98k-word documents (stride 24), far past any web doc
+          .withColumn("cid", $"doc_id" * 4096 + $"chunk_id")
+        Packing.packShards(ch, "cid", "bpe_tokens", budget = 500L)
+          .select(expr("doc_id DIV 4096").as("doc_id"),
+            (col("doc_id") % 4096).as("chunk_id"),
+            col("tokens").as("bpe_tokens"),
+            col("shard_id"), col("shard_offset"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |b AS (SELECT doc_id, words, len(words) AS ntok,
+             |        1 + (GREATEST(len(words) - 32, 0) + 23) // 24 AS nch FROM w),
+             |ch AS (SELECT doc_id, u.k AS chunk_id, u.k * 24 AS s,
+             |         LEAST(u.k * 24 + 32, ntok) AS e
+             |       FROM b, UNNEST(range(b.nch)) AS u(k)),
+             |wt AS (SELECT doc_id, generate_subscripts(words, 1) AS wi,
+             |         unnest(words) AS word FROM w),
+             |enc AS MATERIALIZED (SELECT doc_id, wi,
+             |         (length(seq) - length(replace(seq, '|', ''))) // 2 AS wtok
+             |       FROM (SELECT doc_id, wi, $bpeReplaceChain AS seq FROM wt)),
+             |ct AS (SELECT ch.doc_id, ch.chunk_id, SUM(enc.wtok) AS bpe_tokens
+             |       FROM ch JOIN enc ON ch.doc_id = enc.doc_id
+             |         AND enc.wi > ch.s AND enc.wi <= ch.e
+             |       GROUP BY 1, 2),
+             |o AS (SELECT doc_id * 4096 + chunk_id AS cid, doc_id, chunk_id,
+             |        bpe_tokens FROM ct),
+             |p AS (SELECT cid, doc_id, chunk_id, bpe_tokens,
+             |        CAST(COALESCE(SUM(bpe_tokens) OVER (ORDER BY cid
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS BIGINT) AS prefix FROM o)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+             |  prefix // 500 AS shard_id, prefix % 500 AS shard_offset
+             |FROM p ORDER BY doc_id, chunk_id""".stripMargin),
+      "chunk → exact BPE count → shard packing: the full curation-to-training bridge; 16 bytes per chunk enter the scan"),
+
+    // ---- Top-TWO principal components: the second deflates by
+    // per-step projection against the converged first (proj truncated,
+    // all integer) on the SAME rescaled Gram — one distributed pass
+    // still feeds everything. orth_q carries the exact v1·v2 dot as an
+    // in-result orthogonality audit. Oracle = the p72 chain plus a
+    // second 8-step CTE recurrence with the projection subqueries.
+    QueryDef(
+      "p77_pca_two",
+      (s, dir) => Pca.topTwoComponents(s, T(s, dir, "embeddings")),
+      Some(s"""$pcaChainSql,
+             |u0 AS (SELECT i, v FROM v0),
+             |$pcaSecondSql,
+             |orth AS (SELECT CAST(SUM(a.v * b.v) AS BIGINT) AS o
+             |         FROM v${Pca.Steps} a JOIN u${Pca.Steps} b ON a.i = b.i)
+             |SELECT CAST(a.i AS INTEGER) AS dim, CAST(a.v AS BIGINT) AS v1_q,
+             |  CAST(b.v AS BIGINT) AS v2_q, (SELECT o FROM orth) AS orth_q
+             |FROM v${Pca.Steps} a JOIN u${Pca.Steps} b ON a.i = b.i
+             |ORDER BY dim""".stripMargin),
+      "two-component PCA via integer deflation on one Gram pass; exact orthogonality audit in-result")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →
@@ -2505,16 +2583,42 @@ object Pipeline {
        |$steps""".stripMargin
   }
 
+  /** p77's second-component chain: the same recurrence as
+    * [[pcaChainSql]]'s v-steps with a per-step deflation against the
+    * converged first component v[[Pca.Steps]] — proj = (w·v1)/(v1·v1)
+    * truncated, w ← w − proj·v1 — exactly [[Pca.iterate]]'s ortho arm. */
+  private lazy val pcaSecondSql: String = {
+    val vS = s"v${Pca.Steps}"
+    (1 to Pca.Steps).map { t =>
+      s"""wu$t AS MATERIALIZED (SELECT g.i, SUM(g.gv * u.v) AS w
+         |        FROM gs g JOIN u${t - 1} u ON g.j = u.i GROUP BY 1),
+         |pj$t AS MATERIALIZED (SELECT
+         |          (SELECT SUM(wu.w * v.v) FROM wu$t wu JOIN $vS v ON wu.i = v.i) //
+         |          GREATEST((SELECT SUM(v.v * v.v) FROM $vS v), 1) AS p),
+         |uo$t AS MATERIALIZED (SELECT wu.i,
+         |          wu.w - (SELECT p FROM pj$t) * v.v AS w
+         |        FROM wu$t wu JOIN $vS v ON wu.i = v.i),
+         |u$t AS MATERIALIZED (SELECT i, (w * ${Pca.VScale}) //
+         |          GREATEST((SELECT MAX(ABS(w)) FROM uo$t), 1) AS v
+         |        FROM uo$t)""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** Shared oracle for p70/p71: greedy BPE application replayed as a
     * REPLACE chain per merge rule over a `|sym||sym|` delimiter
     * encoding (REPLACE's left-to-right non-overlapping scan is exactly
     * the greedy merge pass; double-bar separators keep symbol
     * boundaries unambiguous under suffix-overlapping symbols). */
-  private lazy val bpeEncodeOracle: String = {
-    val chain = graft.functions.Bpe.PRETRAINED.foldLeft(
+  /** The frozen-tokenizer REPLACE chain over a column named `word` —
+    * shared by the p70/p71 doc-grain oracles and p76's chunk grain. */
+  private lazy val bpeReplaceChain: String =
+    graft.functions.Bpe.PRETRAINED.foldLeft(
       "regexp_replace(word,'(.)','|\\1|','g')") { case (acc, m) =>
       s"replace($acc, '|${m(0)}||${m(1)}|', '|${m(0)}${m(1)}|')"
     }
+
+  private lazy val bpeEncodeOracle: String = {
+    val chain = bpeReplaceChain
     s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
        |  FROM documents),
        |e AS (SELECT doc_id, word, $chain AS seq FROM w),

@@ -113,6 +113,34 @@ class PcaSpec extends SparkSpec {
     assert(a._3 === b._3 && a._4 === b._4)
   }
 
+  /** Two planted axes: dim 0 strongest (±0.4), dim 1 second (±0.15,
+    * varying independently via r/2 parity), tiny structured noise. */
+  private def corpus2axes(n: Int) = vecDf((1 to n).map { r =>
+    val a = if (r % 2 == 0) 0.4f else -0.4f
+    val b = if ((r / 2) % 2 == 0) 0.15f else -0.15f
+    val e = (0 until Pca.Dim).map { d =>
+      if (d == 0) a
+      else if (d == 1) b
+      else (((r * 31 + d * 17) % 13) - 6) * 0.002f
+    }
+    (r.toLong, e, r % 3)
+  })
+
+  test("second component deflates onto the planted second axis, orthogonal") {
+    val df = corpus2axes(64)
+    val (v1, v2, _) = Pca.fitTwo(df)
+    assert(math.abs(v1(0)) === Pca.VScale, "first axis = dim 0")
+    assert(v2.map(math.abs).zipWithIndex.maxBy(_._1)._2 === 1,
+      "second axis = dim 1")
+    // exact integer orthogonality audit: tiny relative to |v|² ≈ 2^20
+    val orth = v1.indices.map(i => v1(i) * v2(i)).sum
+    assert(math.abs(orth) < Pca.VScale * 8,
+      s"components far from orthogonal: $orth")
+    // deflation determinism across partitionings
+    val (w1, w2, _) = Pca.fitTwo(df.repartition(9))
+    assert(v1.toSeq === w1.toSeq && v2.toSeq === w2.toSeq)
+  }
+
   test("component is unit-scale, aligned with the planted axis; projection exact") {
     val df = corpus64(40)
     val comp = Pca.topComponent(spark, df).collect()
