@@ -30,7 +30,10 @@ import graft.functions.{Gram, Vectors}
   * DuckDB's `//` (both truncate toward zero — verified for negatives).
   * Magnitude budget at sf10 (500 k vectors, |q| ≤ 6e5): raw Gram
   * ≤ 1.8e17, centering terms ≤ 7.2e17, matvec partials ≤ 2^47 — all
-  * inside Long with ≥ 12× headroom.
+  * inside Long with ≥ 12× headroom. The budget holds to ~2-3 M vectors
+  * at this quantization; a larger corpus drops the quantize scale one
+  * decade per 100× rows (the component only needs relative precision,
+  * and the iteration renormalizes every step).
   */
 object Pca {
 

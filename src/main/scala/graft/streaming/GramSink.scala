@@ -83,6 +83,8 @@ object GramSink {
       dim: Int = Pca.Dim, embCol: String = "embedding"): Boolean = {
     val prev = loadState(root)
     if (prev.exists(_.applied >= batchId)) return false
+    prev.foreach(st => require(st.dim == dim,
+      s"GramSink state at $root has dim ${st.dim}, batch claims $dim"))
     val aug = concat(Vectors.quantizeCol(col(embCol)), array(lit(1L)))
     val add = batch.agg(Gram.agg(aug, dim + 1))
       .head().getSeq[Long](0)
