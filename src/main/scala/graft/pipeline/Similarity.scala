@@ -488,4 +488,118 @@ object Similarity {
           col("nrm_a"), col("nrm_b")).as("cos"))
       .where(col("cos") > threshold)
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): split
+  // each vector into `m` subvectors, quantize each against a per-subspace
+  // codebook of `nCode` codewords, score queries against the CODES via an
+  // asymmetric-distance lookup table (ADC). The memory story at 100 TB:
+  // a 64-dim float vector (256 B) compresses to m code bytes (4 B at
+  // m=4/nCode<=256) — the whole index fits in RAM when the raw corpus
+  // can't, and scoring never touches raw floats.
+  // --------------------------------------------------------------------
+
+  /** One per-subspace codebook entry: (code, quantized subvector, |w|²). */
+  private type PqCodebook = IndexedSeq[IndexedSeq[(Int, IndexedSeq[Long], Long)]]
+
+  /** Deterministic PQ codebook: the subvectors of the `nCode` lowest-id
+    * corpus vectors, per subspace. The same convention as [[ivfTopK]]'s
+    * pivot set — a deterministic sample stands in for per-subspace
+    * k-means training (see [[KMeans.train]] / [[ivfTopKTrained]] for the
+    * trained-quantizer shape; PQ training composes the same way: run
+    * [[KMeans.train]] on each subspace projection offline). Collected to
+    * the driver: nCode x dim longs — bounded metadata, never data. */
+  private def pqCodebookOf(c: DataFrame, m: Int, nCode: Int): PqCodebook = {
+    val seeds = c.orderBy(col("neighbor_id")).limit(nCode).collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    val dim = seeds.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    IndexedSeq.tabulate(m) { s =>
+      seeds.zipWithIndex.map { case (v, code) =>
+        val w = v.slice(s * sub, (s + 1) * sub)
+        (code, w, w.map(x => x * x).sum)
+      }
+    }
+  }
+
+  /** Nearest-codeword assignment for every subspace, literal-folded: the
+    * codebook folds into the projection as literals (like IVF pivots),
+    * so encoding is ONE codegen'd map pass over the corpus — no join, no
+    * shuffle. dist(x,w) = |x|² - 2·x·w + |w|² on exact integers; ties
+    * break to the lowest code (struct-least lexicographic compare). */
+  private def pqEncodeWith(c: DataFrame, cb: PqCodebook): DataFrame = {
+    val m = cb.size
+    val sub = cb.head.head._2.size
+    (0 until m).foldLeft(c) { (df, s) =>
+      val x = slice(col("c_emb"), s * sub + 1, sub)
+      val xx = graft.functions.Vectors.dotCol(x, x)
+      val cands = cb(s).map { case (code, w, ww) =>
+        struct(
+          (xx - lit(2L) * graft.functions.Vectors.dotCol(x, typedLit(w))
+            + lit(ww)).as("dist"),
+          lit(code).as("code"))
+      }
+      df.withColumn(s"code_$s", least(cands: _*).getField("code"))
+    }
+  }
+
+  /** PQ-encode the corpus: (vec_id, code_0..code_{m-1}). Write this once
+    * partitioned however the probe path wants it — the codes table IS
+    * the index. */
+  def pqEncode(
+      corpus: DataFrame, m: Int = 4, nCode: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpusSide(corpus, idCol, embCol)
+    val enc = pqEncodeWith(c, pqCodebookOf(c, m, nCode))
+    enc.select(col("neighbor_id").as("vec_id") +:
+      (0 until m).map(s => col(s"code_$s").cast("int").as(s"c$s")): _*)
+  }
+
+  /** ADC top-k: score queries against PQ codes via per-query lookup
+    * tables. Per query and subspace, LUT[c] = q_sub · w_c (nCode exact
+    * integer dots, computed once on the tiny broadcast query side); a
+    * corpus row's score is then m array lookups + adds — never a
+    * dim-length dot. Ranking normalizes by sqrt(|q|²·|reconstruction|²),
+    * the cosine of the query against the code reconstruction.
+    *
+    * SCALE: the corpus side carries only (id, m codes) — the raw
+    * embedding column is pruned out of the scan once the index is
+    * materialized ([[pqEncode]]); queries + LUTs broadcast; the only
+    * shuffle is [[topKPerQuery]]'s bounded per-partition top-k buffers.
+    * Compose with IVF cells (IVF-PQ) by bucketing the codes table on
+    * cell like [[writeIvfCorpus]]. */
+  def pqAdcTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 4, nCode: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpusSide(corpus, idCol, embCol)
+    val cb = pqCodebookOf(c, m, nCode)
+    val sub = cb.head.head._2.size
+    // reconstruction self-norm: exact per-subspace |w|² looked up by code
+    val reconNrm = (0 until m).map(s =>
+      element_at(typedLit(cb(s).map(_._3)), col(s"code_$s") + 1)).reduce(_ + _)
+    val enc = pqEncodeWith(c, cb)
+      .select(col("neighbor_id") +: col("c_nrm") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+      .withColumn("r_nrm", reconNrm)
+    val q0 = queries.select(
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", graft.functions.Vectors.dotCol(col("q_emb"), col("q_emb")))
+    val withLut = (0 until m).foldLeft(q0) { (df, s) =>
+      val qs = slice(col("q_emb"), s * sub + 1, sub)
+      df.withColumn(s"lut_$s", array(cb(s).map { case (_, w, _) =>
+        graft.functions.Vectors.dotCol(qs, typedLit(w)) }: _*))
+    }
+    val adc = (0 until m).map(s =>
+      element_at(col(s"lut_$s"), col(s"code_$s") + 1)).reduce(_ + _)
+    val scored = broadcast(withLut)
+      .join(enc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (adc.cast("double") /
+          sqrt(col("q_nrm").cast("double") * col("r_nrm").cast("double")))
+          .as("cos"))
+    topKPerQuery(scored, k)
+  }
 }

@@ -2538,7 +2538,70 @@ object Pipeline {
              |  CAST(b.v AS BIGINT) AS v2_q, (SELECT o FROM orth) AS orth_q
              |FROM v${Pca.Steps} a JOIN u${Pca.Steps} b ON a.i = b.i
              |ORDER BY dim""".stripMargin),
-      "two-component PCA via integer deflation on one Gram pass; exact orthogonality audit in-result")
+      "two-component PCA via integer deflation on one Gram pass; exact orthogonality audit in-result"),
+
+    // ---- Product quantization: encode the corpus into m=4 per-subspace
+    // codes (Jégou et al. 2011). Codebook = subvectors of the 16
+    // lowest-id vectors (deterministic stand-in for per-subspace k-means
+    // — p64 shows the trained path); assignment is literal-folded, one
+    // codegen'd projection, no join (PlanSpec-pinned). The codes table
+    // IS the index: 4 ints replace 64 floats per vector.
+    QueryDef(
+      "p78_pq_encode",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.pqEncode(T(s, dir, "embeddings"), m = 4, nCode = 16)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v FROM embeddings),
+             |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, v AS cv FROM q ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT q.vec_id, s.s, cb.code,
+             |        list_sum(list_transform(range(1,17), i -> (q.v[s.s*16+i]-cb.cv[s.s*16+i])*(q.v[s.s*16+i]-cb.cv[s.s*16+i]))) AS dist
+             |      FROM q, UNNEST(range(4)) AS s(s), cb),
+             |a AS (SELECT vec_id, s, code FROM (
+             |        SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn FROM d) WHERE rn = 1)
+             |SELECT vec_id,
+             |  CAST(MAX(CASE WHEN s=0 THEN code END) AS INTEGER) AS c0,
+             |  CAST(MAX(CASE WHEN s=1 THEN code END) AS INTEGER) AS c1,
+             |  CAST(MAX(CASE WHEN s=2 THEN code END) AS INTEGER) AS c2,
+             |  CAST(MAX(CASE WHEN s=3 THEN code END) AS INTEGER) AS c3
+             |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      "PQ corpus encoding: literal-folded nearest-codeword per subspace — 4 ints replace 64 floats"),
+
+    // ---- ADC probe over the PQ codes: per-query integer lookup tables
+    // (m x nCode dots on the broadcast query side), corpus scored by m
+    // array lookups — never a 64-dim dot, never the raw embedding.
+    QueryDef(
+      "p79_pq_adc",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        Similarity.pqAdcTopK(em.filter($"vec_id" < 10), em, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v FROM embeddings),
+             |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, v AS cv FROM q ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT q.vec_id, s.s, cb.code,
+             |        list_sum(list_transform(range(1,17), i -> (q.v[s.s*16+i]-cb.cv[s.s*16+i])*(q.v[s.s*16+i]-cb.cv[s.s*16+i]))) AS dist
+             |      FROM q, UNNEST(range(4)) AS s(s), cb),
+             |a AS (SELECT vec_id, s, code FROM (
+             |        SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn FROM d) WHERE rn = 1),
+             |recon AS (SELECT a.vec_id, SUM(list_sum(list_transform(range(1,17), i -> cb.cv[a.s*16+i]*cb.cv[a.s*16+i]))) AS rnrm
+             |          FROM a JOIN cb ON cb.code = a.code GROUP BY a.vec_id),
+             |qs AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS qnrm FROM q WHERE vec_id < 10),
+             |adc AS (SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
+             |          SUM(list_sum(list_transform(range(1,17), i -> qs.v[a.s*16+i]*cb.cv[a.s*16+i]))) AS adot
+             |        FROM qs, a, cb WHERE cb.code = a.code AND qs.vec_id <> a.vec_id
+             |        GROUP BY 1, 2),
+             |scored AS (SELECT adc.query_id, adc.neighbor_id,
+             |             CAST(adot AS DOUBLE) / sqrt(CAST(qs.qnrm AS DOUBLE) * CAST(r.rnrm AS DOUBLE)) AS cos
+             |           FROM adc JOIN qs ON qs.vec_id = adc.query_id
+             |                    JOIN recon r ON r.vec_id = adc.neighbor_id),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "PQ-ADC top-5: broadcast per-query LUTs, m lookups per corpus row — the RAM-resident index probe")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

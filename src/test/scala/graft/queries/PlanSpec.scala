@@ -641,4 +641,31 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains(") Exchange"))
     assert(exchanges <= 1, s"only the output sort may exchange:\n$p")
   }
+
+  test("p78: PQ encoding is join-free (codebook folds as literals)") {
+    // the per-subspace nearest-codeword assignment must compile to one
+    // codegen'd projection over the corpus scan — a join against a
+    // codebook table here would shuffle the corpus at 100 TB for what
+    // is driver-side metadata (m x nCode x dim longs).
+    val p = plan("p78_pq_encode")
+    assert(!p.contains("Join"), s"p78 must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"p78 must not aggregate:\n$p")
+    // allowed exchanges: the deliberate Par.widen round-robin (scan
+    // parallelism floor) and the deterministic output sort — nothing
+    // keyed on data, so neither grows hot at scale
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"only widen + output sort may exchange:\n$p")
+  }
+
+  test("p79: ADC probe broadcasts query LUTs; ranking is bounded top-k") {
+    // queries (with their lookup tables) broadcast onto the codes; the
+    // corpus side never shuffles for scoring — only the TopK partial
+    // buffers exchange.
+    val p = plan("p79_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to score:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"expected the TopK partial aggregation:\n$p")
+  }
 }
