@@ -59,18 +59,14 @@ object Dedup {
     *     shingles shuffle once, and only for docs that are in >=1 pair.
     * With sane banding the candidate set is ~linear in true duplicates.
     */
-  def minhashPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      nGram: Int = 3,
-      k: Int = 6,
-      bands: Int = 3,
-      threshold: Double = 0.2): DataFrame = {
-    val words = TextOps.tokens(col(textCol))
-    val sh = TextOps.shingles(words, nGram)
-    // shingle+minhash is the compute-dense stage: widen the text scan
-    // first so its parallelism isn't bound by byte-sized parquet splits
+  /** Shared MinHash stage: (doc, shingle_set) plus the exploded
+    * (doc, band, bkey) LSH bucket keys. The text scan is widened first —
+    * shingle+minhash is the compute-dense stage and must not be bound by
+    * byte-sized parquet splits. */
+  private def minhashBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      nGram: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
+    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), nGram)
     val shingleSets = Par.widen(df.select(col(idCol), col(textCol)))
       .select(
         col(idCol).as("doc"),
@@ -81,6 +77,19 @@ object Dedup {
       .select(col("doc"),
         posexplode(TextOps.bandKeys(col("sig"), bands, k / bands))
           .as(Seq("band", "bkey")))
+    (shingleSets, buckets)
+  }
+
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3,
+      k: Int = 6,
+      bands: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val (shingleSets, buckets) =
+      minhashBuckets(df, idCol, textCol, nGram, k, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
     val candidates = a.join(b,
@@ -97,6 +106,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         TextOps.jaccard(col("ss_a"), col("ss_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Incremental NEAR-dup: a new batch checked against the standing
+    * corpus with MinHash+LSH — the near-dup twin of the exact
+    * new-vs-corpus hash join (p43). Per new doc, the verdict is its
+    * lowest-id corpus near-duplicate at Jaccard >= threshold (the same
+    * deterministic keep-lowest-id survivor convention as exact dedup):
+    * anti-join the result against the batch to admit only novel docs.
+    *
+    * SCALE: this is why LSH dedup stays INCREMENTAL at 100 TB — the
+    * corpus's (band, bkey) index is write-once (persist `buckets` +
+    * `shingle_set` partitioned by band key, exactly the
+    * [[graft.pipeline.Similarity.writeBucketedCorpus]] shape) and each
+    * arriving batch probes it with a |batch|-proportional equi-join;
+    * nothing ever re-pairs corpus-vs-corpus. Candidates dedup on
+    * (new_doc, dup_of) before the Jaccard verify; the final per-new-doc
+    * min is a partial-agg'd struct min, never a window. */
+  def minhashNewVsCorpus(
+      newDf: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3,
+      k: Int = 6,
+      bands: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val (shNew, bNew) = minhashBuckets(newDf, idCol, textCol, nGram, k, bands)
+    val (shCor, bCor) = minhashBuckets(corpus, idCol, textCol, nGram, k, bands)
+    val candidates = bNew.as("a").join(bCor.as("b"),
+      col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc").as("new_doc"), col("b.doc").as("dup_of"))
+      .distinct()
+    val sa = shNew.select(col("doc").as("new_doc"), col("shingle_set").as("ss_a"))
+    val sb = shCor.select(col("doc").as("dup_of"), col("shingle_set").as("ss_b"))
+    candidates
+      .join(sa, "new_doc").join(sb, "dup_of")
+      .select(col("new_doc"), col("dup_of"),
+        TextOps.jaccard(col("ss_a"), col("ss_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("new_doc"))
+      .agg(min(struct(col("dup_of"), col("jaccard"))).as("m"))
+      .select(col("new_doc"), col("m.dup_of").as("dup_of"),
+        col("m.jaccard").as("jaccard"))
   }
 
   /** EXACT n-gram-Jaccard duplicate pairs — the ground truth the

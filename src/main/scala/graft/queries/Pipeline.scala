@@ -2601,7 +2601,44 @@ object Pipeline {
              |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
              |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin),
-      "PQ-ADC top-5: broadcast per-query LUTs, m lookups per corpus row — the RAM-resident index probe")
+      "PQ-ADC top-5: broadcast per-query LUTs, m lookups per corpus row — the RAM-resident index probe"),
+
+    // ---- Incremental NEAR-dup: a new batch (doc_id % 10 = 7) probes the
+    // standing corpus's LSH band index — the near-dup twin of p43's
+    // exact incremental join. Nothing re-pairs corpus-vs-corpus; the
+    // per-new-doc survivor verdict is a partial-agg'd struct min.
+    QueryDef(
+      "p80_incremental_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val docs = T(s, dir, "documents")
+        Dedup.minhashNewVsCorpus(
+          docs.filter($"doc_id" % 10 === 7),
+          docs.filter($"doc_id" % 10 =!= 7),
+          "doc_id", "text", nGram = 3, k = 6, bands = 3, threshold = 0.2)
+          .orderBy($"new_doc")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w),
+             |sig AS (SELECT doc_id, ss,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM sh WHERE len(ss) > 0),
+             |bands AS (SELECT doc_id, ss, u.b AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of,
+             |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+             |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey
+             |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+             |v AS (SELECT new_doc, dup_of, jaccard,
+             |  row_number() OVER (PARTITION BY new_doc ORDER BY dup_of) AS rn
+             |  FROM cand WHERE jaccard >= 0.2)
+             |SELECT new_doc, dup_of, jaccard FROM v WHERE rn = 1
+             |ORDER BY new_doc""".stripMargin),
+      "incremental LSH near-dup: batch probes the corpus band index; lowest-id survivor per new doc")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

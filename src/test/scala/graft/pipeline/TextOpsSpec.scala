@@ -141,6 +141,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.getDouble(2) == 1.0)
   }
 
+  test("incremental LSH: new batch matches corpus, never itself; lowest-id survivor") {
+    // batch = docs {4, 5}: 4 is an exact dup of corpus doc 1, 5 is novel
+    val batch = corpus.filter(col("doc_id") >= 4L)
+    val standing = corpus.filter(col("doc_id") < 4L)
+    val out = Dedup.minhashNewVsCorpus(batch, standing, "doc_id", "text",
+      nGram = 3, k = 6, bands = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(t => t._1 == 4L && t._2 == 1L && t._3 == 1.0),
+      s"exact dup 4->1 not flagged: ${out.mkString(",")}")
+    assert(!out.exists(_._1 == 5L), "novel doc wrongly flagged")
+    assert(out.forall(t => t._2 < 4L), "matched inside the batch")
+    // one verdict per new doc even when it collides in multiple bands
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
   test("simhash: exact dup -> hamming 0; unrelated -> large hamming") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text",
       maxHamming = 8, chunks = 4).collect()

@@ -657,6 +657,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"only widen + output sort may exchange:\n$p")
   }
 
+  test("p80: incremental LSH probe is a band equi-join; survivor agg is partial") {
+    // batch-vs-corpus candidates must meet on (band, bkey) hash keys —
+    // never a cartesian — and the per-new-doc survivor pick must be a
+    // partial-then-final struct-min aggregation, not a global window.
+    val p = plan("p80_incremental_lsh")
+    assert(!p.contains("CartesianProduct"), s"p80 went cartesian:\n$p")
+    assert(!p.contains("Window"), s"survivor pick must not window:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"survivor min not partial-agg'd:\n$p")
+  }
+
   test("p79: ADC probe broadcasts query LUTs; ranking is bounded top-k") {
     // queries (with their lookup tables) broadcast onto the codes; the
     // corpus side never shuffles for scoring — only the TopK partial
