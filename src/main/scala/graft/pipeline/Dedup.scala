@@ -63,7 +63,7 @@ object Dedup {
     * (doc, band, bkey) LSH bucket keys. The text scan is widened first —
     * shingle+minhash is the compute-dense stage and must not be bound by
     * byte-sized parquet splits. */
-  private def minhashBuckets(
+  private[graft] def minhashBuckets(
       df: DataFrame, idCol: String, textCol: String,
       nGram: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
     val sh = TextOps.shingles(TextOps.tokens(col(textCol)), nGram)

@@ -1130,6 +1130,35 @@ object Relational {
              |  CAST((cnt + (total // n_keys) - 1) // (total // n_keys)
              |    AS BIGINT) AS salt_factor
              |FROM k, t ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin),
-      "join-key skew pre-flight: hot-key shares + exact integer salt-factor recommendation feeding q23's mitigation")
+      "join-key skew pre-flight: hot-key shares + exact integer salt-factor recommendation feeding q23's mitigation"),
+
+    // ---- NOT EXISTS / EXISTS pair: Catalyst must decorrelate both into
+    // hash anti/semi-joins (RewritePredicateSubquery) — a per-row
+    // subquery re-execution would be quadratic at any scale. Plan shape
+    // pinned in PlanSpec (q45).
+    QueryDef(
+      "q45_exists_subquery",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n_quiet
+                |FROM customer c
+                |WHERE NOT EXISTS (
+                |  SELECT 1 FROM orders o
+                |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+                |AND EXISTS (
+                |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                |GROUP BY c_mktsegment
+                |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_quiet
+             |FROM customer c
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+             |AND EXISTS (
+             |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      "EXISTS + NOT EXISTS decorrelated to semi/anti hash joins — active customers with no large order")
   )
 }

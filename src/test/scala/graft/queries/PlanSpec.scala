@@ -657,6 +657,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"only widen + output sort may exchange:\n$p")
   }
 
+  test("q45: EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    // RewritePredicateSubquery must turn both subqueries into one
+    // LeftSemi and one LeftAnti hash join — any nested-loop or per-row
+    // subquery shape here is quadratic and must fail the build.
+    val p = plan("q45_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") || {
+      // a broadcast nested-loop is only acceptable if non-correlated;
+      // for these equi-correlated predicates it must not appear
+      false
+    }, s"nested-loop in q45:\n$p")
+  }
+
   test("p80: incremental LSH probe is a band equi-join; survivor agg is partial") {
     // batch-vs-corpus candidates must meet on (band, bkey) hash keys —
     // never a cartesian — and the per-new-doc survivor pick must be a
