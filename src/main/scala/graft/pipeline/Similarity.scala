@@ -524,35 +524,114 @@ object Similarity {
     }
   }
 
+  /** Argmin code over one subspace's codewords, literal-folded:
+    * dist(x,w) = |x|² - 2·x·w + |w|² on exact integers, ties to the
+    * lowest code (struct-least lexicographic compare). */
+  private def pqAssign(
+      x: Column, cw: IndexedSeq[(Int, IndexedSeq[Long], Long)]): Column = {
+    val xx = graft.functions.Vectors.dotCol(x, x)
+    least(cw.map { case (code, w, ww) =>
+      struct(
+        (xx - lit(2L) * graft.functions.Vectors.dotCol(x, typedLit(w))
+          + lit(ww)).as("dist"),
+        lit(code).as("code"))
+    }: _*).getField("code")
+  }
+
+  /** TRAINED PQ codebook: per-subspace Lloyd's k-means, all m subspaces
+    * updated from ONE corpus scan per iteration — the per-row projection
+    * computes every subspace's assigned code (literal-folded, like
+    * [[KMeans.train]]'s assignment), explodes to (subspace, code, dim)
+    * partial sums, and the driver collects m x nCode x subDim bounded
+    * rows to rebuild the codebooks. Seeds = the sampled codebook
+    * ([[pqCodebookOf]]); truncating integer means keep every update
+    * exact and order-independent. iters=0 returns the sampled seeds.
+    *
+    * SCALE: iteration cost is one corpus scan + a shuffle of at most
+    * tasks x m x nCode x subDim partial rows; model state on the driver
+    * is m x nCode x subDim longs. Training m independent k-means jobs
+    * would scan the corpus m times per round for the same result. */
+  private def pqCodebookTrained(
+      c: DataFrame, m: Int, nCode: Int, iters: Int): PqCodebook = {
+    var cb = pqCodebookOf(c, m, nCode)
+    if (iters == 0) return cb
+    val sub = cb.head.head._2.size
+    val q = c.persist()
+    try {
+      var it = 0
+      while (it < iters) {
+        val perSub = (0 until m).map { s =>
+          val x = slice(col("c_emb"), s * sub + 1, sub)
+          struct(lit(s).as("s"), pqAssign(x, cb(s)).as("code"), x.as("x"))
+        }
+        val sums = q.select(explode(array(perSub: _*)).as("e"))
+          .select(col("e.s").as("s"), col("e.code").as("code"),
+            posexplode(col("e.x")))
+          .groupBy(col("s"), col("code"), col("pos"))
+          .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+        cb = IndexedSeq.tabulate(m) { s =>
+          cb(s).map { case (code, prev, _) =>
+            val w = sums.get((s, code)).map { rows =>
+              val n = rows.head.getLong(4)
+              rows.sortBy(_.getInt(2)).map(_.getLong(3) / n).toIndexedSeq
+            }.getOrElse(prev) // empty code keeps its previous codeword
+            (code, w, w.map(x => x * x).sum)
+          }
+        }
+        it += 1
+      }
+      cb
+    } finally { q.unpersist(blocking = false) }
+  }
+
   /** Nearest-codeword assignment for every subspace, literal-folded: the
     * codebook folds into the projection as literals (like IVF pivots),
     * so encoding is ONE codegen'd map pass over the corpus — no join, no
     * shuffle. dist(x,w) = |x|² - 2·x·w + |w|² on exact integers; ties
     * break to the lowest code (struct-least lexicographic compare). */
   private def pqEncodeWith(c: DataFrame, cb: PqCodebook): DataFrame = {
-    val m = cb.size
     val sub = cb.head.head._2.size
-    (0 until m).foldLeft(c) { (df, s) =>
+    (0 until cb.size).foldLeft(c) { (df, s) =>
+      df.withColumn(s"code_$s",
+        pqAssign(slice(col("c_emb"), s * sub + 1, sub), cb(s)))
+    }
+  }
+
+  /** Total PQ quantization error — the k-means objective the trained
+    * codebook minimizes: sum over rows and subspaces of
+    * |x_s - w_code(s)|², exact integers. The tuning audit for
+    * (m, nCode, trainIters) before committing an index config, the same
+    * role [[recallAtK]] plays for the probe side. One scan, one scalar. */
+  def pqQuantizationError(
+      corpus: DataFrame, m: Int = 4, nCode: Int = 16, trainIters: Int = 0,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpusSide(corpus, idCol, embCol)
+    val cb = pqCodebookTrained(c, m, nCode, trainIters)
+    val sub = cb.head.head._2.size
+    val err = (0 until m).map { s =>
       val x = slice(col("c_emb"), s * sub + 1, sub)
       val xx = graft.functions.Vectors.dotCol(x, x)
-      val cands = cb(s).map { case (code, w, ww) =>
+      // least() over (dist, code) — the dist of the assigned codeword
+      least(cb(s).map { case (code, w, ww) =>
         struct(
           (xx - lit(2L) * graft.functions.Vectors.dotCol(x, typedLit(w))
             + lit(ww)).as("dist"),
           lit(code).as("code"))
-      }
-      df.withColumn(s"code_$s", least(cands: _*).getField("code"))
-    }
+      }: _*).getField("dist")
+    }.reduce(_ + _)
+    c.select(err.as("e")).agg(sum(col("e")).as("total_err"))
   }
 
   /** PQ-encode the corpus: (vec_id, code_0..code_{m-1}). Write this once
     * partitioned however the probe path wants it — the codes table IS
     * the index. */
   def pqEncode(
-      corpus: DataFrame, m: Int = 4, nCode: Int = 16,
+      corpus: DataFrame, m: Int = 4, nCode: Int = 16, trainIters: Int = 0,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val c = corpusSide(corpus, idCol, embCol)
-    val enc = pqEncodeWith(c, pqCodebookOf(c, m, nCode))
+    val enc = pqEncodeWith(c, pqCodebookTrained(c, m, nCode, trainIters))
     enc.select(col("neighbor_id").as("vec_id") +:
       (0 until m).map(s => col(s"code_$s").cast("int").as(s"c$s")): _*)
   }
@@ -572,10 +651,10 @@ object Similarity {
     * cell like [[writeIvfCorpus]]. */
   def pqAdcTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 4, nCode: Int = 16,
+      m: Int = 4, nCode: Int = 16, trainIters: Int = 0,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val c = corpusSide(corpus, idCol, embCol)
-    val cb = pqCodebookOf(c, m, nCode)
+    val cb = pqCodebookTrained(c, m, nCode, trainIters)
     val sub = cb.head.head._2.size
     // reconstruction self-norm: exact per-subspace |w|² looked up by code
     val reconNrm = (0 until m).map(s =>

@@ -2638,7 +2638,23 @@ object Pipeline {
              |  FROM cand WHERE jaccard >= 0.2)
              |SELECT new_doc, dup_of, jaccard FROM v WHERE rn = 1
              |ORDER BY new_doc""".stripMargin),
-      "incremental LSH near-dup: batch probes the corpus band index; lowest-id survivor per new doc")
+      "incremental LSH near-dup: batch probes the corpus band index; lowest-id survivor per new doc"),
+
+    // ---- PQ quantization-error audit: the k-means objective as a
+    // one-scalar tuning job for (m, nCode) before committing an index
+    // config. PqSpec pins that trainIters rounds only reduce it.
+    QueryDef(
+      "p81_pq_error",
+      (s, dir) =>
+        Similarity.pqQuantizationError(
+          T(s, dir, "embeddings"), m = 4, nCode = 16, trainIters = 0),
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v FROM embeddings),
+             |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, v AS cv FROM q ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT q.vec_id, s.s,
+             |        MIN(list_sum(list_transform(range(1,17), i -> (q.v[s.s*16+i]-cb.cv[s.s*16+i])*(q.v[s.s*16+i]-cb.cv[s.s*16+i])))) AS dd
+             |      FROM q, UNNEST(range(4)) AS s(s), cb GROUP BY 1, 2)
+             |SELECT CAST(SUM(dd) AS BIGINT) AS total_err FROM d""".stripMargin),
+      "PQ objective audit: exact-integer total quantization error in one scan — the index-config tuning scalar")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

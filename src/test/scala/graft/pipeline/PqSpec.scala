@@ -62,6 +62,32 @@ class PqSpec extends SparkSpec {
     assert(rec >= 0.1, s"mean recall@5 $rec below floor")
   }
 
+  test("training monotonically reduces the quantization objective") {
+    // Lloyd's rounds can only decrease sum-of-squared quantization error
+    // (up to the truncating-mean rounding, which is bounded by one unit
+    // per dim); recall is a noisy downstream proxy at 500 vectors, the
+    // objective is the rigorous claim. Measured on sf0.001: iters=1
+    // cuts the error by ~2x vs the sampled seeds.
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def err(iters: Int): Long =
+      Similarity.pqQuantizationError(df, m = 4, nCode = 16, trainIters = iters)
+        .as[Long].head()
+    val e0 = err(0)
+    val e1 = err(1)
+    val e2 = err(2)
+    assert(e1 < e0, s"round 1 must improve: $e1 !< $e0")
+    assert(e2 <= e1 + e1 / 100, s"round 2 must not regress (>1%): $e2 vs $e1")
+  }
+
+  test("trained codebook is repartition-invariant") {
+    val df = corpus
+    val e1 = Similarity.pqEncode(df, m = 2, nCode = 4, trainIters = 2)
+      .orderBy($"vec_id").collect().toSeq
+    val e2 = Similarity.pqEncode(df.repartition(7), m = 2, nCode = 4, trainIters = 2)
+      .orderBy($"vec_id").collect().toSeq
+    assert(e1.map(_.toString) == e2.map(_.toString))
+  }
+
   test("ADC ranking never crosses direction groups before exhausting its own") {
     val df = corpus
     val q = df.filter($"vec_id" === 0L) // group 0
