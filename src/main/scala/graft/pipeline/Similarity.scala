@@ -513,6 +513,11 @@ object Similarity {
   private def pqCodebookOf(c: DataFrame, m: Int, nCode: Int): PqCodebook = {
     val seeds = c.orderBy(col("neighbor_id")).limit(nCode).collect()
       .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    require(seeds.nonEmpty, "PQ codebook: corpus is empty — nothing to seed from")
+    if (seeds.size < nCode)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"PQ codebook: corpus has ${seeds.size} rows < nCode=$nCode; " +
+          "building a smaller codebook")
     val dim = seeds.head.size
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -706,6 +711,9 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
       .sortBy(_._1).toIndexedSeq
     val cbRows = spark.read.parquet(s"$indexPath/_model/codebook").collect()
+    require(piv.nonEmpty && cbRows.nonEmpty,
+      s"IVF-PQ probe: no model at $indexPath/_model — index not built " +
+        "(or built from an empty corpus)")
     val m = cbRows.map(_.getInt(0)).max + 1
     val cb: PqCodebook = IndexedSeq.tabulate(m) { s =>
       cbRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))

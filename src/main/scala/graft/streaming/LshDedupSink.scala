@@ -22,13 +22,20 @@ import graft.pipeline.{Dedup, TextOps}
   * reads only its own touched `bk=` directories (partition pruning; the
   * touched set is <= fanout ints of driver metadata).
   *
-  * Verdict convention (deterministic under replay and partitioning): a
-  * doc is flagged iff it has ANY near-dup (Jaccard >= threshold) with a
-  * lower doc id — in the standing index or inside its own batch — and
-  * the reported `dup_of` is the lowest qualifying mate. Chain collapse
-  * across flagged docs (a<b<c all similar) is the offline
+  * Verdict convention — FIRST-ADMITTED WINS: a doc is flagged iff it has
+  * a near-dup (Jaccard >= threshold) with ANY already-indexed corpus doc
+  * (regardless of id order — the index side was admitted first) or with a
+  * LOWER-id mate inside its own batch (ids break the tie when both
+  * arrive together). The reported `dup_of` is the lowest qualifying
+  * mate. Within a fixed batch sequence the outcome is deterministic
+  * under replay and partitioning; across different arrival orders the
+  * surviving representative may differ (inherent to streaming
+  * admission). A doc NEVER matches its own indexed band rows
+  * (`a.doc =!= b.doc` in the corpus probe) — crash-replay and cross-batch
+  * redelivery of a doc id must see their prior rows as self, not dup.
+  * Chain collapse across flagged docs (a<b<c all similar) is the offline
   * [[graft.pipeline.Dedup.clusters]] job's business; admission here only
-  * needs the "exists a lower-id mate" predicate, which needs no
+  * needs the "exists an admitted-first mate" predicate, which needs no
   * iteration.
   *
   * Idempotence: batchId log short-circuits replays; staged files move to
@@ -104,8 +111,14 @@ object LshDedupSink {
     } else {
       val idx = spark.read.parquet(path)
         .where(col("bk").isin(touched.map(Integer.valueOf): _*))
+      // a.doc =!= b.doc: crash-replay (bk= moves done, batch-log append
+      // not) and cross-batch redelivery put THIS doc's band rows in the
+      // standing index — without the guard the doc matches itself at
+      // jaccard 1.0, gets a bogus self-verdict, and a novel doc is lost
+      // while its stale partial band rows corrupt the index.
       rows.as("a").join(idx.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") =!= col("b.doc"))
         .select(col("a.doc").as("new_doc"), col("b.doc").as("dup_of"),
           col("a.shingle_set").as("ss_a"), col("b.shingle_set").as("ss_b"))
         .distinct()

@@ -664,11 +664,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q45_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS not a semi-join:\n$p")
     assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti-join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") || {
-      // a broadcast nested-loop is only acceptable if non-correlated;
-      // for these equi-correlated predicates it must not appear
-      false
-    }, s"nested-loop in q45:\n$p")
+    // these predicates are equi-correlated, so a broadcast nested-loop
+    // (acceptable only for non-correlated subqueries) must not appear
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in q45:\n$p")
   }
 
   test("p80: incremental LSH probe is a band equi-join; survivor agg is partial") {

@@ -55,6 +55,52 @@ class LshDedupSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).where($"doc" === 5L).isEmpty)
   }
 
+  test("crash-replay: moved band rows never self-match (doc not lost)") {
+    val path = Files.createTempDirectory("lsh-sink").toString + "/idx"
+    assert(LshDedupSink.mergeBatch(docs((1L, tA), (2L, tB)), path, 0L))
+    val before = fileNames(path)
+    // simulate a crash AFTER the bk= moves but BEFORE the batch-log
+    // append: the docs' band rows are in the standing index, but the
+    // batch is not recorded as applied — replay must re-run the merge
+    Files.delete(Paths.get(path, "_lsh_batches"))
+    assert(LshDedupSink.mergeBatch(docs((1L, tA), (2L, tB)), path, 0L))
+    // no bogus self-verdicts: the replayed docs saw their own rows in
+    // the index but a.doc =!= b.doc keeps them novel
+    val v = LshDedupSink.verdicts(spark, path).collect()
+    assert(v.isEmpty, s"replay produced verdicts: ${v.mkString(",")}")
+    // deterministic REPLACE_EXISTING moves: identical file layout, and
+    // both docs are (still) in the index exactly once per band row set
+    assert(fileNames(path) == before)
+    val idxDocs = spark.read.parquet(path)
+      .select($"doc").distinct().as[Long].collect().toSet
+    assert(idxDocs == Set(1L, 2L))
+  }
+
+  test("corpus probe flags against higher-id indexed docs (first-admitted wins)") {
+    val path = Files.createTempDirectory("lsh-sink").toString + "/idx"
+    // batch 0 admits doc 9; batch 1 brings a LOWER-id near-dup (id 4):
+    // the indexed doc was admitted first, so 4 is flagged dup_of 9
+    assert(LshDedupSink.mergeBatch(docs((9L, tA)), path, 0L))
+    assert(LshDedupSink.mergeBatch(docs((4L, tA)), path, 1L))
+    val v = LshDedupSink.verdicts(spark, path)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(v == Set((4L, 9L)), s"verdicts: $v")
+    val idxDocs = spark.read.parquet(path)
+      .select($"doc").distinct().as[Long].collect().toSet
+    assert(idxDocs == Set(9L))
+  }
+
+  test("short docs (no shingles) never enter the band index") {
+    val path = Files.createTempDirectory("lsh-sink").toString + "/idx"
+    // "hi" has < nGram tokens -> empty shingle set -> filtered before
+    // bucketing (Dedup.minhashBuckets), so no degenerate hot bucket
+    assert(LshDedupSink.mergeBatch(docs((1L, tA), (2L, "hi"), (3L, "yo")), path, 0L))
+    val idxDocs = spark.read.parquet(path)
+      .select($"doc").distinct().as[Long].collect().toSet
+    assert(idxDocs == Set(1L), s"index docs: $idxDocs")
+    assert(LshDedupSink.verdicts(spark, path).isEmpty)
+  }
+
   test("drives from a real Structured Streaming query via foreachBatch") {
     val path = Files.createTempDirectory("lsh-sink").toString + "/idx"
     implicit val sq = spark.sqlContext
