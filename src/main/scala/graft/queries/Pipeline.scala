@@ -1908,10 +1908,14 @@ object Pipeline {
       "snapshot term-distribution drift: top-20 tokens by nano-nat-quantized KL contribution between hash-split halves"),
 
     // ---- Iterative BPE training: the real merge-table construction
-    // (p29 is round zero's pair statistics). Inherently sequential
-    // greedy rounds — no SQL oracle exists, so this is a rows-only
-    // driver check; the algorithm itself is verified against a
-    // hand-computed reference in QuantileQuotaSpec.
+    // (p29 is round zero's pair statistics). The greedy rounds are
+    // inherently sequential, but each round IS SQL — one pair-count
+    // aggregate, one 1-row argmax, one REPLACE-chain merge — so the
+    // oracle replays all 5 rounds as chained materialized CTEs over the
+    // same `|sym||sym|` delimiter encoding the p70/p71 encode oracles
+    // use (REPLACE's left-to-right non-overlapping scan = the greedy
+    // merge fold). Also unit-tested against a hand-computed reference
+    // in QuantileQuotaSpec.
     QueryDef(
       "p62_bpe_train",
       (s, dir) => {
@@ -1919,7 +1923,7 @@ object Pipeline {
         Vocab.bpeTrain(T(s, dir, "documents"), "doc_id", "text", rounds = 5)
           .orderBy($"round")
       },
-      None,
+      Some(bpeTrainOracle(rounds = 5)),
       "iterative BPE merge table: 5 greedy most-frequent-pair rounds over the word-type table"),
 
     // ---- Best-representative survivor selection: within each near-dup
@@ -2718,6 +2722,42 @@ object Pipeline {
          |          GREATEST((SELECT MAX(ABS(w)) FROM uo$t), 1) AS v
          |        FROM uo$t)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** DuckDB replay of [[graft.pipeline.Vocab.bpeTrain]]'s `rounds`
+    * greedy rounds: the word-TYPE table is encoded once as
+    * `|c||h||a||r|` (injective per word, so grouping by seq = grouping
+    * by token), then each round is three chained CTEs — adjacent-pair
+    * counts via lateral UNNEST over the split symbol list, the 1-row
+    * argmax `(n DESC, a, b)`, and the merge as a single REPLACE whose
+    * left-to-right non-overlapping scan is exactly the Spark side's
+    * greedy fold (same trick as [[bpeReplaceChain]]). MATERIALIZED
+    * keeps DuckDB from re-running a round per downstream reference. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS seq,
+        |         CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |  GROUP BY 1)""".stripMargin)
+    for (t <- 1 to rounds) {
+      ctes += s"""p$t AS (
+        |  SELECT s.sym[g.i] AS a, s.sym[g.i+1] AS b,
+        |         CAST(SUM(s.tf) AS BIGINT) AS n
+        |  FROM (SELECT string_split(substr(seq, 2, length(seq)-2), '||') AS sym,
+        |          tf FROM w${t - 1}) s,
+        |       UNNEST(generate_series(1, len(s.sym)-1)) AS g(i)
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"b$t AS MATERIALIZED (SELECT a, b, n FROM p$t ORDER BY n DESC, a, b LIMIT 1)"
+      if (t < rounds)
+        ctes += s"""w$t AS MATERIALIZED (
+          |  SELECT replace(seq, '|'||a||'|'||'|'||b||'|', '|'||a||b||'|') AS seq, tf
+          |  FROM w${t - 1} CROSS JOIN b$t)""".stripMargin
+    }
+    val sel = (1 to rounds)
+      .map(t => s"SELECT CAST($t AS INTEGER) AS round, a, b, n FROM b$t")
+      .mkString("\nUNION ALL ")
+    "WITH " + ctes.mkString(",\n") + "\n" + sel + " ORDER BY round"
   }
 
   /** Shared oracle for p70/p71: greedy BPE application replayed as a
