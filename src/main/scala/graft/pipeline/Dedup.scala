@@ -108,6 +108,113 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Frequency-capped MinHash+LSH near-dup pairs — [[minhashPairs]] with
+    * the two defenses a boilerplate-heavy web corpus needs, where the
+    * plain candidate self-join is quadratic in the largest band bucket
+    * (10⁵-10⁶ near-identical pages landing one band key would square):
+    *
+    *  1. EXACT-CONTENT COLLAPSE first: docs with identical shingle sets
+    *     are interchangeable w.r.t. Jaccard (same similarity to every
+    *     third doc), so each content group enters LSH as ONE delegate
+    *     (min id), and members attach by linear star pairs
+    *     (delegate, member, 1.0). This alone deflates the dominant skew
+    *     mode — exact-duplicate boilerplate — from O(g²) to O(g).
+    *  2. BUCKET CAP on what remains: a band bucket holding more than
+    *     `bucketCap` DISTINCT-content delegates is a low-information
+    *     band key (stop-shingle boilerplate); it is diverted out of the
+    *     candidate join entirely. Diverted buckets are observable via
+    *     [[minhashHotBuckets]] — log/alert on them, never self-join
+    *     them raw. A pair lost to one diverted band can still meet in
+    *     its `bands - 1` other buckets.
+    *
+    * The result is COMPONENT-PRESERVING vs [[minhashPairs]] whenever no
+    * bucket trips the cap: every uncapped pair (a,b) is represented by
+    * the star path and/or the delegates' verified pair, so connected
+    * components — and any "has a lower-id near-dup" survivor predicate —
+    * come out identical; only the raw pair list is thinner (star, not
+    * clique, inside exact groups). With the cap tripping, recall is
+    * deliberately traded on the flagged buckets only.
+    *
+    * SCALE: candidate work is bounded by bucketCap² per bucket; star
+    * pairs are linear; the collapse groupBy shuffles one fixed-width
+    * md5 key per doc. */
+  def minhashPairsCapped(
+      df: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 3, k: Int = 6, bands: Int = 3,
+      threshold: Double = 0.2, bucketCap: Int = 1000): DataFrame = {
+    val (withCh, star, kept) =
+      cappedParts(df, idCol, textCol, nGram, k, bands, bucketCap)
+    val candidates = kept.as("a").join(kept.as("b"),
+      col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val sa = withCh.select(col("doc").as("doc_a"), col("shingle_set").as("ss_a"))
+    val sb = withCh.select(col("doc").as("doc_b"), col("shingle_set").as("ss_b"))
+    val verified = candidates
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.jaccard(col("ss_a"), col("ss_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    star.unionAll(verified)
+  }
+
+  /** The band buckets [[minhashPairsCapped]] diverted: (band, bkey,
+    * n_delegates) with n_delegates > bucketCap. Empty = no skew; rows
+    * here are the corpus's boilerplate band keys and belong in the
+    * ingest run's log/metrics. */
+  def minhashHotBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 3, k: Int = 6, bands: Int = 3,
+      bucketCap: Int = 1000): DataFrame = {
+    val (_, _, _, sizes) =
+      cappedPartsWithSizes(df, idCol, textCol, nGram, k, bands)
+    sizes.where(col("__n") > bucketCap)
+      .select(col("band"), col("bkey"), col("__n").as("n_delegates"))
+  }
+
+  /** Shared stages of the capped path: shingled docs with content key,
+    * linear star pairs, and the delegate band rows that survive the
+    * bucket cap. */
+  private def cappedParts(
+      df: DataFrame, idCol: String, textCol: String,
+      nGram: Int, k: Int, bands: Int, bucketCap: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (withCh, star, dBuckets, sizes) =
+      cappedPartsWithSizes(df, idCol, textCol, nGram, k, bands)
+    val kept = dBuckets.join(
+      sizes.where(col("__n") <= bucketCap).select(col("band"), col("bkey")),
+      Seq("band", "bkey"))
+    (withCh, star, kept)
+  }
+
+  private def cappedPartsWithSizes(
+      df: DataFrame, idCol: String, textCol: String,
+      nGram: Int, k: Int, bands: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (sh, _) = minhashBuckets(df, idCol, textCol, nGram, k, bands)
+    // content key: identical shingle SETS collapse (sort first — set
+    // equality, not element order). Cross-engine parity of the key value
+    // is irrelevant: it only groups within one engine.
+    val withCh = sh.withColumn("ch",
+      md5(concat_ws("\u0001", array_sort(col("shingle_set")))))
+    val deleg = withCh.groupBy(col("ch")).agg(min(col("doc")).as("__d"))
+    val delegRows = withCh.join(deleg, "ch")
+    val star = delegRows.where(col("doc") =!= col("__d"))
+      .select(col("__d").as("doc_a"), col("doc").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val dSh = delegRows.where(col("doc") === col("__d"))
+      .select(col("doc"), col("shingle_set"))
+    val dBuckets = dSh
+      .withColumn("sig", TextOps.minhashSignature(col("shingle_set"), k))
+      .select(col("doc"),
+        posexplode(TextOps.bandKeys(col("sig"), bands, k / bands))
+          .as(Seq("band", "bkey")))
+    val sizes = dBuckets.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__n"))
+    (withCh, star, dBuckets, sizes)
+  }
+
   /** Incremental NEAR-dup: a new batch checked against the standing
     * corpus with MinHash+LSH — the near-dup twin of the exact
     * new-vs-corpus hash join (p43). Per new doc, the verdict is its
@@ -219,6 +326,47 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Frequency-capped SimHash pairs — the [[minhashPairsCapped]]
+    * defenses applied to [[simhashPairs]]' chunk join, with an even
+    * stronger collapse invariant: Hamming distance is a function of the
+    * SIGNATURE alone, so docs sharing a 60-bit simhash are perfectly
+    * interchangeable (same distance to everything). Each signature
+    * enters the chunk join once (delegate = min doc id), members attach
+    * by star pairs at hamming 0, and chunk buckets holding more than
+    * `bucketCap` DISTINCT signatures are diverted (a 15-bit chunk value
+    * shared by that many different signatures separates nothing).
+    * Component-preserving vs the uncapped pairs when no bucket trips. */
+  def simhashPairsCapped(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, chunks: Int = 4, bucketCap: Int = 1000): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val deleg = sigs.groupBy(col("simhash")).agg(min(col("doc")).as("__d"))
+    val star = sigs.join(deleg, "simhash")
+      .where(col("doc") =!= col("__d"))
+      .select(col("__d").as("doc_a"), col("doc").as("doc_b"),
+        lit(0).as("hamming"))
+    val dSig = deleg.select(col("__d").as("doc"), col("simhash"))
+    val chunked = dSig.select(col("doc"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(32767)): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+    val sizes = chunked.groupBy(col("chunk_id"), col("chunk_val"))
+      .agg(count(lit(1)).as("__n"))
+    val kept = chunked.join(
+      sizes.where(col("__n") <= bucketCap)
+        .select(col("chunk_id"), col("chunk_val")),
+      Seq("chunk_id", "chunk_val"))
+    val delegPairs = kept.as("a").join(kept.as("b"),
+      col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+    star.unionAll(delegPairs)
   }
 
   /** Sorted-neighborhood near-dup candidates — the classic

@@ -2658,7 +2658,101 @@ object Pipeline {
              |        MIN(list_sum(list_transform(range(1,17), i -> (q.v[s.s*16+i]-cb.cv[s.s*16+i])*(q.v[s.s*16+i]-cb.cv[s.s*16+i])))) AS dd
              |      FROM q, UNNEST(range(4)) AS s(s), cb GROUP BY 1, 2)
              |SELECT CAST(SUM(dd) AS BIGINT) AS total_err FROM d""".stripMargin),
-      "PQ objective audit: exact-integer total quantization error in one scan — the index-config tuning scalar")
+      "PQ objective audit: exact-integer total quantization error in one scan — the index-config tuning scalar"),
+
+    // ---- Frequency-capped LSH under adversarial skew: 150 exact copies
+    // of one doc are unioned in (a boilerplate storm — every band gets
+    // one hot bucket that a raw self-join would square). The capped
+    // path collapses them to ONE delegate + linear star pairs, so the
+    // "has a lower-id near-dup" survivor predicate is unchanged; the
+    // oracle replays collapse + cap + banding and must agree exactly.
+    // DedupCapSpec pins the candidate-count bound.
+    QueryDef(
+      "p82_lsh_bucket_cap",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val boiler = d.orderBy($"doc_id").limit(1)
+          .select(explode(sequence(lit(1), lit(150))).as("i"), $"text")
+          .select(($"i".cast("long") + lit(100000000L)).as("doc_id"), $"text")
+        val corpus = d.select($"doc_id", $"text").unionAll(boiler)
+        Dedup.minhashPairsCapped(corpus, "doc_id", "text",
+          nGram = 3, k = 6, bands = 3, threshold = 0.2, bucketCap = 64)
+          .select($"doc_b".as("dup_id")).distinct().orderBy($"dup_id")
+      },
+      Some("""WITH boiler AS (SELECT CAST(100000000 + u.i AS BIGINT) AS doc_id,
+             |  (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+             |  FROM UNNEST(range(1, 151)) AS u(i)),
+             |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM boiler),
+             |w AS (SELECT doc_id, string_split(text,' ') AS words FROM corpus),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w),
+             |shf AS (SELECT doc_id, ss, md5(array_to_string(list_sort(ss), chr(1))) AS ch
+             |  FROM sh WHERE len(ss) > 0),
+             |del AS (SELECT ch, MIN(doc_id) AS ddoc FROM shf GROUP BY ch),
+             |star AS (SELECT s.doc_id AS doc_b FROM shf s JOIN del d ON s.ch = d.ch AND s.doc_id <> d.ddoc),
+             |dsh AS (SELECT s.doc_id, s.ss FROM shf s JOIN del d ON s.ch = d.ch AND s.doc_id = d.ddoc),
+             |sig AS (SELECT doc_id, ss,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM dsh),
+             |bands AS (SELECT doc_id, ss, u.b AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b)),
+             |sizes AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+             |kept AS (SELECT b.* FROM bands b JOIN sizes z
+             |  ON b.band = z.band AND b.bkey = z.bkey AND z.n <= 64),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS j
+             |  FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             |SELECT DISTINCT doc_b AS dup_id FROM
+             |  (SELECT doc_b FROM cand WHERE j >= 0.2 UNION ALL SELECT doc_b FROM star)
+             |ORDER BY dup_id""".stripMargin),
+      "capped LSH on a 150-copy boilerplate storm: exact-content collapse + band-bucket cap, survivor set oracle-exact"),
+
+    // ---- The divert log itself: which band buckets the cap flagged.
+    // 80 NEAR-copies (shared prefix, distinct tail token) are unioned
+    // in; their signatures mostly agree per band, so with cap=16 the
+    // hot buckets are diverted and surface here — the monitoring feed a
+    // 100 TB ingest run alerts on. The oracle replays the same collapse
+    // + bucket count, so rows match exactly (band, bkey, n_delegates).
+    QueryDef(
+      "p83_lsh_hot_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val near = d.orderBy($"doc_id").limit(1)
+          .select(explode(sequence(lit(1), lit(80))).as("i"), $"text")
+          .select(($"i".cast("long") + lit(100000000L)).as("doc_id"),
+            concat($"text", lit(" zz"), $"i").as("text"))
+        val corpus = d.select($"doc_id", $"text").unionAll(near)
+        Dedup.minhashHotBuckets(corpus, "doc_id", "text",
+          nGram = 3, k = 6, bands = 3, bucketCap = 16)
+          .orderBy($"band", $"bkey")
+      },
+      Some("""WITH near AS (SELECT CAST(100000000 + u.i AS BIGINT) AS doc_id,
+             |  (SELECT text FROM documents ORDER BY doc_id LIMIT 1) || ' zz' || CAST(u.i AS VARCHAR) AS text
+             |  FROM UNNEST(range(1, 81)) AS u(i)),
+             |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM near),
+             |w AS (SELECT doc_id, string_split(text,' ') AS words FROM corpus),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w),
+             |shf AS (SELECT doc_id, ss, md5(array_to_string(list_sort(ss), chr(1))) AS ch
+             |  FROM sh WHERE len(ss) > 0),
+             |del AS (SELECT ch, MIN(doc_id) AS ddoc FROM shf GROUP BY ch),
+             |dsh AS (SELECT s.doc_id, s.ss FROM shf s JOIN del d ON s.ch = d.ch AND s.doc_id = d.ddoc),
+             |sig AS (SELECT doc_id,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM dsh),
+             |bands AS (SELECT doc_id, CAST(u.b AS INTEGER) AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b))
+             |SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n_delegates FROM bands GROUP BY 1, 2
+             |HAVING COUNT(*) > 16 ORDER BY band, bkey""".stripMargin),
+      "LSH divert log: band buckets whose distinct-content population exceeds the cap on a near-copy storm")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH pair joins are equi-joins on band keys (no cartesian)") {
-    for (name <- Seq("p2_minhash_lsh", "p4_simhash_pairs")) {
+    for (name <- Seq("p2_minhash_lsh", "p4_simhash_pairs",
+        "p82_lsh_bucket_cap", "p83_lsh_hot_buckets")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"),
