@@ -34,6 +34,27 @@ trait ChangesFeed extends Serializable {
   /** Changes with `seq` in (since, until], ordered by seq. */
   def changes(since: Long, until: Long): Iterator[ChangeEvent]
 
+  // ---- Opaque-seq (CouchDB 2/3) variants. A modern CouchDB emits seqs
+  // as `"N-base64blob"` strings: the numeric prefix is the monotone
+  // ordinal the range logic keys on, but RESUME requires the full token
+  // (`since=<prefix>` is not a valid 2/3 cursor). Numeric feeds (1.x,
+  // file replays) inherit these defaults — ordinals only, no tokens.
+
+  /** Highest seq with its resume token (None on numeric feeds). */
+  def latestSeqTok(): SeqTok = SeqTok(latestSeq(), None)
+
+  /** Token-aware admission control: the nth change after `since`,
+    * ordinal-capped at `capOrd`, with its full resume token. */
+  def nthSeqTokAfter(since: SeqTok, n: Long, capOrd: Long): SeqTok =
+    SeqTok(nthSeqAfter(since.ord, n, capOrd), None)
+
+  /** Changes strictly after `since` up to and including `until` —
+    * token-exact when tokens are present (the server resumes after
+    * since's exact token; the iterator stops at until's exact token),
+    * ordinal-range otherwise. */
+  def changesTok(since: SeqTok, until: SeqTok): Iterator[ChangeEvent] =
+    changes(since.ord, until.ord)
+
   /** Current live (non-deleted) document count — CouchDB's `doc_count`.
     * Feeds that can't answer cheaply may compute it; the ops
     * count-consistency check ([[graft.CountCheck]]) is the only
@@ -48,6 +69,39 @@ trait ChangesFeed extends Serializable {
     * materialize the feed tail (O(feed) heap per trigger at a
     * 100 M-change feed). */
   def nthSeqAfter(since: Long, n: Long, cap: Long): Long
+}
+
+/** A CouchDB sequence cursor: the monotone numeric ordinal plus — for
+  * CouchDB 2/3 — the full opaque token the server requires as `since=`.
+  * The ordinal orders and ranges; the token resumes. Follows the same
+  * split-on-`-` the reference applies to revs (reference
+  * lib/index.js:107-108): `"123-g1AAAA..."` -> ord 123.
+  *
+  * Clustered feeds can in principle repeat an ordinal across shards;
+  * resume stays exact regardless because the HTTP client hands the
+  * server the full token, never the bare ordinal. */
+final case class SeqTok(ord: Long, token: Option[String]) {
+  /** What goes on the wire as `since=`. */
+  def sinceParam: String = token.getOrElse(ord.toString)
+}
+
+object SeqTok {
+  val Zero: SeqTok = SeqTok(0L, None)
+
+  /** Parse a seq value: `"123-xyz"` -> SeqTok(123, Some(full)); a plain
+    * number (either JSON shape) -> SeqTok(n, None). */
+  def parse(s: String): SeqTok = {
+    val i = s.indexOf('-')
+    if (i > 0 && s.substring(0, i).forall(_.isDigit))
+      SeqTok(s.substring(0, i).toLong, Some(s))
+    else SeqTok(s.toLong, None)
+  }
+
+  /** From a JSON node that is either a number (1.x) or a string (2/3). */
+  def ofNode(n: JsonNode): SeqTok =
+    if (n == null || n.isMissingNode || n.isNull) Zero
+    else if (n.isTextual) parse(n.asText())
+    else SeqTok(n.asLong(), None)
 }
 
 object ChangesFeed {
@@ -71,8 +125,14 @@ object ChangesFeed {
       else null
     val doc = if (n.has("doc") && !n.get("doc").isNull)
       mapper.writeValueAsString(n.get("doc")) else null
+    // seq may be numeric (CouchDB 1.x) or an opaque "N-blob" string
+    // (2/3) — the envelope carries the monotone ordinal either way;
+    // a seq that parses to neither (e.g. "now") can't be ordered: skip
+    val tok =
+      try SeqTok.ofNode(n.get("seq"))
+      catch { case _: NumberFormatException => return None }
     Some(ChangeEvent(
-      seq = n.get("seq").asLong(),
+      seq = tok.ord,
       id = n.get("id").asText(),
       rev = rev,
       deleted = n.path("deleted").asBoolean(false),

@@ -74,21 +74,39 @@ final class ChangesTable(props: Map[String, String])
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ChangesMicroBatchStream(
           conn = FeedConn.fromOptions(k => Option(options.get(k))),
-          startSince = Option(options.get("since")).map(_.toLong).getOrElse(0L),
+          // since accepts a bare ordinal ("42") or a full CouchDB 2/3
+          // opaque token ("42-g1AAAA...")
+          startSince = Option(options.get("since")).map(SeqTok.parse)
+            .getOrElse(SeqTok.Zero),
           maxPerTrigger = Option(options.get("maxChangesPerTrigger")).map(_.toLong),
           numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(4))
     }
 }
 
-/** Offset = the CouchDB seq high-water mark (SURVEY §1.1 #4). */
-final case class ChangesOffset(seq: Long) extends Offset {
-  override def json(): String = s"""{"seq":$seq}"""
+/** Offset = the CouchDB seq high-water mark (SURVEY §1.1 #4).
+  *
+  * `seq` is the monotone ordinal; `token` is the full opaque seq string
+  * a CouchDB 2/3 server requires as the `since=` resume cursor (absent
+  * on 1.x / file feeds). Old checkpoints (`{"seq":N}`) deserialize with
+  * no token — numeric resume, unchanged. */
+final case class ChangesOffset(seq: Long, token: Option[String] = None)
+    extends Offset {
+  override def json(): String = token match {
+    case Some(t) =>
+      val quoted = new ObjectMapper().writeValueAsString(t)
+      s"""{"seq":$seq,"token":$quoted}"""
+    case None => s"""{"seq":$seq}"""
+  }
+  def tok: SeqTok = SeqTok(seq, token)
 }
 
 object ChangesOffset {
+  def of(t: SeqTok): ChangesOffset = ChangesOffset(t.ord, t.token)
   def fromJson(json: String): ChangesOffset = {
     val n = new ObjectMapper().readTree(json)
-    ChangesOffset(n.get("seq").asLong())
+    val tok = n.path("token")
+    ChangesOffset(n.get("seq").asLong(),
+      if (tok.isTextual) Some(tok.asText()) else None)
   }
 }
 
@@ -125,7 +143,7 @@ object FeedConn {
 
 final class ChangesMicroBatchStream(
     conn: FeedConn,
-    startSince: Long,
+    startSince: SeqTok,
     maxPerTrigger: Option[Long],
     numPartitions: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -134,12 +152,12 @@ final class ChangesMicroBatchStream(
 
   /** Trigger.AvailableNow end bound: changes arriving after the query
     * starts are left for the next run (SupportsTriggerAvailableNow). */
-  @volatile private var availableNowTarget: Option[Long] = None
+  @volatile private var availableNowTarget: Option[SeqTok] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(feed.latestSeq())
+    availableNowTarget = Some(feed.latestSeqTok())
 
-  override def initialOffset(): Offset = ChangesOffset(startSince)
+  override def initialOffset(): Offset = ChangesOffset.of(startSince)
 
   override def deserializeOffset(json: String): Offset =
     ChangesOffset.fromJson(json)
@@ -150,13 +168,19 @@ final class ChangesMicroBatchStream(
   /** Admission-controlled latest offset: cap the batch at maxRows changes
     * past `start` (the reference's pause/resume backpressure T2). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val since = start.asInstanceOf[ChangesOffset].seq
-    val cap = availableNowTarget.getOrElse(Long.MaxValue)
+    val since = start.asInstanceOf[ChangesOffset].tok
+    val capOrd = availableNowTarget.map(_.ord).getOrElse(Long.MaxValue)
     limit match {
       case mr: ReadMaxRows =>
-        ChangesOffset(feed.nthSeqAfter(since, mr.maxRows(), cap))
+        ChangesOffset.of(feed.nthSeqTokAfter(since, mr.maxRows(), capOrd))
       case _ =>
-        ChangesOffset(math.max(since, math.min(feed.latestSeq(), cap)))
+        val latest = feed.latestSeqTok()
+        val end = availableNowTarget match {
+          case Some(t) if t.ord < latest.ord => t
+          case _ => latest
+        }
+        if (end.ord <= since.ord) ChangesOffset.of(since)
+        else ChangesOffset.of(end)
     }
   }
 
@@ -164,7 +188,8 @@ final class ChangesMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
-  override def reportLatestOffset(): Offset = ChangesOffset(feed.latestSeq())
+  override def reportLatestOffset(): Offset =
+    ChangesOffset.of(feed.latestSeqTok())
 
   /** File feed: one partition per byte-range slice — every reader
     * parses ONLY its slice (splittable-text convention) and filters to
@@ -175,14 +200,24 @@ final class ChangesMicroBatchStream(
     * range from the server with include_docs=true, so document
     * payloads flow server→executor, never through the driver. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[ChangesOffset].seq
-    val hi = end.asInstanceOf[ChangesOffset].seq
+    val loOff = start.asInstanceOf[ChangesOffset]
+    val hiOff = end.asInstanceOf[ChangesOffset]
+    val lo = loOff.seq
+    val hi = hiOff.seq
     if (hi <= lo) Array.empty
     else feed match {
       case f: FileChangesFeed =>
         f.slices(numPartitions).map { case (file, sb, eb) =>
           ChangesInputPartition(file, sb, eb, lo, hi): InputPartition
         }.toArray
+      case _: HttpChangesFeed
+          if loOff.token.isDefined || hiOff.token.isDefined =>
+        // opaque-seq (CouchDB 2/3) feed: an executor cannot synthesize
+        // a since= token for an arbitrary interior ordinal, so the
+        // batch is one token-exact pull (resume after lo's token, stop
+        // at hi's). Parse/merge parallelism comes downstream of the
+        // source, exactly as for a single hot file slice.
+        Array(HttpChangesTokenPartition(conn, loOff.tok, hiOff.tok))
       case _: HttpChangesFeed =>
         // don't fan a small admitted range across every reader: each
         // partition is a paged HTTP pull, so target >=1000 seqs per
@@ -213,6 +248,10 @@ final case class ChangesInputPartition(
 final case class HttpChangesInputPartition(
     conn: FeedConn, fromSeq: Long, toSeq: Long) extends InputPartition
 
+/** Opaque-seq HTTP partition: token-exact (since, until] pull. */
+final case class HttpChangesTokenPartition(
+    conn: FeedConn, since: SeqTok, until: SeqTok) extends InputPartition
+
 final class ChangesReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -223,6 +262,9 @@ final class ChangesReaderFactory extends PartitionReaderFactory {
       case p: HttpChangesInputPartition =>
         new ChangesPartitionReader(
           p.conn.open().changes(p.fromSeq, p.toSeq))
+      case p: HttpChangesTokenPartition =>
+        new ChangesPartitionReader(
+          p.conn.open().changesTok(p.since, p.until))
     }
 }
 

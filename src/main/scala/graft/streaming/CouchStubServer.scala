@@ -53,9 +53,16 @@ final class CouchStubServer(
   @volatile var dropChangesRequest: Int = 0
   /** Doc _ids that `_bulk_docs` reports as update conflicts. */
   @volatile var conflictIds: Set[String] = Set.empty
+  /** CouchDB 2/3 emulation: emit seqs as opaque `"N-<blob>"` strings
+    * (and `update_seq`/`last_seq` likewise), and require `since=` to be
+    * either 0 or a full token — a bare interior ordinal is REJECTED
+    * (400), exactly how a real 2/3 answers `since=123`. */
+  @volatile var opaqueSeqs: Boolean = false
   private val changesSeen = new java.util.concurrent.atomic.AtomicLong
   /** `since` parameter of every `_changes` request, in arrival order. */
   val changesSinceLog = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+  /** Raw `since` strings, for asserting full-token resumes. */
+  val changesSinceRaw = new java.util.concurrent.ConcurrentLinkedQueue[String]
 
   /** (bulk _bulk_docs requests, single-doc puts, request-body bytes). */
   def writeStats: (Long, Long, Long) =
@@ -63,6 +70,18 @@ final class CouchStubServer(
 
   /** How many requests were answered 429. */
   def rateLimitedCount: Long = rateLimited.sum()
+
+  /** The deterministic opaque token for ordinal n (`"n-g1AAn"`). */
+  def tokenOf(n: Long): String = s"$n-g1AA$n"
+
+  /** A seq as it appears in JSON: number (1.x) or quoted token (2/3). */
+  private def seqLit(n: Long): String =
+    if (opaqueSeqs) "\"" + tokenOf(n) + "\"" else n.toString
+
+  /** Rewrite a pre-rendered change line's numeric seq to a token. */
+  private def seqify(line: String): String =
+    if (!opaqueSeqs) line
+    else line.replaceFirst("\"seq\":(\\d+)", "\"seq\":\"$1-g1AA$1\"")
 
   def start(): Int = {
     // without TCP_NODELAY the small header+body response pairs hit
@@ -119,18 +138,37 @@ final class CouchStubServer(
           val id = path.substring(db.length + 2)
           (201, s"""{"ok":true,"id":"$id","rev":"1-stub"}""")
         } else if (path == s"/$db/_changes") {
-          val since = params.getOrElse("since", "0").toLong
-          changesSinceLog.add(since)
-          val limit = params.getOrElse("limit", Int.MaxValue.toString).toLong
-          val from = math.min(math.max(since, 0L), lines.length.toLong).toInt
-          val until = math.min(from + math.min(limit, Int.MaxValue.toLong),
-            lines.length.toLong).toInt
-          val page = lines.slice(from, until)
-          val last = if (until > from) until.toLong else since
-          (200, page.mkString("""{"results":[""", ",",
-            s"""],"last_seq":$last}"""))
+          val sinceRaw = params.getOrElse("since", "0")
+          changesSinceRaw.add(sinceRaw)
+          val sinceParsed: Option[Long] =
+            if (!opaqueSeqs) Some(sinceRaw.toLong)
+            else if (sinceRaw == "0" || sinceRaw == "now") Some(0L)
+            else {
+              // a real 2/3 only accepts 0/now or a full token; a bare
+              // interior ordinal is a malformed cursor
+              val i = sinceRaw.indexOf('-')
+              if (i > 0 && sinceRaw.substring(0, i).forall(_.isDigit))
+                Some(sinceRaw.substring(0, i).toLong)
+              else None
+            }
+          sinceParsed match {
+            case None => (400,
+              """{"error":"bad_request","reason":"Malformed sequence supplied in 'since' parameter."}""")
+            case Some(since) =>
+              changesSinceLog.add(since)
+              val limit =
+                params.getOrElse("limit", Int.MaxValue.toString).toLong
+              val from =
+                math.min(math.max(since, 0L), lines.length.toLong).toInt
+              val until = math.min(from + math.min(limit, Int.MaxValue.toLong),
+                lines.length.toLong).toInt
+              val page = lines.slice(from, until).map(seqify)
+              val last = if (until > from) until.toLong else since
+              (200, page.mkString("""{"results":[""", ",",
+                s"""],"last_seq":${seqLit(last)}}"""))
+          }
         } else if (path == s"/$db") {
-          (200, s"""{"db_name":"$db","update_seq":${lines.length},""" +
+          (200, s"""{"db_name":"$db","update_seq":${seqLit(lines.length)},""" +
             s""""doc_count":${lines.length}}""")
         } else (404, """{"error":"not_found","reason":"no_db_file"}""")
       val bytes = body._2.getBytes("UTF-8")

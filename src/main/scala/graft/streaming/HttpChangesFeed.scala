@@ -94,11 +94,13 @@ final class HttpChangesFeed(
     result
   }
 
-  /** `update_seq` from the db info document. */
-  override def latestSeq(): Long = {
-    val n = mapper.readTree(get(s"/$db"))
-    n.path("update_seq").asLong(0L)
-  }
+  /** `update_seq` from the db info document — numeric on 1.x, an
+    * opaque `"N-blob"` string on 2/3 (ordinal = prefix). */
+  override def latestSeqTok(): SeqTok =
+    SeqTok.ofNode(mapper.readTree(get(s"/$db")).path("update_seq"))
+
+  /** Ordinal view of [[latestSeqTok]]. */
+  override def latestSeq(): Long = latestSeqTok().ord
 
   /** `doc_count` from the db info document — exactly what the
     * reference's nagios check reads (nagios-check_couch_postgres_count:
@@ -147,6 +149,90 @@ final class HttpChangesFeed(
       override def hasNext: Boolean = { fill(); buf.hasNext }
       override def next(): ChangeEvent = { fill(); buf.next() }
     }
+
+  /** Token-exact paging for opaque-seq (CouchDB 2/3) feeds: the server
+    * resumes AFTER `since`'s exact token, and the iterator stops once
+    * it has emitted the change whose token equals `until`'s (with an
+    * ordinal safety stop should that token never appear — e.g. the end
+    * bound was an `update_seq` rather than a change's seq). Falls back
+    * to the numeric ordinal path when neither bound carries a token. */
+  override def changesTok(since: SeqTok, until: SeqTok): Iterator[ChangeEvent] = {
+    if (since.token.isEmpty && until.token.isEmpty)
+      return changes(since.ord, until.ord)
+    new Iterator[ChangeEvent] {
+      private var buf: Iterator[ChangeEvent] = Iterator.empty
+      private var cursor = since
+      private var exhausted = false
+
+      private def fill(): Unit = {
+        while (!buf.hasNext && !exhausted) {
+          val body = get(s"/$db/_changes?include_docs=true" +
+            s"&since=${cursor.sinceParam}&limit=$pageSize")
+          val n = mapper.readTree(body)
+          val results = n.path("results")
+          if (!results.isArray || results.size() == 0) exhausted = true
+          else {
+            val out = Vector.newBuilder[ChangeEvent]
+            var i = 0
+            var last = cursor
+            while (i < results.size() && !exhausted) {
+              val node = results.get(i)
+              val tok = SeqTok.ofNode(node.path("seq"))
+              if (tok.ord > until.ord) exhausted = true
+              else {
+                ChangesFeed.parseNode(mapper, node).foreach(out += _)
+                last = tok
+                if (until.token.contains(tok.sinceParam)) exhausted = true
+              }
+              i += 1
+            }
+            // a stuck cursor (server ignored since=) must not loop
+            if (!exhausted && last.sinceParam == cursor.sinceParam)
+              exhausted = true
+            cursor = last
+            buf = out.result().iterator
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { fill(); buf.hasNext }
+      override def next(): ChangeEvent = { fill(); buf.next() }
+    }
+  }
+
+  /** Token-aware admission control: bare pages (no docs), cursoring by
+    * full token so a 2/3 server accepts every resume. */
+  override def nthSeqTokAfter(since: SeqTok, n: Long, capOrd: Long): SeqTok = {
+    if (n <= 0) return since
+    var last = since
+    var remaining = n
+    var cursor = since
+    var done = false
+    while (!done && remaining > 0) {
+      val page = math.min(remaining, pageSize.toLong)
+      val body = get(s"/$db/_changes?since=${cursor.sinceParam}&limit=$page")
+      val node = mapper.readTree(body)
+      val results = node.path("results")
+      if (!results.isArray || results.size() == 0) done = true
+      else {
+        val prevCursor = cursor
+        var i = 0
+        while (i < results.size() && remaining > 0) {
+          val tok = SeqTok.ofNode(results.get(i).path("seq"))
+          if (tok.ord > cursor.ord ||
+              (tok.ord == cursor.ord && tok.sinceParam != cursor.sinceParam))
+            cursor = tok
+          if (tok.ord > since.ord && tok.ord <= capOrd) {
+            last = tok; remaining -= 1
+          } else if (tok.ord > capOrd) remaining = 0
+          i += 1
+        }
+        if (results.size() < page ||
+            cursor.sinceParam == prevCursor.sinceParam) done = true
+      }
+    }
+    last
+  }
 
   /** One bare page (no docs) answers admission control exactly:
     * `_changes?since=X&limit=n` returns the next n seqs in feed order. */

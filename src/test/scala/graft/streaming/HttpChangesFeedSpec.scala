@@ -20,14 +20,23 @@ final class StubCouch(db: String) {
 
   val changes = mutable.ArrayBuffer.empty[Chg]
   val authHeaders = mutable.ArrayBuffer.empty[String]
+  /** Raw `since=` strings in arrival order. */
+  val sinceLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  /** CouchDB 2/3 emulation: seqs as opaque `"N-tok"` strings; `since`
+    * must be 0 or a full token — a bare interior ordinal gets 400. */
+  @volatile var opaque = false
   @volatile var requests = 0
 
   private var server: HttpServer = _
 
+  def tokenOf(n: Long): String = s"$n-g1AA$n"
+  private def seqLit(n: Long): String =
+    if (opaque) "\"" + tokenOf(n) + "\"" else n.toString
+
   private def chgJson(c: Chg, includeDocs: Boolean): String = {
     val del = if (c.deleted) ""","deleted":true""" else ""
     val d = if (includeDocs && c.doc != null) s""","doc":${c.doc}""" else ""
-    s"""{"seq":${c.seq},"id":"${c.id}","changes":[{"rev":"${c.rev}"}]$del$d}"""
+    s"""{"seq":${seqLit(c.seq)},"id":"${c.id}","changes":[{"rev":"${c.rev}"}]$del$d}"""
   }
 
   def start(): Int = {
@@ -42,17 +51,33 @@ final class StubCouch(db: String) {
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
       val body: (Int, String) =
         if (path == s"/$db/_changes") {
-          val since = params.getOrElse("since", "0").toLong
-          val limit = params.getOrElse("limit", "1000000").toLong
-          val includeDocs = params.get("include_docs").contains("true")
-          val page = changes.filter(_.seq > since).sortBy(_.seq).take(
-            math.min(limit, Int.MaxValue.toLong).toInt)
-          val last = page.lastOption.map(_.seq).getOrElse(since)
-          (200, page.map(chgJson(_, includeDocs))
-            .mkString("""{"results":[""", ",", s"""],"last_seq":$last}"""))
+          val sinceRaw = params.getOrElse("since", "0")
+          sinceLog.add(sinceRaw)
+          val sinceParsed: Option[Long] =
+            if (!opaque) Some(sinceRaw.toLong)
+            else if (sinceRaw == "0" || sinceRaw == "now") Some(0L)
+            else {
+              val i = sinceRaw.indexOf('-')
+              if (i > 0 && sinceRaw.substring(0, i).forall(_.isDigit))
+                Some(sinceRaw.substring(0, i).toLong)
+              else None
+            }
+          sinceParsed match {
+            case None => (400,
+              """{"error":"bad_request","reason":"Malformed sequence supplied in 'since' parameter."}""")
+            case Some(since) =>
+              val limit = params.getOrElse("limit", "1000000").toLong
+              val includeDocs = params.get("include_docs").contains("true")
+              val page = changes.filter(_.seq > since).sortBy(_.seq).take(
+                math.min(limit, Int.MaxValue.toLong).toInt)
+              val last = page.lastOption.map(_.seq).getOrElse(since)
+              (200, page.map(chgJson(_, includeDocs))
+                .mkString("""{"results":[""", ",",
+                  s"""],"last_seq":${seqLit(last)}}"""))
+          }
         } else if (path == s"/$db") {
           val upd = changes.map(_.seq).maxOption.getOrElse(0L)
-          (200, s"""{"db_name":"$db","update_seq":$upd,"doc_count":${
+          (200, s"""{"db_name":"$db","update_seq":${seqLit(upd)},"doc_count":${
             changes.groupBy(_.id).count(!_._2.maxBy(_.seq).deleted)}}""")
         } else (404, s"""{"error":"not_found","reason":"no_db_file"}""")
       val bytes = body._2.getBytes("UTF-8")
@@ -260,6 +285,106 @@ class HttpChangesFeedSpec extends SparkSpec {
       assert(state.length == 11)
       val d3 = state.find(_.getString(0) == "d3").get
       assert(d3.getString(1) == "2-b" && d3.getString(2) == """{"n":333}""")
+    }
+  }
+
+  // ---- CouchDB 2/3 opaque string seqs ("N-blob"): ordinal prefix for
+  // ordering, full token for resume. The stub REJECTS bare interior
+  // ordinals (400) exactly as a real 2/3 does, so every green test
+  // below proves full-token cursors end-to-end.
+
+  private def withOpaqueCouch(f: (StubCouch, String) => Unit): Unit =
+    withCouch() { (couch, url) => couch.opaque = true; f(couch, url) }
+
+  test("opaque seqs: latestSeqTok parses the ordinal and keeps the token") {
+    withOpaqueCouch { (couch, url) =>
+      seed(couch, 7)
+      val feed = new HttpChangesFeed(url, "testdb")
+      val t = feed.latestSeqTok()
+      assert(t.ord == 7L && t.token.contains(couch.tokenOf(7)))
+      assert(feed.latestSeq() == 7L) // ordinal view unchanged
+    }
+  }
+
+  test("opaque seqs: changesTok pages with full-token cursors, token-exact stop") {
+    withOpaqueCouch { (couch, url) =>
+      seed(couch, 25)
+      val feed = new HttpChangesFeed(url, "testdb", pageSize = 10)
+      val until = SeqTok(18L, Some(couch.tokenOf(18)))
+      val got = feed.changesTok(SeqTok.Zero, until).toVector
+      assert(got.map(_.seq) == (1L to 18L).toVector)
+      assert(got.forall(_.doc != null))
+      // every non-initial cursor the server saw was a full token
+      val raws = couch.sinceLog.toArray(Array.empty[String]).toSeq
+        .filter(_ != "0")
+      assert(raws.nonEmpty && raws.forall(_.contains("-g1AA")),
+        s"bare ordinal leaked: $raws")
+      // resume from a token boundary: strictly after, nothing repeated
+      val rest = feed.changesTok(
+        SeqTok(18L, Some(couch.tokenOf(18))),
+        SeqTok(25L, Some(couch.tokenOf(25)))).toVector
+      assert(rest.map(_.seq) == (19L to 25L).toVector)
+    }
+  }
+
+  test("opaque seqs: nthSeqTokAfter pages bare tokens for admission control") {
+    withOpaqueCouch { (couch, url) =>
+      seed(couch, 30)
+      val feed = new HttpChangesFeed(url, "testdb", pageSize = 10)
+      val t10 = feed.nthSeqTokAfter(SeqTok.Zero, 10, Long.MaxValue)
+      assert(t10.ord == 10L && t10.token.contains(couch.tokenOf(10)))
+      val more = feed.nthSeqTokAfter(t10, 100, Long.MaxValue)
+      assert(more.ord == 30L) // fewer than n available
+      val capped = feed.nthSeqTokAfter(SeqTok.Zero, 100, 17L)
+      assert(capped.ord == 17L && capped.token.contains(couch.tokenOf(17)))
+      val none = feed.nthSeqTokAfter(more, 5, Long.MaxValue)
+      assert(none == more) // nothing new: cursor unchanged
+    }
+  }
+
+  test("opaque seqs e2e: checkpointed pipeline resumes across restart by token") {
+    withOpaqueCouch { (couch, url) =>
+      seed(couch, 12)
+      val store = Files.createTempDirectory("opq-store").toString
+      val ckpt = Files.createTempDirectory("opq-ckpt").toString
+      def run(): Unit = {
+        val q = spark.readStream.format("couch-changes")
+          .option("url", url).option("db", "testdb")
+          .option("maxChangesPerTrigger", "5")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            MergeSink.applyBatch(store, batch, id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+        ()
+      }
+      run()
+      assert(MergeSink.readState(spark, store).count() == 12)
+      // restart with MORE changes: the committed offset's token resumes
+      // the feed (a bare-ordinal since would 400 and fail the query)
+      couch.changes += couch.Chg(13, "d3", "2-b", doc = """{"n":333}""")
+      couch.changes += couch.Chg(14, "d99", "1-z", doc = """{"n":99}""")
+      run()
+      val state = MergeSink.readState(spark, store).orderBy("id").collect()
+      assert(state.length == 13) // 12 docs + d99; d3 updated in place
+      val d3 = state.find(_.getString(0) == "d3").get
+      assert(d3.getString(1) == "2-b")
+      val raws = couch.sinceLog.toArray(Array.empty[String]).toSeq
+      assert(raws.filter(_ != "0").forall(_.contains("-g1AA")),
+        s"bare ordinal leaked to the server: $raws")
+    }
+  }
+
+  test("opaque seqs: a bare interior ordinal is rejected by the stub (guard works)") {
+    withOpaqueCouch { (couch, url) =>
+      seed(couch, 5)
+      val feed = new HttpChangesFeed(url, "testdb", maxRetries = 0)
+      // the legacy numeric path would send since=3 — the 2/3 server 400s
+      intercept[java.io.IOException](feed.changes(3, 5).toVector)
     }
   }
 }
