@@ -400,6 +400,56 @@ object JsonDoc {
       Some("""SELECT CAST(o_orderkey AS VARCHAR) AS id, CAST(2 AS BIGINT) AS rev_num
              |FROM orders WHERE o_orderkey % 10 <> 0
              |ORDER BY id""".stripMargin),
-      "SURVEY §2.11 T3/T4: set-oriented CDC merge, bench-timed ingest throughput")
+      "SURVEY §2.11 T3/T4: set-oriented CDC merge, bench-timed ingest throughput"),
+
+    // ---- The FULL streaming plane under the correctness gate: a
+    // deterministic JSONL `_changes` feed (derived from the documents
+    // table: insert per doc, update for doc_id%3==0, delete for
+    // doc_id%7==0) replayed through the real pipeline — couch-changes
+    // DSv2 source → Spark checkpoint → rev-guarded MergeSink, in
+    // several admission-controlled micro-batches — and the final store
+    // read back. The oracle reconstructs the same final state from
+    // documents directly, so S1→S3→S2 gets a hash-matched row, not just
+    // scalatest. (Feed synthesis collects (doc_id, md5) pairs — harness
+    // scaffolding, not the measured operator; the pipeline itself is
+    // the set-oriented merge.)
+    QueryDef(
+      "j19_streaming_replay",
+      (s, dir) => {
+        import s.implicits._
+        val rows = T(s, dir, "documents")
+          .select($"doc_id", md5($"text").as("h"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val lines = rows.flatMap { case (d, h) =>
+          val ins = s"""{"seq":${3 * d - 2},"id":"$d","changes":[{"rev":"1-$h"}],"doc":{"v":1,"h":"$h"}}"""
+          val upd = if (d % 3 == 0)
+            Some(s"""{"seq":${3 * d - 1},"id":"$d","changes":[{"rev":"2-$h"}],"doc":{"v":2,"h":"$h"}}""")
+          else None
+          val del = if (d % 7 == 0)
+            Some(s"""{"seq":${3 * d},"id":"$d","changes":[{"rev":"3-$h"}],"deleted":true}""")
+          else None
+          Seq(ins) ++ upd ++ del
+        }
+        val base = java.nio.file.Files.createTempDirectory("j19")
+        val feed = base.resolve("feed")
+        java.nio.file.Files.createDirectories(feed)
+        java.nio.file.Files.write(feed.resolve("f.jsonl"),
+          lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.streaming.ChangesPipeline.runOnce(s, feed.toString,
+          base.resolve("store").toString, base.resolve("ckpt").toString,
+          name = s"j19-${java.util.UUID.randomUUID()}",
+          maxChangesPerTrigger = Some(251))
+        graft.streaming.MergeSink
+          .readState(s, base.resolve("store").toString)
+          .select($"id", $"rev", $"doc")
+          .orderBy($"id")
+      },
+      Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
+             |(CASE WHEN doc_id % 3 = 0 THEN '2-' ELSE '1-' END) || md5(text) AS rev,
+             |'{"v":' || (CASE WHEN doc_id % 3 = 0 THEN '2' ELSE '1' END) ||
+             |  ',"h":"' || md5(text) || '"}' AS doc
+             |FROM documents WHERE doc_id % 7 <> 0
+             |ORDER BY id""".stripMargin),
+      "full streaming plane: DSv2 changes source -> checkpoint -> rev-guarded merge, final store hash-matched")
   )
 }
