@@ -489,6 +489,55 @@ object Similarity {
       .where(col("cos") > threshold)
   }
 
+  /** [[cosinePairs]] behind a block-size guard — the production entry
+    * point. Metadata blocks square: a label holding b rows costs b²/2
+    * comparisons no matter how the join is salted, so blocks whose
+    * population exceeds `maxBlock` are DIVERTED through sign-bucket
+    * sub-blocking (the [[cosinePairsLsh]] geometry, applied WITHIN the
+    * label): candidates meet only when they agree on (label, bucket),
+    * verified by the same exact quantized cosine. Small blocks keep the
+    * exact salted path, so the guarded result equals [[cosinePairs]]
+    * exactly until a block trips; tripped blocks trade the standard LSH
+    * recall (a pair straddling a hyperplane is missed) for b²/2^planes
+    * work, and are logged.
+    *
+    * The preflight is one groupBy-count over the blocking column —
+    * bounded by its cardinality (labels/languages/sources: tens of
+    * values), the same profile q44 computes for skew monitoring. */
+  def cosinePairsGuarded(
+      df: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      salts: Int = 8, maxBlock: Long = 20000L, planes: Int = 6): DataFrame = {
+    val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val hot = sizes.filter(_._2 > maxBlock).map(_._1)
+    if (hot.isEmpty)
+      return cosinePairs(df, blockCol, threshold, idCol, embCol, salts)
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"cosinePairsGuarded: ${hot.length} block(s) over maxBlock=$maxBlock " +
+        s"diverted to sign-bucket sub-blocking: ${hot.take(10).mkString(", ")}")
+    val exact = cosinePairs(
+      df.where(!col(blockCol).isInCollection(hot.toSeq)),
+      blockCol, threshold, idCol, embCol, salts)
+    // hot blocks: candidates must agree on (label, sign bucket) — the
+    // quadratic term drops from b² to Σ per-(label,bucket) sizes²
+    val q = Par.widen(df.where(col(blockCol).isInCollection(hot.toSeq))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"), col(embCol).as("e")))
+      .select(col("id"), col("blk"), quantize(col("e")).as("qv"))
+      .withColumn("nrm", graft.functions.Vectors.dotCol(col("qv"), col("qv")))
+      .withColumn("sb", signBucket(col("qv"), planes))
+    val a = q.as("a")
+    val b = q.as("b")
+    val lsh = a.join(b,
+      col("a.blk") === col("b.blk") && col("a.sb") === col("b.sb") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosinePrenormed(col("a.qv"), col("b.qv"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .where(col("cos") > threshold)
+    exact.unionAll(lsh)
+  }
+
   // --------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid 2011, "Product
   // Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): split

@@ -281,12 +281,18 @@ object Pipeline {
              |ORDER BY doc_a""".stripMargin),
       "3-gram shingle-set Jaccard (exact int/int division)"),
 
-    // ---- Embedding near-dup pairs (quantized cosine, label-blocked).
+    // ---- Embedding near-dup pairs (quantized cosine, label-blocked),
+    // behind the block-size guard: labels stay on the exact salted path
+    // until a block exceeds maxBlock rows (b² comparisons), then divert
+    // through sign-bucket sub-blocking with the same exact verify. At
+    // sf<=1 no label trips (<=~2200 rows/label), so the oracle below is
+    // the plain exact computation; at sf10 (~22k rows/label) the guard
+    // converts the catalog's former quadratic hotspot to near-linear.
     QueryDef(
       "p6_embed_cosine_pairs",
       (s, dir) => {
         import s.implicits._
-        Similarity.cosinePairs(T(s, dir, "embeddings"), "label", 0.4)
+        Similarity.cosinePairsGuarded(T(s, dir, "embeddings"), "label", 0.4)
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH q AS (SELECT vec_id, label,

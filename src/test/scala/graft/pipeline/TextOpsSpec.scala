@@ -260,6 +260,25 @@ class SimilaritySpec extends SparkSpec {
     // nothing) row can't appear; no pair crosses buckets
     assert(r == Set((1L, 2L)))
   }
+
+  test("guarded cosine pairs: identical to exact when no block trips") {
+    val exact = Similarity.cosinePairs(vecs, "label", 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val guarded = Similarity.cosinePairsGuarded(vecs, "label", 0.4,
+      maxBlock = 100L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(guarded == exact && exact == Set((1L, 2L)))
+  }
+
+  test("guarded cosine pairs: hot block diverts to label+sign-bucket blocking") {
+    // maxBlock=2 trips label "a" (3 rows); the diverted path keeps
+    // same-orthant pair (1,2) — exact verify unchanged — and "b" (1 row)
+    // stays exact. Nothing crosses labels or buckets.
+    val guarded = Similarity.cosinePairsGuarded(vecs, "label", 0.4,
+      maxBlock = 2L, planes = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(guarded == Set((1L, 2L)))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
