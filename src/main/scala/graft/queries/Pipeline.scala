@@ -2758,7 +2758,59 @@ object Pipeline {
              |  FROM sig, UNNEST(range(3)) AS u(b))
              |SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n_delegates FROM bands GROUP BY 1, 2
              |HAVING COUNT(*) > 16 ORDER BY band, bkey""".stripMargin),
-      "LSH divert log: band buckets whose distinct-content population exceeds the cap on a near-copy storm")
+      "LSH divert log: band buckets whose distinct-content population exceeds the cap on a near-copy storm"),
+
+    // ---- PQ recall gate: the ADC probe (p79) audited against the
+    // brute-force truth (p7) per query, with a thresholded pass flag —
+    // the acceptance check an index config (m, nCode, trainIters) must
+    // clear before the compressed codes replace raw vectors in
+    // production. Completes the recall-audit family (p8c = sign-bucket
+    // LSH, p59 = MinHash banding, p8d = product quantization).
+    QueryDef(
+      "p8d_pq_recall",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        val q = em.filter($"vec_id" < 10)
+        Similarity.recallAtK(
+          Similarity.pqAdcTopK(q, em, k = 5),
+          Similarity.bruteForceTopK(q, em, 5), k = 5)
+          .withColumn("pass", $"recall" >= 0.6)
+          .orderBy($"query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v FROM embeddings),
+             |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, v AS cv FROM q ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT q.vec_id, s.s, cb.code,
+             |        list_sum(list_transform(range(1,17), i -> (q.v[s.s*16+i]-cb.cv[s.s*16+i])*(q.v[s.s*16+i]-cb.cv[s.s*16+i]))) AS dist
+             |      FROM q, UNNEST(range(4)) AS s(s), cb),
+             |a AS (SELECT vec_id, s, code FROM (
+             |        SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn FROM d) WHERE rn = 1),
+             |recon AS (SELECT a.vec_id, SUM(list_sum(list_transform(range(1,17), i -> cb.cv[a.s*16+i]*cb.cv[a.s*16+i]))) AS rnrm
+             |          FROM a JOIN cb ON cb.code = a.code GROUP BY a.vec_id),
+             |qs AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS qnrm FROM q WHERE vec_id < 10),
+             |adc AS (SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
+             |          SUM(list_sum(list_transform(range(1,17), i -> qs.v[a.s*16+i]*cb.cv[a.s*16+i]))) AS adot
+             |        FROM qs, a, cb WHERE cb.code = a.code AND qs.vec_id <> a.vec_id
+             |        GROUP BY 1, 2),
+             |approx AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT adc.query_id, adc.neighbor_id,
+             |      row_number() OVER (PARTITION BY adc.query_id ORDER BY
+             |        CAST(adot AS DOUBLE) / sqrt(CAST(qs.qnrm AS DOUBLE) * CAST(r.rnrm AS DOUBLE)) DESC,
+             |        adc.neighbor_id) AS rank
+             |    FROM adc JOIN qs ON qs.vec_id = adc.query_id
+             |             JOIN recon r ON r.vec_id = adc.neighbor_id) WHERE rank <= 5),
+             |bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*a.v[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.v[i]*b.v[i])) AS DOUBLE)) AS cos
+             |  FROM q a, q b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+             |truth AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bscored) WHERE rank <= 5)
+             |SELECT t.query_id, CAST(COUNT(a.neighbor_id) AS DOUBLE)/5.0 AS recall,
+             |  CAST(COUNT(a.neighbor_id) AS DOUBLE)/5.0 >= 0.6 AS pass
+             |FROM truth t LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+             |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+      "PQ-ADC recall@5 vs brute-force truth per query, with the >=0.6 acceptance flag")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →
