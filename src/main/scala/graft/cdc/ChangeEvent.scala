@@ -61,4 +61,22 @@ object Rev {
   /** Full-string equality is the idempotence predicate (NOT ordinal
     * comparison) — an echo of the same rev must NOOP. */
   def sameRev(a: Column, b: Column): Column = a === b
+
+  /** The winning leaf among a change's rev list (`style=all_docs`
+    * emits every open conflict branch, in no guaranteed order):
+    * CouchDB's deterministic winner is the highest ordinal, ties broken
+    * by the lexicographically highest suffix — reproduced here so the
+    * merge stores the same rev the server reports as the doc body's. */
+  def winner(revs: Seq[String]): Option[String] = {
+    val valid = revs.filter(r => r != null && r.nonEmpty)
+    if (valid.isEmpty) None
+    else Some(valid.maxBy { r =>
+      val i = r.indexOf('-')
+      val ord =
+        if (i > 0 && r.substring(0, i).forall(_.isDigit))
+          r.substring(0, i).toLong
+        else 0L
+      (ord, r)
+    })
+  }
 }

@@ -119,10 +119,17 @@ object ChangesFeed {
     * (the elements of a `_changes` response's `results` array). */
   def parseNode(mapper: ObjectMapper, n: JsonNode): Option[ChangeEvent] = {
     if (!n.has("seq") || !n.has("id")) return None
+    // style=all_docs lists every open conflict branch in no guaranteed
+    // order — pick CouchDB's deterministic winner, which for the usual
+    // single-rev change is just that rev
     val rev =
-      if (n.has("changes") && n.get("changes").size() > 0)
-        n.get("changes").get(0).path("rev").asText(null)
-      else null
+      if (n.has("changes") && n.get("changes").size() > 0) {
+        val chs = n.get("changes")
+        if (chs.size() == 1) chs.get(0).path("rev").asText(null)
+        else graft.cdc.Rev.winner(
+          (0 until chs.size()).map(i => chs.get(i).path("rev").asText(null)))
+          .orNull
+      } else null
     val doc = if (n.has("doc") && !n.get("doc").isNull)
       mapper.writeValueAsString(n.get("doc")) else null
     // seq may be numeric (CouchDB 1.x) or an opaque "N-blob" string

@@ -158,13 +158,21 @@ final class CouchStubServer(
               changesSinceLog.add(since)
               val limit =
                 params.getOrElse("limit", Int.MaxValue.toString).toLong
+              val longpoll = params.get("feed").contains("longpoll")
+              if (longpoll && since >= lines.length.toLong)
+                // static change list: nothing will arrive — hold for the
+                // (bounded) timeout as a real server would, then answer
+                // empty. Heartbeats accumulate as leading newlines.
+                Thread.sleep(math.min(
+                  params.getOrElse("timeout", "1000").toLong, 1000L))
               val from =
                 math.min(math.max(since, 0L), lines.length.toLong).toInt
               val until = math.min(from + math.min(limit, Int.MaxValue.toLong),
                 lines.length.toLong).toInt
               val page = lines.slice(from, until).map(seqify)
               val last = if (until > from) until.toLong else since
-              (200, page.mkString("""{"results":[""", ",",
+              val hb = if (longpoll) "\n\n\n" else ""
+              (200, hb + page.mkString("""{"results":[""", ",",
                 s"""],"last_seq":${seqLit(last)}}"""))
           }
         } else if (path == s"/$db") {

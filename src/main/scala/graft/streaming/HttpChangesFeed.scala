@@ -46,7 +46,12 @@ final class HttpChangesFeed(
     password: Option[String] = None,
     pageSize: Int = 1000,
     timeoutMs: Long = 30000L,
-    maxRetries: Int = 3) extends ChangesFeed {
+    maxRetries: Int = 3,
+    style: Option[String] = None) extends ChangesFeed {
+
+  /** `&style=all_docs` etc. on every _changes request when configured
+    * (conflict-branch visibility; parseNode picks the winning rev). */
+  private def styleParam: String = style.map(s => s"&style=$s").getOrElse("")
 
   @transient private lazy val mapper = new ObjectMapper()
   @transient private lazy val client: HttpClient =
@@ -66,12 +71,15 @@ final class HttpChangesFeed(
     * transient class the [[Supervisor]] restarts with backoff. 404
     * stays fatal ([[FeedGoneException]]); other 4xx/5xx throw
     * immediately (retrying a 400 can never help). */
-  private def get(pathAndQuery: String): String = {
+  private def get(pathAndQuery: String): String =
+    get(pathAndQuery, timeoutMs)
+
+  private def get(pathAndQuery: String, reqTimeoutMs: Long): String = {
     var attempt = 0
     var result: String = null
     while (result == null) {
       val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$pathAndQuery"))
-        .timeout(Duration.ofMillis(timeoutMs))
+        .timeout(Duration.ofMillis(reqTimeoutMs))
         .GET()
       authHeader.foreach(b.header("Authorization", _))
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
@@ -102,6 +110,25 @@ final class HttpChangesFeed(
   /** Ordinal view of [[latestSeqTok]]. */
   override def latestSeq(): Long = latestSeqTok().ord
 
+  /** Long-poll wait: `feed=longpoll` holds the request until at least
+    * one change lands after `since` (or the server-side `timeout`
+    * elapses), then answers the normal results JSON — the low-latency
+    * alternative to polling [[latestSeqTok]] between triggers, and the
+    * closest micro-batch analog of the reference's continuous socket
+    * (lib/index.js:243-290). Heartbeat newlines the server emits while
+    * holding the connection arrive as leading whitespace on the body,
+    * which the JSON parse tolerates by construction. Returns the feed's
+    * new high-water (== `since` on timeout with no changes). */
+  def longPoll(since: SeqTok, waitMs: Long): SeqTok = {
+    val body = get(
+      s"/$db/_changes?feed=longpoll&since=${since.sinceParam}" +
+        s"&timeout=$waitMs&heartbeat=5000",
+      reqTimeoutMs = waitMs + timeoutMs)
+    val n = mapper.readTree(body)
+    val last = SeqTok.ofNode(n.path("last_seq"))
+    if (last.ord > since.ord) last else since
+  }
+
   /** `doc_count` from the db info document — exactly what the
     * reference's nagios check reads (nagios-check_couch_postgres_count:
     * 25). */
@@ -123,7 +150,7 @@ final class HttpChangesFeed(
       private def fill(): Unit = {
         while (!buf.hasNext && !exhausted) {
           val body = get(
-            s"/$db/_changes?include_docs=true&since=$cursor&limit=$pageSize")
+            s"/$db/_changes?include_docs=true&since=$cursor&limit=$pageSize$styleParam")
           val n = mapper.readTree(body)
           val results = n.path("results")
           if (!results.isArray || results.size() == 0) exhausted = true
@@ -167,7 +194,7 @@ final class HttpChangesFeed(
       private def fill(): Unit = {
         while (!buf.hasNext && !exhausted) {
           val body = get(s"/$db/_changes?include_docs=true" +
-            s"&since=${cursor.sinceParam}&limit=$pageSize")
+            s"&since=${cursor.sinceParam}&limit=$pageSize$styleParam")
           val n = mapper.readTree(body)
           val results = n.path("results")
           if (!results.isArray || results.size() == 0) exhausted = true

@@ -18,6 +18,15 @@ class RevSpec extends SparkSpec {
     assert(got == Seq(1L, 12L, 3L))
   }
 
+  test("winner: highest ordinal wins, ties break on suffix, nulls drop") {
+    assert(Rev.winner(Seq("2-b", "3-a", "1-z")).contains("3-a"))
+    assert(Rev.winner(Seq("3-aaa", "3-zzz")).contains("3-zzz"))
+    assert(Rev.winner(Seq(null, "1-x")).contains("1-x"))
+    assert(Rev.winner(Seq.empty).isEmpty)
+    // ordinal beats string order: 12 > 9 even though "12" < "9"
+    assert(Rev.winner(Seq("9-a", "12-b")).contains("12-b"))
+  }
+
   test("change-line JSON parse (FIXTURES.md §1)") {
     val lines = Seq(
       """{"seq":12,"id":"1234567","changes":[{"rev":"2-b9f"}],"doc":{"_id":"1234567","myvar":"bar"}}""",

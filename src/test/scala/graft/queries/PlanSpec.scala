@@ -658,6 +658,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"only widen + output sort may exchange:\n$p")
   }
 
+  test("q38: correlated scalar subqueries decorrelate to broadcast agg joins") {
+    // both per-custkey aggregates (COUNT, SUM) must come back as
+    // partial+final HashAggregates whose results BROADCAST onto orders —
+    // a sort-merge or nested-loop here re-shuffles the fact table per
+    // subquery and is the regression this test pins against
+    val p = plan("q38_correlated_subquery")
+    assert(!p.contains("SortMergeJoin"), s"agg side not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"nested loop in q38:\n$p")
+    val bhj = p.linesIterator.count(_.contains(") BroadcastHashJoin"))
+    assert(bhj == 2, s"expected 2 broadcast agg joins, got $bhj:\n$p")
+  }
+
   test("q45: EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
     // RewritePredicateSubquery must turn both subqueries into one
     // LeftSemi and one LeftAnti hash join — any nested-loop or per-row

@@ -15,8 +15,12 @@ import graft.SparkSpec
   * real server — the client code under test is the production
   * [[HttpChangesFeed]], unchanged. */
 final class StubCouch(db: String) {
+  /** `conflictRevs`: open conflict branches surfaced only under
+    * `style=all_docs`, listed BEFORE `rev` so a client that naively
+    * takes changes[0] gets caught. */
   final case class Chg(seq: Long, id: String, rev: String,
-      deleted: Boolean = false, doc: String = null)
+      deleted: Boolean = false, doc: String = null,
+      conflictRevs: Seq[String] = Nil)
 
   val changes = mutable.ArrayBuffer.empty[Chg]
   val authHeaders = mutable.ArrayBuffer.empty[String]
@@ -33,10 +37,14 @@ final class StubCouch(db: String) {
   private def seqLit(n: Long): String =
     if (opaque) "\"" + tokenOf(n) + "\"" else n.toString
 
-  private def chgJson(c: Chg, includeDocs: Boolean): String = {
+  private def chgJson(c: Chg, includeDocs: Boolean, allDocs: Boolean): String = {
     val del = if (c.deleted) ""","deleted":true""" else ""
     val d = if (includeDocs && c.doc != null) s""","doc":${c.doc}""" else ""
-    s"""{"seq":${seqLit(c.seq)},"id":"${c.id}","changes":[{"rev":"${c.rev}"}]$del$d}"""
+    val revs =
+      if (allDocs && c.conflictRevs.nonEmpty) c.conflictRevs :+ c.rev
+      else Seq(c.rev)
+    val chgs = revs.map(r => s"""{"rev":"$r"}""").mkString(",")
+    s"""{"seq":${seqLit(c.seq)},"id":"${c.id}","changes":[$chgs]$del$d}"""
   }
 
   def start(): Int = {
@@ -68,10 +76,23 @@ final class StubCouch(db: String) {
             case Some(since) =>
               val limit = params.getOrElse("limit", "1000000").toLong
               val includeDocs = params.get("include_docs").contains("true")
+              val allDocs = params.get("style").contains("all_docs")
+              val longpoll = params.get("feed").contains("longpoll")
+              if (longpoll) {
+                // hold until a change after since lands or timeout, a la
+                // real CouchDB; heartbeats accumulate as leading newlines
+                val waitMs = math.min(
+                  params.getOrElse("timeout", "1000").toLong, 5000L)
+                val deadline = System.nanoTime() + waitMs * 1000000L
+                while (!changes.exists(_.seq > since) &&
+                    System.nanoTime() < deadline)
+                  Thread.sleep(20)
+              }
               val page = changes.filter(_.seq > since).sortBy(_.seq).take(
                 math.min(limit, Int.MaxValue.toLong).toInt)
               val last = page.lastOption.map(_.seq).getOrElse(since)
-              (200, page.map(chgJson(_, includeDocs))
+              val hb = if (longpoll) "\n\n\n" else ""
+              (200, hb + page.map(chgJson(_, includeDocs, allDocs))
                 .mkString("""{"results":[""", ",",
                   s"""],"last_seq":${seqLit(last)}}"""))
           }
@@ -376,6 +397,60 @@ class HttpChangesFeedSpec extends SparkSpec {
       val raws = couch.sinceLog.toArray(Array.empty[String]).toSeq
       assert(raws.filter(_ != "0").forall(_.contains("-g1AA")),
         s"bare ordinal leaked to the server: $raws")
+    }
+  }
+
+  test("style=all_docs: multi-rev changes parse to the winning rev, not changes[0]") {
+    withCouch() { (couch, url) =>
+      // conflict branches listed BEFORE the winner in the changes array;
+      // winner = highest ordinal, tie broken by highest suffix
+      couch.changes += couch.Chg(1, "a", "3-zzz", doc = """{"v":1}""",
+        conflictRevs = Seq("3-aaa", "2-old"))
+      couch.changes += couch.Chg(2, "b", "1-only", doc = """{"v":2}""")
+      val feed = new HttpChangesFeed(url, "testdb", style = Some("all_docs"))
+      val got = feed.changes(0, 2).toVector
+      assert(got.map(e => (e.id, e.rev)) ==
+        Vector(("a", "3-zzz"), ("b", "1-only")))
+      // the style parameter actually reached the server
+      assert(couch.requests > 0)
+    }
+  }
+
+  test("long-poll: returns when a change lands; heartbeat newlines tolerated") {
+    withCouch() { (couch, url) =>
+      seed(couch, 3)
+      val feed = new HttpChangesFeed(url, "testdb")
+      // no new changes yet: a poll with a short wait times out at since
+      val t0 = feed.longPoll(SeqTok(3L, None), waitMs = 200L)
+      assert(t0.ord == 3L)
+      // a writer lands a change while the next poll is held
+      val writer = new Thread(() => {
+        Thread.sleep(150)
+        couch.changes += couch.Chg(4, "d4", "1-d", doc = """{"n":4}""")
+      })
+      writer.start()
+      val t1 = feed.longPoll(SeqTok(3L, None), waitMs = 3000L)
+      writer.join()
+      assert(t1.ord == 4L, s"long-poll missed the arrival: $t1")
+    }
+  }
+
+  test("long-poll on an opaque-seq server resumes by token") {
+    withOpaqueCouch { (couch, url) =>
+      seed(couch, 5)
+      val feed = new HttpChangesFeed(url, "testdb")
+      val cur = feed.latestSeqTok()
+      assert(cur.ord == 5L)
+      val timedOut = feed.longPoll(cur, waitMs = 200L)
+      assert(timedOut == cur)
+      val writer = new Thread(() => {
+        Thread.sleep(150)
+        couch.changes += couch.Chg(6, "d6", "1-f", doc = """{"n":6}""")
+      })
+      writer.start()
+      val t = feed.longPoll(cur, waitMs = 3000L)
+      writer.join()
+      assert(t.ord == 6L && t.token.contains(couch.tokenOf(6)))
     }
   }
 
