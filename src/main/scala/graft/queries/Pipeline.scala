@@ -2810,7 +2810,54 @@ object Pipeline {
              |  CAST(COUNT(a.neighbor_id) AS DOUBLE)/5.0 >= 0.6 AS pass
              |FROM truth t LEFT JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
              |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
-      "PQ-ADC recall@5 vs brute-force truth per query, with the >=0.6 acceptance flag")
+      "PQ-ADC recall@5 vs brute-force truth per query, with the >=0.6 acceptance flag"),
+
+    // ---- Pixel-exact image-pipeline audit at ANY scale: p65's full
+    // decode→dHash path on a deterministic 1% sample (doc_id%100==7), so
+    // the per-pixel DuckDB replay stays affordable where the full-corpus
+    // oracle isn't (sf10: 5k sampled docs vs 500k). The sample is
+    // id-keyed, not positional — the same docs at every SF — making this
+    // the oracle-exact slice of the scale evidence, alongside the
+    // full-corpus p65/p66 rows at small SF.
+    QueryDef(
+      "p65b_phash_sample",
+      (s, dir) => {
+        import s.implicits._
+        val dims = T(s, dir, "documents")
+          .where($"doc_id" % 100 === 7)
+          .select($"doc_id",
+            (lit(9) + $"n_chars" % 48).cast("int").as("w"),
+            (lit(8) + $"n_chars" % 31).cast("int").as("h"),
+            ($"doc_id" % 97).as("seed"))
+        val media = Multimodal.encodePng(dims, "doc_id", "w", "h", Some("seed"))
+        Multimodal.decodeBatched(media, codec = Multimodal.phashCodec)
+          .select($"media_id", $"width", $"height", $"feature_hash")
+          .orderBy($"media_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, CAST(9 + n_chars % 48 AS BIGINT) AS w, CAST(8 + n_chars % 31 AS BIGINT) AS h,
+             |    doc_id % 97 AS b
+             |  FROM documents WHERE doc_id % 100 = 7),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, gy.y AS gy, gx.x AS gx,
+             |    SUM((((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) // 3) // COUNT(*) AS g
+             |  FROM docs d,
+             |    UNNEST(range(8)) AS gy(y), UNNEST(range(9)) AS gx(x),
+             |    UNNEST(range((gx.x*d.w)//9, ((gx.x+1)*d.w)//9)) AS ux(x),
+             |    UNNEST(range((gy.y*d.h)//8, ((gy.y+1)*d.h)//8)) AS uy(y),
+             |    LATERAL (SELECT (d.b * 2654435761 + (uy.y*d.w + ux.x) * 2246822519) & 16777215 AS p) pp
+             |  GROUP BY 1,2,3,4,5),
+             |bits AS (
+             |  SELECT doc_id, w, h, gy, gx,
+             |    CASE WHEN lead(g) OVER (PARTITION BY doc_id, gy ORDER BY gx) > g THEN 1 ELSE 0 END AS b
+             |  FROM px),
+             |rb AS (
+             |  SELECT doc_id, w, h, gy, SUM(b * (1 << gx)) AS byte
+             |  FROM bits WHERE gx < 8 GROUP BY 1,2,3,4)
+             |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY gy) AS feature_hash
+             |FROM rb GROUP BY 1,2,3 ORDER BY media_id""".stripMargin),
+      "pixel-exact dHash audit on a deterministic 1% sample — the image-pipeline oracle slice that stays affordable at sf10")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →
