@@ -13,13 +13,17 @@ import org.apache.spark.sql.types._
   * dimensions ([[encodePng]] generates genuine PNG fixtures to prove
   * the round trip); [[phashCodec]] derives perceptual fingerprints
   * from the decoded pixels. AUDIO decode is REAL too: [[wavCodec]]
-  * parses RIFF/PCM WAV with `javax.sound.sampled`. VIDEO decode stays
-  * STUBBED (the JDK ships no video codec) with a deterministic fake
-  * derived from the bytes; the Spark-side plumbing — schema, batch
-  * shape, partition-local iteration, metadata threading — is identical
-  * for all modalities, so swapping a stub for a JNI/codec call (or
-  * routing through mapInArrow to a Python worker) changes only the
-  * codec function.
+  * parses RIFF/PCM WAV with `javax.sound.sampled`. VIDEO is real at
+  * the container and frame level: [[aviVideoCodec]] walks a genuine
+  * RIFF/AVI structure (chunk ids, little-endian sizes, even padding,
+  * avih header) and decodes Motion-PNG '00dc' frames with
+  * `javax.imageio`, producing frame-grain dHash / brightness / motion
+  * rows; the JDK ships no INTER-frame codec (H.264 etc.), so that one
+  * decode call is the documented seam an external codec would fill.
+  * The Spark-side plumbing — schema, batch shape, partition-local
+  * iteration, metadata threading — is identical for all modalities, so
+  * swapping a codec (or routing through mapInArrow to a Python worker)
+  * changes only the codec function.
   */
 object Multimodal {
 
@@ -276,42 +280,7 @@ object Multimodal {
       require(img != null, s"media_id=$id: no registered reader for payload")
       val w = img.getWidth; val h = img.getHeight
       require(w >= 9 && h >= 8, s"media_id=$id: $w x $h below 9x8 grid")
-      val g = Array.ofDim[Long](8, 9)
-      var gy = 0
-      while (gy < 8) {
-        var gx = 0
-        while (gx < 9) {
-          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
-          val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
-          var s = 0L; var n = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val p = img.getRGB(x, y)
-              s += (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
-              n += 1; x += 1
-            }
-            y += 1
-          }
-          g(gy)(gx) = s / n
-          gx += 1
-        }
-        gy += 1
-      }
-      val sb = new java.lang.StringBuilder(16)
-      gy = 0
-      while (gy < 8) {
-        var b = 0
-        var gx = 0
-        while (gx < 8) {
-          if (g(gy)(gx + 1) > g(gy)(gx)) b |= (1 << gx)
-          gx += 1
-        }
-        sb.append(f"$b%02x")
-        gy += 1
-      }
-      Row(id, w, h, sb.toString)
+      Row(id, w, h, dHashHex(lumaGrid(img)))
     }
   }
 
@@ -347,6 +316,247 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  // --------------------------------------------------------------------
+  // VIDEO — real container, real frame codec. The JDK ships no
+  // inter-frame video codec (H.264 etc.), so the fixture codec is
+  // Motion-PNG: a genuine RIFF/AVI container (fccHandler 'MPNG', a real
+  // if niche codec id) whose '00dc' frame chunks are PNG payloads the
+  // JDK CAN decode. The container walk, per-frame decode, frame
+  // sampling, and motion scoring below are the real pipeline; an H.264
+  // frame decoder would slot into [[aviVideoCodec]]'s decode call
+  // through the same batched seam, changing nothing upstream.
+  // --------------------------------------------------------------------
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def u32le(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Deterministic AVI fixture generator: one real RIFF/AVI per row with
+    * `nFramesCol` Motion-PNG frames sized (wCol, hCol). Frame f's pixels
+    * follow the [[encodePng]] scramble with per-frame seed
+    * `seed * 1000003 + f`, so every decoded pixel — and everything
+    * derived from it — is oracle-replayable. Rows where `staticCol` is
+    * true freeze the seed across frames (a still-image video — motion
+    * exactly 0), the planted negative for scene-cut detection. */
+  def encodeAviPng(
+      df: DataFrame, idCol: String, wCol: String, hCol: String,
+      nFramesCol: String, seedCol: Option[String] = None,
+      staticCol: Option[String] = None,
+      fps: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val out = widen(df.select(col(idCol).cast("long"),
+      col(wCol).cast("int"), col(hCol).cast("int"),
+      col(nFramesCol).cast("int"),
+      col(seedCol.getOrElse(idCol)).cast("long"),
+      staticCol.map(col(_).cast("boolean")).getOrElse(lit(false))))
+      .rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        val nf = r.getInt(3); val seed = r.getLong(4)
+        val still = r.getBoolean(5)
+        val frames = (0 until nf).map { f =>
+          val fs = if (still) seed else seed * 1000003L + f
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((fs * 2654435761L +
+                (y.toLong * w + x) * 2246822519L) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val bytes = buildAvi(w, h, fps, frames)
+        Row(id, bytes, "video/x-msvideo", bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Assemble a minimal standards-shaped AVI: RIFF('AVI ') containing
+    * LIST(hdrl){avih, LIST(strl){strh vids/MPNG, strf BITMAPINFOHEADER}}
+    * and LIST(movi){'00dc' <png> ...}, chunks padded to even offsets. */
+  private[pipeline] def buildAvi(
+      w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc(id) ++ u32le(data.length.toLong) ++ data ++ pad
+    }
+    def list(kind: String, contents: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ u32le(contents.length + 4L) ++ fourcc(kind) ++ contents
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = // MainAVIHeader: 14 u32 fields
+      u32le(1000000L / fps) ++ u32le(0L) ++ u32le(0L) ++ u32le(0x10L) ++
+        u32le(frames.length.toLong) ++ u32le(0L) ++ u32le(1L) ++
+        u32le(maxFrame.toLong) ++ u32le(w.toLong) ++ u32le(h.toLong) ++
+        u32le(0L) ++ u32le(0L) ++ u32le(0L) ++ u32le(0L)
+    val strh = // AVIStreamHeader for the single video stream
+      fourcc("vids") ++ fourcc("MPNG") ++ u32le(0L) ++ u32le(0L) ++
+        u32le(1L) ++ u32le(fps.toLong) ++ // dwScale=1, dwRate=fps
+        u32le(0L) ++ u32le(frames.length.toLong) ++
+        u32le(maxFrame.toLong) ++ u32le(0xffffffffL) ++ u32le(0L) ++
+        Array(0, 0, (w & 0xff), (w >> 8) & 0xff).map(_.toByte) ++
+        Array((h & 0xff), (h >> 8) & 0xff, 0, 0).map(_.toByte)
+    val strf = // BITMAPINFOHEADER, biCompression = 'MPNG'
+      u32le(40L) ++ u32le(w.toLong) ++ u32le(h.toLong) ++
+        Array(1, 0, 24, 0).map(_.toByte) ++ fourcc("MPNG") ++
+        u32le(w.toLong * h * 3) ++ u32le(0L) ++ u32le(0L) ++
+        u32le(0L) ++ u32le(0L)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ u32le(body.length.toLong) ++ body
+  }
+
+  /** Parsed AVI: header dims/frame count plus the raw frame payloads —
+    * a REAL RIFF walk (chunk ids, little-endian sizes, even padding),
+    * not a stub. Rejects non-RIFF/non-AVI bytes loudly. */
+  private[pipeline] final case class AviContent(
+      width: Int, height: Int, totalFrames: Int, frames: Vector[Array[Byte]])
+
+  private[pipeline] def parseAvi(bytes: Array[Byte]): AviContent = {
+    def id(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    require(bytes.length >= 12 && id(0) == "RIFF" && id(8) == "AVI ",
+      s"not a RIFF/AVI payload (${bytes.take(4).map(_.toChar).mkString})")
+    var width = 0; var height = 0; var total = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val cid = id(off); val sz = u32(off + 4).toInt
+        if (cid == "LIST") walk(off + 12, off + 8 + sz)
+        else if (cid == "avih") {
+          total = u32(off + 8 + 16).toInt
+          width = u32(off + 8 + 32).toInt
+          height = u32(off + 8 + 36).toInt
+        } else if (cid == "00dc" || cid == "00db")
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
+        off += 8 + sz + (sz % 2) // chunks are even-aligned
+      }
+    }
+    walk(12, bytes.length)
+    AviContent(width, height, total, frames.result())
+  }
+
+  /** Decoded-video schema: one row per SAMPLED frame, with the frame's
+    * dHash, integer gray mass, and motion (Σ|gray−prev sampled frame|,
+    * 0 for the first sample) — everything an ingest pipeline needs for
+    * frame-grain dedup, brightness QA, and scene-change detection. */
+  val decodedVideoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_hash", StringType),
+    StructField("gray_sum", LongType),
+    StructField("motion", LongType)))
+
+  /** 8x9-grid luma pool of one frame — shared by [[phashCodec]] and the
+    * video codec so image and video fingerprints are comparable. */
+  private def lumaGrid(img: java.awt.image.BufferedImage): Array[Array[Long]] = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            s += (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        g(gy)(gx) = s / n
+        gx += 1
+      }
+      gy += 1
+    }
+    g
+  }
+
+  private def dHashHex(g: Array[Array[Long]]): String = {
+    val sb = new java.lang.StringBuilder(16)
+    var gy = 0
+    while (gy < 8) {
+      var b = 0
+      var gx = 0
+      while (gx < 8) {
+        if (g(gy)(gx + 1) > g(gy)(gx)) b |= (1 << gx)
+        gx += 1
+      }
+      sb.append(f"$b%02x")
+      gy += 1
+    }
+    sb.toString
+  }
+
+  /** REAL video decode: RIFF/AVI container walk + per-frame PNG decode
+    * (`javax.imageio`), sampling every `step`-th frame. Per sampled
+    * frame: dHash over the 8x9 luma grid, exact integer gray mass, and
+    * motion = Σ per-pixel |gray − previous SAMPLED frame's gray|
+    * (truncating integer luma, so the oracle replays it exactly).
+    * Same batch signature as the other codecs. */
+  def aviVideoCodec(step: Int = 1)(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
+    batch.flatMap { case (id, bytes) =>
+      val avi = parseAvi(bytes)
+      require(avi.frames.length == avi.totalFrames,
+        s"media_id=$id: avih says ${avi.totalFrames} frames, " +
+          s"movi has ${avi.frames.length}")
+      var prev: Array[Int] = null
+      (avi.frames.indices by step).map { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(avi.frames(f)))
+        require(img != null, s"media_id=$id frame $f: undecodable payload")
+        require(img.getWidth == avi.width && img.getHeight == avi.height,
+          s"media_id=$id frame $f: ${img.getWidth}x${img.getHeight} " +
+            s"!= header ${avi.width}x${avi.height}")
+        val w = img.getWidth; val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        var graySum = 0L; var motion = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val gv = (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+            gray(y * w + x) = gv
+            graySum += gv
+            if (prev != null) motion += math.abs(gv - prev(y * w + x))
+            x += 1
+          }
+          y += 1
+        }
+        prev = gray
+        Row(id, w, h, avi.totalFrames, f, dHashHex(lumaGrid(img)),
+          graySum, motion)
+      }
+    }
+
+  /** Batched AVI decode over a media table. */
+  def decodeAviBatched(
+      media: DataFrame, step: Int = 1, batchSize: Int = 16): DataFrame =
+    decodeBatched(media, batchSize, aviVideoCodec(step), decodedVideoSchema)
 
   /** Resize planning: aspect-preserving fit of decoded (width, height)
     * into a maxW×maxH box, never upscaling. All integer arithmetic

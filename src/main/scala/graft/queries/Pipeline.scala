@@ -2857,7 +2857,115 @@ object Pipeline {
              |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
              |  string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY gy) AS feature_hash
              |FROM rb GROUP BY 1,2,3 ORDER BY media_id""".stripMargin),
-      "pixel-exact dHash audit on a deterministic 1% sample — the image-pipeline oracle slice that stays affordable at sf10")
+      "pixel-exact dHash audit on a deterministic 1% sample — the image-pipeline oracle slice that stays affordable at sf10"),
+
+    // ---- VIDEO, frame grain: real RIFF/AVI containers (Motion-PNG
+    // frames) decoded by the real container walk + javax.imageio, every
+    // 2nd frame sampled; per sampled frame the dHash, integer gray mass,
+    // and motion vs the previous sample. The oracle replays container
+    // metadata and every pixel from the fixture formula — if the RIFF
+    // walk, frame decode, sampling, pooling, or diff arithmetic drift
+    // anywhere, the hash diverges.
+    QueryDef(
+      "p84_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val dims = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(9) + $"n_chars" % 40).cast("int").as("w"),
+            (lit(8) + $"n_chars" % 23).cast("int").as("h"),
+            (lit(2) + $"doc_id" % 4).cast("int").as("nf"),
+            ($"doc_id" % 97).as("seed"))
+        val media = Multimodal.encodeAviPng(
+          dims, "doc_id", "w", "h", "nf", Some("seed"))
+        Multimodal.decodeAviBatched(media, step = 2)
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, CAST(9 + n_chars % 40 AS BIGINT) AS w, CAST(8 + n_chars % 23 AS BIGINT) AS h,
+             |    CAST(2 + doc_id % 4 AS BIGINT) AS nf, doc_id % 97 AS b
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, nf, fi.f AS f, b * 1000003 + fi.f AS fs
+             |  FROM docs, UNNEST(range(0, nf, 2)) AS fi(f)),
+             |pxg AS (SELECT fr.doc_id, fr.f, uy.y AS y, ux.x AS x,
+             |    (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) // 3 AS g
+             |  FROM fr, UNNEST(range(fr.w)) AS ux(x), UNNEST(range(fr.h)) AS uy(y),
+             |    LATERAL (SELECT (fr.fs * 2654435761 + (uy.y*fr.w + ux.x) * 2246822519) & 16777215 AS p) pp),
+             |gs AS (SELECT doc_id, f, CAST(SUM(g) AS BIGINT) AS gray_sum FROM pxg GROUP BY 1,2),
+             |mo AS (SELECT a.doc_id, a.f, CAST(SUM(abs(a.g - b.g)) AS BIGINT) AS motion
+             |  FROM pxg a JOIN pxg b ON a.doc_id = b.doc_id AND b.f = a.f - 2
+             |    AND a.x = b.x AND a.y = b.y
+             |  GROUP BY 1,2),
+             |cell AS (SELECT fr.doc_id, fr.f, gy.y AS gy, gx.x AS gx,
+             |    SUM((((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) // 3) // COUNT(*) AS cg
+             |  FROM fr, UNNEST(range(8)) AS gy(y), UNNEST(range(9)) AS gx(x),
+             |    UNNEST(range((gx.x*fr.w)//9, ((gx.x+1)*fr.w)//9)) AS ux(x),
+             |    UNNEST(range((gy.y*fr.h)//8, ((gy.y+1)*fr.h)//8)) AS uy(y),
+             |    LATERAL (SELECT (fr.fs * 2654435761 + (uy.y*fr.w + ux.x) * 2246822519) & 16777215 AS p) pp
+             |  GROUP BY 1,2,3,4),
+             |bits AS (SELECT doc_id, f, gy, gx,
+             |    CASE WHEN lead(cg) OVER (PARTITION BY doc_id, f, gy ORDER BY gx) > cg THEN 1 ELSE 0 END AS bb
+             |  FROM cell),
+             |rb AS (SELECT doc_id, f, gy, SUM(bb * (1 << gx)) AS byte
+             |  FROM bits WHERE gx < 8 GROUP BY 1,2,3),
+             |hsh AS (SELECT doc_id, f, string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY gy) AS frame_hash
+             |  FROM rb GROUP BY 1,2)
+             |SELECT d.doc_id AS media_id, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+             |  CAST(d.nf AS INTEGER) AS n_frames, CAST(h.f AS INTEGER) AS frame_idx,
+             |  h.frame_hash, gs.gray_sum, CAST(COALESCE(mo.motion, 0) AS BIGINT) AS motion
+             |FROM hsh h JOIN docs d ON d.doc_id = h.doc_id
+             |JOIN gs ON gs.doc_id = h.doc_id AND gs.f = h.f
+             |LEFT JOIN mo ON mo.doc_id = h.doc_id AND mo.f = h.f
+             |ORDER BY media_id, frame_idx""".stripMargin),
+      "real AVI container walk + Motion-PNG frame decode: per-sampled-frame dHash, gray mass, motion — pixel-replay oracle"),
+
+    // ---- VIDEO, clip grain: scene-cut summary. Every 5th video is a
+    // planted STILL (frozen frame seed -> motion exactly 0); the cut
+    // detector must count zero cuts there and nf-1 cuts on scrambled
+    // clips, with total motion integer-exact both ways.
+    QueryDef(
+      "p85_video_scenes",
+      (s, dir) => {
+        import s.implicits._
+        val dims = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(9) + $"n_chars" % 40).cast("int").as("w"),
+            (lit(8) + $"n_chars" % 23).cast("int").as("h"),
+            (lit(2) + $"doc_id" % 4).cast("int").as("nf"),
+            ($"doc_id" % 97).as("seed"),
+            ($"doc_id" % 5 === 0).as("still"))
+        val media = Multimodal.encodeAviPng(
+          dims, "doc_id", "w", "h", "nf", Some("seed"), Some("still"))
+        Multimodal.decodeAviBatched(media, step = 1)
+          .groupBy($"media_id")
+          .agg(max($"n_frames").as("n_frames"),
+            count(lit(1)).as("n_sampled"),
+            sum($"motion").as("total_motion"),
+            sum(when($"motion" > 0, 1L).otherwise(0L)).as("n_cuts"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, CAST(9 + n_chars % 40 AS BIGINT) AS w, CAST(8 + n_chars % 23 AS BIGINT) AS h,
+             |    CAST(2 + doc_id % 4 AS BIGINT) AS nf, doc_id % 97 AS b
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, nf, fi.f AS f,
+             |    CASE WHEN doc_id % 5 = 0 THEN b ELSE b * 1000003 + fi.f END AS fs
+             |  FROM docs, UNNEST(range(0, nf, 1)) AS fi(f)),
+             |pxg AS (SELECT fr.doc_id, fr.f, uy.y AS y, ux.x AS x,
+             |    (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) // 3 AS g
+             |  FROM fr, UNNEST(range(fr.w)) AS ux(x), UNNEST(range(fr.h)) AS uy(y),
+             |    LATERAL (SELECT (fr.fs * 2654435761 + (uy.y*fr.w + ux.x) * 2246822519) & 16777215 AS p) pp),
+             |mo AS (SELECT a.doc_id, a.f, SUM(abs(a.g - b.g)) AS motion
+             |  FROM pxg a JOIN pxg b ON a.doc_id = b.doc_id AND b.f = a.f - 1
+             |    AND a.x = b.x AND a.y = b.y
+             |  GROUP BY 1,2)
+             |SELECT d.doc_id AS media_id, CAST(ANY_VALUE(d.nf) AS INTEGER) AS n_frames,
+             |  CAST(ANY_VALUE(d.nf) AS BIGINT) AS n_sampled,
+             |  CAST(COALESCE(SUM(mo.motion), 0) AS BIGINT) AS total_motion,
+             |  CAST(COALESCE(SUM(CASE WHEN mo.motion > 0 THEN 1 END), 0) AS BIGINT) AS n_cuts
+             |FROM docs d LEFT JOIN mo ON mo.doc_id = d.doc_id
+             |GROUP BY 1 ORDER BY media_id""".stripMargin),
+      "scene-cut detection over real decoded video: planted stills count 0 cuts, scrambled clips nf-1 — integer-exact motion")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

@@ -460,6 +460,74 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("encodeAviPng builds a real RIFF/AVI that parseAvi round-trips") {
+    import spark.implicits._
+    val dims = Seq((1L, 12, 10, 4, 5L), (2L, 20, 8, 2, 9L))
+      .toDF("media_id", "w", "h", "nf", "seed")
+    val media = Multimodal.encodeAviPng(
+      dims, "media_id", "w", "h", "nf", Some("seed"))
+    val rows = media.orderBy("media_id").collect()
+    rows.foreach { r =>
+      val b = r.getAs[Array[Byte]](1)
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "AVI ")
+      assert(r.getString(2) == "video/x-msvideo")
+    }
+    val avi = Multimodal.parseAvi(rows.head.getAs[Array[Byte]](1))
+    assert(avi.width == 12 && avi.height == 10 && avi.totalFrames == 4)
+    assert(avi.frames.length == 4)
+    // every frame chunk is a real PNG the JDK can decode
+    avi.frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 12 && img.getHeight == 10)
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.parseAvi("not a video".getBytes("UTF-8")))
+  }
+
+  test("aviVideoCodec: frame hashes match the per-frame PNG path; motion exact") {
+    import spark.implicits._
+    val dims = Seq((1L, 18, 16, 3, 7L)).toDF("media_id", "w", "h", "nf", "seed")
+    val media = Multimodal.encodeAviPng(
+      dims, "media_id", "w", "h", "nf", Some("seed"))
+    val dec = Multimodal.decodeAviBatched(media, step = 1)
+      .orderBy("frame_idx").collect()
+    assert(dec.length == 3)
+    assert(dec.forall(r => r.getInt(1) == 18 && r.getInt(2) == 16 &&
+      r.getInt(3) == 3))
+    // frame f's hash must equal the dHash of a standalone PNG with the
+    // same per-frame seed — image and video fingerprints are comparable
+    val pngSeeds = Seq((0L, 18, 16, 7L * 1000003L + 0),
+      (1L, 18, 16, 7L * 1000003L + 1), (2L, 18, 16, 7L * 1000003L + 2))
+      .toDF("media_id", "w", "h", "seed")
+    val pngHashes = Multimodal.decodeBatched(
+      Multimodal.encodePng(pngSeeds, "media_id", "w", "h", Some("seed")),
+      codec = Multimodal.phashCodec)
+      .orderBy("media_id").collect().map(_.getString(3)).toSeq
+    assert(dec.map(_.getString(5)).toSeq == pngHashes)
+    // motion: 0 for the first sample, positive after (scrambled frames)
+    assert(dec.head.getLong(7) == 0L)
+    assert(dec.tail.forall(_.getLong(7) > 0L))
+    // batch-size and step invariants
+    val sampled = Multimodal.decodeAviBatched(media, step = 2)
+      .orderBy("frame_idx").collect().map(_.getInt(4)).toSeq
+    assert(sampled == Seq(0, 2))
+  }
+
+  test("still videos (staticCol) decode with motion exactly 0") {
+    import spark.implicits._
+    val dims = Seq((1L, 14, 12, 4, 3L, true), (2L, 14, 12, 4, 3L, false))
+      .toDF("media_id", "w", "h", "nf", "seed", "still")
+    val media = Multimodal.encodeAviPng(
+      dims, "media_id", "w", "h", "nf", Some("seed"), Some("still"))
+    val dec = Multimodal.decodeAviBatched(media, step = 1).collect()
+    val still = dec.filter(_.getLong(0) == 1L)
+    val moving = dec.filter(_.getLong(0) == 2L)
+    assert(still.forall(_.getLong(7) == 0L))
+    assert(still.map(_.getString(5)).distinct.length == 1) // one frozen frame
+    assert(moving.count(_.getLong(7) > 0L) == 3)
+  }
+
   test("vocab-cached BPE == direct per-row kernel (p70/p71 equivalence)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
