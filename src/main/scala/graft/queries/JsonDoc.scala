@@ -435,10 +435,13 @@ object JsonDoc {
         java.nio.file.Files.createDirectories(feed)
         java.nio.file.Files.write(feed.resolve("f.jsonl"),
           lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // admission cap scales with the corpus so the replay is always
+        // ~3 admission-controlled micro-batches, at any SF (a fixed cap
+        // would mean O(corpus) trigger overhead at bench scale)
         graft.streaming.ChangesPipeline.runOnce(s, feed.toString,
           base.resolve("store").toString, base.resolve("ckpt").toString,
           name = s"j19-${java.util.UUID.randomUUID()}",
-          maxChangesPerTrigger = Some(251))
+          maxChangesPerTrigger = Some(math.max(251L, lines.length / 3L)))
         graft.streaming.MergeSink
           .readState(s, base.resolve("store").toString)
           .select($"id", $"rev", $"doc")
