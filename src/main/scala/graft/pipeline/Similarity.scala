@@ -507,15 +507,24 @@ object Similarity {
   def cosinePairsGuarded(
       df: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding",
-      salts: Int = 8, maxBlock: Long = 20000L, planes: Int = 6): DataFrame = {
+      salts: Int = 8, maxBlock: Long = 4000L, planes: Int = 6): DataFrame = {
     val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.get(0), r.getLong(1)))
     val hot = sizes.filter(_._2 > maxBlock).map(_._1)
     if (hot.isEmpty)
       return cosinePairs(df, blockCol, threshold, idCol, embCol, salts)
+    // scale the sub-blocking to the skew: enough planes that the
+    // EXPECTED per-(label,bucket) population is ~64 rows, so the
+    // in-bucket quadratic stays flat as blocks grow 100x (the plane
+    // count is a pure function of the measured sizes — deterministic).
+    // Capped at 16 planes (64Ki buckets) and by the vector dimension.
+    val maxHot = sizes.map(_._2).max
+    val planesEff = math.min(16, math.max(planes,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxHot / 64L)).toInt))
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"cosinePairsGuarded: ${hot.length} block(s) over maxBlock=$maxBlock " +
-        s"diverted to sign-bucket sub-blocking: ${hot.take(10).mkString(", ")}")
+        s"diverted to sign-bucket sub-blocking (planes=$planesEff): " +
+        hot.take(10).mkString(", "))
     val exact = cosinePairs(
       df.where(!col(blockCol).isInCollection(hot.toSeq)),
       blockCol, threshold, idCol, embCol, salts)
@@ -525,7 +534,7 @@ object Similarity {
       .select(col(idCol).as("id"), col(blockCol).as("blk"), col(embCol).as("e")))
       .select(col("id"), col("blk"), quantize(col("e")).as("qv"))
       .withColumn("nrm", graft.functions.Vectors.dotCol(col("qv"), col("qv")))
-      .withColumn("sb", signBucket(col("qv"), planes))
+      .withColumn("sb", signBucket(col("qv"), planesEff))
     val a = q.as("a")
     val b = q.as("b")
     val lsh = a.join(b,

@@ -283,11 +283,13 @@ object Pipeline {
 
     // ---- Embedding near-dup pairs (quantized cosine, label-blocked),
     // behind the block-size guard: labels stay on the exact salted path
-    // until a block exceeds maxBlock rows (b² comparisons), then divert
-    // through sign-bucket sub-blocking with the same exact verify. At
-    // sf<=1 no label trips (<=~2200 rows/label), so the oracle below is
-    // the plain exact computation; at sf10 (~22k rows/label) the guard
-    // converts the catalog's former quadratic hotspot to near-linear.
+    // until a block exceeds maxBlock=4000 rows (b² comparisons), then
+    // divert through sign-bucket sub-blocking with the same exact
+    // verify. At sf<=1 no label trips (<=~2200 rows/label), so the
+    // oracle below is the plain exact computation; at sf10 (~22k
+    // rows/label) every label diverts and the catalog's former
+    // quadratic hotspot drops to the sub-blocked cost (raise `planes`
+    // with corpus size to keep per-bucket populations flat at 100x).
     QueryDef(
       "p6_embed_cosine_pairs",
       (s, dir) => {
