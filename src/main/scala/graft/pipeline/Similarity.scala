@@ -119,9 +119,10 @@ object Similarity {
     * touches the other 2^planes - |probed| partitions). */
   def writeBucketedCorpus(
       corpus: DataFrame, path: String, planes: Int = 4,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
-    corpus.select(
-      col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      idCol: String = "vec_id", embCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Unit =
+    corpus.select(col(idCol).as("neighbor_id") +:
+        quantize(col(embCol)).as("c_emb") +: metaCols.map(col): _*)
       .withColumn("c_nrm", dot(col("c_emb"), col("c_emb")))
       .withColumn("bucket", signBucket(col("c_emb"), planes))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
@@ -149,7 +150,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, corpusPath: String, k: Int, planes: Int = 4,
       multiProbe: Int = 0,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      metaFilter: Option[Column] = None): DataFrame = {
     val q0 = queries.select(
       col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
       .withColumn("q_nrm", dot(col("q_emb"), col("q_emb")))
@@ -159,8 +161,16 @@ object Similarity {
     val q = q0.withColumn("probe_bucket", explode(probes))
     val buckets = q.select("probe_bucket").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: <= 2^planes keys
-    val c = spark.read.parquet(corpusPath)
+    // FILTERED vector search: the metadata predicate (over metaCols the
+    // index stored at write time) lands on the pruned scan itself —
+    // Parquet pushdown, before any scoring — so one standing index
+    // serves every filter without rebuild. Top-k ranks only survivors:
+    // the bounded TopK aggregate makes over-fetch unnecessary (filtered
+    // candidates never displace kept ones, unlike post-filtering a
+    // pre-ranked top-k list, which silently returns < k).
+    val c0 = spark.read.parquet(corpusPath)
       .where(col("bucket").isin(buckets: _*)) // static partition pruning
+    val c = metaFilter.fold(c0)(c0.where)
     val scored = broadcast(q).join(c,
       col("probe_bucket") === col("bucket")
         && col("query_id") =!= col("neighbor_id")

@@ -2967,7 +2967,58 @@ object Pipeline {
              |  CAST(COALESCE(SUM(CASE WHEN mo.motion > 0 THEN 1 END), 0) AS BIGINT) AS n_cuts
              |FROM docs d LEFT JOIN mo ON mo.doc_id = d.doc_id
              |GROUP BY 1 ORDER BY media_id""".stripMargin),
-      "scene-cut detection over real decoded video: planted stills count 0 cuts, scrambled clips nf-1 — integer-exact motion")
+      "scene-cut detection over real decoded video: planted stills count 0 cuts, scrambled clips nf-1 — integer-exact motion"),
+
+    // ---- FILTERED vector search: the retrieval shape every RAG /
+    // curation stack needs — top-k restricted by a metadata predicate
+    // (here label % 2 = 0) served from ONE standing index. The index
+    // stores metadata columns at write time, the predicate lands on the
+    // partition-pruned scan (Parquet pushdown, before scoring), and the
+    // bounded TopK aggregate ranks only survivors, so no over-fetch
+    // heuristics and never fewer than the available k.
+    QueryDef(
+      "p86_ann_filtered",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+        val fp = files.sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+          .mkString("|").hashCode
+        val planes = 4
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-annidx-meta-" + Integer.toHexString(dir.hashCode) +
+            "-" + Integer.toHexString(fp) + s"-p$planes")
+        if (!new java.io.File(idx, "_SUCCESS").exists())
+          Similarity.writeBucketedCorpus(em, idx.toString, planes = planes,
+            metaCols = Seq("label"))
+        Similarity.probeBucketedTopK(s, em.filter($"vec_id" < 10),
+          idx.toString, 3, planes = planes, multiProbe = 1,
+          metaFilter = Some($"label" % 2 === 0))
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |bk AS (SELECT vec_id, label, qv,
+             |  (CASE WHEN qv[1]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[2]>=0 THEN '1' ELSE '0' END)||
+             |  (CASE WHEN qv[3]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[4]>=0 THEN '1' ELSE '0' END) AS bucket FROM q),
+             |qp AS (SELECT vec_id, qv, [bucket,
+             |  (CASE WHEN qv[1]>=0 THEN '0' ELSE '1' END)||substr(bucket, 2)] AS probes
+             |  FROM bk WHERE vec_id < 10),
+             |cand AS (SELECT a.vec_id AS query_id, a.qv AS aqv, u.pb AS pb
+             |  FROM qp a, UNNEST(a.probes) AS u(pb)),
+             |scored AS (SELECT c.query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*c.aqv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM cand c JOIN bk b ON b.bucket = c.pb AND b.vec_id <> c.query_id
+             |    AND b.qv <> c.aqv AND b.label % 2 = 0),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin),
+      "filtered vector search: metadata predicate pushed onto the partition-pruned index scan, ranked after filtering")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

@@ -127,6 +127,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("p86: filtered probe pushes the metadata predicate to the pruned scan") {
+    val df = SparkEntry.queries("p86_ann_filtered")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // both levers at once: bucket partition pruning AND the label
+    // predicate pushed into the Parquet scan — the filter must never
+    // run after scoring
+    val scanBlock = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters")).mkString("\n")
+    assert(scanBlock.contains("bucket"),
+      s"no partition filter on the index scan:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("label"),
+      s"label predicate not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q25: as-of join plans as keyed window, not a join") {
     val p = plan("q25_asof_join")
     assert(!p.contains("CartesianProduct"))
