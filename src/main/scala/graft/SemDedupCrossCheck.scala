@@ -45,8 +45,13 @@ object SemDedupCrossCheck {
 
     val emb = Tables.load(spark, dir, "embeddings")
 
-    // Path A: the catalog's declarative plan (cell equi-join).
-    val a = Similarity.semanticDedup(emb, tau = Tau, nPivots = NPivots)
+    // Path A: the declarative plan (cell equi-join). maxCell is
+    // disabled: this audit pins the EXACT within-cell semantics, and
+    // path B below is exhaustive per cell — the production cell-size
+    // guard (sub-blocking) is a separate scale policy with its own
+    // recall trade, not what this check validates.
+    val a = Similarity.semanticDedup(emb, tau = Tau, nPivots = NPivots,
+        maxCell = Long.MaxValue)
       .select($"vec_id", $"dup_of".as("dup_a"), $"cos".as("cos_a"))
 
     // Path B: local quadratic per cell, typed API.

@@ -292,7 +292,8 @@ object Similarity {
     * a per-vector min — partial-agg'd map-side. */
   def semanticDedup(
       corpus: DataFrame, tau: Double, nPivots: Int = 8,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxCell: Long = 10000L): DataFrame = {
     val c = corpusSide(corpus, idCol, embCol)
     val piv = c.orderBy(col("neighbor_id")).limit(nPivots)
       .collect()
@@ -302,12 +303,41 @@ object Similarity {
         lit(pnrm)).as("cos"),
       lit(-pid).as("tb")) }
     val assigned = c.withColumn("cell", -greatest(affs: _*).getField("tb"))
-    val a = assigned.select(col("neighbor_id").as("id_a"),
-      col("c_emb").as("ea"), col("c_nrm").as("na"), col("cell").as("cell_a"))
-    val b = assigned.select(col("neighbor_id").as("id_b"),
-      col("c_emb").as("eb"), col("c_nrm").as("nb"), col("cell").as("cell_b"))
+    // Cell-population guard — the fixed-pivot analog of the paper's
+    // "cluster count scales with the corpus": a cell over `maxCell`
+    // rows squares, so it is sub-blocked by sign buckets (enough planes
+    // for ~64 expected rows/bucket) with the same exact cosine verify,
+    // exactly the [[cosinePairsGuarded]] mechanics. The preflight is
+    // nPivots rows of metadata. No cell trips at catalog oracle scales;
+    // the real fix at 100 TB is raising nPivots (k-means k) so cells
+    // stay constant-size — this guard is the backstop for the skewed
+    // cell a static quantizer can't avoid.
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hot = sizes.filter(_._2 > maxCell).map(_._1).toSet
+    val withSb =
+      if (hot.isEmpty) assigned.withColumn("sb", lit(""))
+      else {
+        val maxHot = sizes.map(_._2).max
+        val planesEff = math.min(16,
+          64 - java.lang.Long.numberOfLeadingZeros(
+            math.max(1L, maxHot / 64L)).toInt)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semanticDedup: ${hot.size} cell(s) over maxCell=$maxCell " +
+            s"sub-blocked at planes=$planesEff")
+        assigned.withColumn("sb",
+          when(col("cell").isInCollection(hot),
+            signBucket(col("c_emb"), planesEff)).otherwise(lit("")))
+      }
+    val a = withSb.select(col("neighbor_id").as("id_a"),
+      col("c_emb").as("ea"), col("c_nrm").as("na"),
+      col("cell").as("cell_a"), col("sb").as("sb_a"))
+    val b = withSb.select(col("neighbor_id").as("id_b"),
+      col("c_emb").as("eb"), col("c_nrm").as("nb"),
+      col("cell").as("cell_b"), col("sb").as("sb_b"))
     val pairs = a.join(b,
-        col("cell_a") === col("cell_b") && col("id_b") < col("id_a"))
+        col("cell_a") === col("cell_b") && col("sb_a") === col("sb_b") &&
+          col("id_b") < col("id_a"))
       .select(col("id_a"), col("id_b"),
         cosinePrenormed(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .where(col("cos") >= tau)
