@@ -368,4 +368,61 @@ object Vocab {
       .orderBy(abs(col("drift_q")).desc, col("tok"))
       .limit(k)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (the data you want more of — here the
+    * rows matching `targetPred`) than under the raw pool, then keep the
+    * top-weighted docs. The workhorse for steering a 100 TB crawl
+    * toward a high-quality reference corpus without training a model.
+    *
+    * Features: unigrams hashed into `nBuckets` buckets (md5-based, so
+    * the DuckDB oracle replays every bucket assignment). Both bucket
+    * distributions get add-one smoothing; each bucket's log-ratio
+    * ln p_target(b) − ln p_raw(b) is quantized to integer micro-nats
+    * BEFORE the per-doc sum, so weights are order-free and engine-exact
+    * (same determinism scheme as [[unigramLogProb]]).
+    *
+    * Selection: deterministic top-`topN` by (weight desc, id) — the
+    * argmax variant of the paper's Gumbel resampling (which needs
+    * per-row randomness; a seeded-hash Gumbel would bolt on here).
+    *
+    * SCALE: the bucket LM is `nBuckets` rows — broadcast, never
+    * shuffled; the token stream partial-aggregates to one (doc, count,
+    * sum) row; selection is TakeOrdered(topN), not a global sort; the
+    * membership flag joins a broadcast topN-row set. Text never
+    * shuffles.
+    *
+    * @return (doc, n_tokens, w_sum, selected) — one row per doc
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      nBuckets: Int = 64, topN: Int = 100): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"), targetPred.as("__t"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("dsir:"), col("token"))), 1, 8),
+          16, 10).cast("long") % nBuckets)
+    val cnt = toks.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lw = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      (floor(log((col("ct").cast("double") + lit(1.0d)) /
+          (col("tt").cast("double") + lit(nBuckets.toDouble))) * lit(1e6))
+        .cast("long") -
+       floor(log((col("cr").cast("double") + lit(1.0d)) /
+          (col("tr").cast("double") + lit(nBuckets.toDouble))) * lit(1e6))
+        .cast("long")).as("lw"))
+    val scored = toks.join(broadcast(lw), "b")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("lw").as("w_sum"))
+    val sel = scored.orderBy(col("w_sum").desc, col("doc")).limit(topN)
+      .select(col("doc"), lit(true).as("selected"))
+    scored.join(broadcast(sel), Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"), col("w_sum"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
 }

@@ -3048,7 +3048,44 @@ object Pipeline {
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
              |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
              |ORDER BY query_id, rank""".stripMargin),
-      "filtered vector search: metadata predicate pushed onto the partition-pruned index scan, ranked after filtering")
+      "filtered vector search: metadata predicate pushed onto the partition-pruned index scan, ranked after filtering"),
+
+    // ---- DSIR importance resampling (Xie et al. 2023): steer the raw
+    // pool toward a target distribution (here: English docs) by hashed-
+    // unigram importance weights — the model-free data-selection step
+    // between heuristic filtering and training. Weights are integer
+    // micro-nat sums (order-free, engine-exact); selection is the
+    // deterministic top-100 by (weight, id). The oracle replays bucket
+    // hashing, both smoothed distributions, the log-ratio quantization,
+    // and the selection threshold.
+    QueryDef(
+      "p87_dsir_select",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+          targetPred = $"lang" === "en", nBuckets = 64, topN = 100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, u.tok AS tok
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) w,
+             |  UNNEST(w.ws) AS u(tok)),
+             |bt AS (SELECT doc_id, is_t,
+             |  CAST('0x'||substr(md5('dsir:'||tok),1,8) AS BIGINT) % 64 AS b FROM t),
+             |cnt AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |  CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY b),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+             |lw AS (SELECT b,
+             |  CAST(floor(ln((CAST(ct AS DOUBLE)+1.0)/(CAST(tt AS DOUBLE)+64.0))*1000000.0) AS BIGINT)
+             |  - CAST(floor(ln((CAST(cr AS DOUBLE)+1.0)/(CAST(tr AS DOUBLE)+64.0))*1000000.0) AS BIGINT) AS lw
+             |  FROM cnt, tot),
+             |scored AS (SELECT bt.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(lw.lw) AS BIGINT) AS w_sum
+             |  FROM bt JOIN lw USING(b) GROUP BY bt.doc_id),
+             |sel AS (SELECT doc_id FROM scored ORDER BY w_sum DESC, doc_id LIMIT 100)
+             |SELECT s.doc_id, s.n_tokens, s.w_sum,
+             |  s.doc_id IN (SELECT doc_id FROM sel) AS selected
+             |FROM scored s ORDER BY s.doc_id""".stripMargin),
+      "DSIR importance resampling: hashed-unigram log-ratio weights vs a target distribution, deterministic top-100 selection")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

@@ -184,4 +184,44 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 1, 2L), (2L, 2, 3L)))
   }
+
+  test("dsirWeights: docs resembling the target distribution score higher") {
+    import spark.implicits._
+    // target docs speak "alpha beta"; pool doc 10 echoes them, doc 11
+    // is from a disjoint vocabulary -> 10 must outweigh 11
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta beta gamma", true),
+      (10L, "alpha beta alpha gamma", false),
+      (11L, "zebra quark vortex nim", false))
+      .toDF("doc_id", "text", "is_t")
+    val got = Vocab.dsirWeights(docs, "doc_id", "text", col("is_t"),
+        nBuckets = 64, topN = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    val w = got.map(g => g._1 -> g._2).toMap
+    assert(w(10L) > w(11L))
+    // topN=3: the three highest weights are selected, doc 11 is not
+    val sel = got.filter(_._3).map(_._1).toSet
+    assert(sel.size == 3 && !sel.contains(11L))
+  }
+
+  test("dsirWeights: weights are partitioning-invariant and selection nested") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"tok${i % 9} tok${i % 4} the of tok${i % 13}", i % 5 == 0))
+      .toDF("doc_id", "text", "is_t")
+    def run(df: org.apache.spark.sql.DataFrame, n: Int) =
+      Vocab.dsirWeights(df, "doc_id", "text", col("is_t"), topN = n)
+    val a = run(docs.repartition(1), 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val b = run(docs.repartition(13), 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.toSeq == b.toSeq) // integer micro-nat sums: order-free
+    val s10 = run(docs, 10).where(col("selected"))
+      .collect().map(_.getLong(0)).toSet
+    val s25 = run(docs, 25).where(col("selected"))
+      .collect().map(_.getLong(0)).toSet
+    assert(s10.size == 10 && s25.size == 25 && s10.subsetOf(s25))
+  }
 }
