@@ -425,4 +425,72 @@ object Vocab {
       .select(col("doc").as(idCol), col("n_tokens"), col("w_sum"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
+
+  /** BM25 top-k retrieval (Robertson/Zaragoza, k1=1.2 b=0.75): rank
+    * documents for a batch of keyword queries — the workhorse behind
+    * decontamination lookups, targeted data selection, and eval-set
+    * retrieval over a training corpus.
+    *
+    * Determinism: idf = ln((N-df+0.5)/(df+0.5)+1) is quantized to
+    * integer micro-nats; the tf saturation term
+    * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is evaluated as an exact
+    * integer ratio — numerator and denominator are multiplied through
+    * by 10*avgdl_q (avgdl in milli-tokens) so k1/b's decimal digits
+    * and the length ratio clear without floats — then floor-divided at
+    * 1e3 scale. Scores are exact integer sums; ranking ties and
+    * cross-engine hashes are bit-deterministic.
+    *
+    * SCALE (inverted-index shape): the distinct query-term set is
+    * broadcast and prunes the token stream MAP-SIDE, so only postings
+    * of query terms are ever aggregated; dl rides the exploded stream
+    * (max over the group), costing no second corpus scan; df and the
+    * corpus stats are query-term-sized / one-row broadcasts; ranking
+    * is the bounded [[graft.functions.TopK]] aggregate, so the final
+    * shuffle carries |queries| x |partitions| k-entry buffers, never
+    * the scored postings.
+    *
+    * @param queries (query_id, query text) pairs; terms are the
+    *        space-split distinct words of the text
+    * @return (query_id, rank, doc_id, score_q) — top-k docs per query
+    *         by (BM25 desc, doc_id)
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
+    val stats = docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(TextOps.tokens(col(textCol)))).cast("long").as("tt"))
+      .select(col("n_docs"), expr("tt * 1000L div n_docs").as("avgdl_q"))
+    val post = docs.select(col(idCol).as("doc"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(broadcast(qterms.select("token").distinct()), "token")
+      .groupBy("doc", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfTab = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = post
+      .join(broadcast(dfTab), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc"),
+        (floor(log(((col("n_docs") - col("df")).cast("double") + lit(0.5d)) /
+            (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) * lit(1e6))
+          .cast("long") *
+         expr("(22L*tf*avgdl_q*1000L) div (10L*tf*avgdl_q + 3L*avgdl_q + 9L*dl*1000L)"))
+          .as("contrib"))
+      .join(broadcast(qterms), "token")
+      .groupBy("query_id", "doc")
+      .agg(sum(col("contrib")).as("score_q"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopK.agg(
+        col("score_q").cast("double"), col("doc"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.rank").as("rank"),
+        col("e.neighbor_id").as("doc_id"),
+        col("e.cos").cast("long").as("score_q"))
+  }
 }

@@ -3085,7 +3085,42 @@ object Pipeline {
              |SELECT s.doc_id, s.n_tokens, s.w_sum,
              |  s.doc_id IN (SELECT doc_id FROM sel) AS selected
              |FROM scored s ORDER BY s.doc_id""".stripMargin),
-      "DSIR importance resampling: hashed-unigram log-ratio weights vs a target distribution, deterministic top-100 selection")
+      "DSIR importance resampling: hashed-unigram log-ratio weights vs a target distribution, deterministic top-100 selection"),
+
+    // ---- BM25 retrieval (k1=1.2, b=0.75): keyword top-k over the
+    // corpus — decontamination lookups and targeted selection. All
+    // arithmetic is exact-integer (micro-nat idf, the tf saturation
+    // ratio multiplied through by 10*avgdl_q so k1/b clear), so the
+    // oracle replays scores bit-for-bit; ranking is the bounded TopK
+    // aggregate, never a postings-stream window.
+    QueryDef(
+      "p88_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+          Seq(1L -> "spark window merge", 2L -> "hash join table",
+              3L -> "vector stream"), k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES (1, 'spark window merge'), (2, 'hash join table'), (3, 'vector stream')),
+             |qt AS (SELECT DISTINCT query_id, u.t AS token FROM q, UNNEST(string_split(qtext,' ')) AS u(t)),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  (CAST(SUM(len(ws)) AS BIGINT)*1000)//CAST(COUNT(*) AS BIGINT) AS avgdl_q FROM w),
+             |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, u.t AS token FROM w, UNNEST(ws) AS u(t)),
+             |post AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+             |  FROM t WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+             |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+             |sc AS (SELECT qt.query_id, post.doc_id, CAST(SUM(
+             |    CAST(floor(ln((CAST(n_docs - df AS DOUBLE)+0.5)/(CAST(df AS DOUBLE)+0.5)+1.0)*1000000.0) AS BIGINT)
+             |    * ((22*tf*avgdl_q*1000)//(10*tf*avgdl_q + 3*avgdl_q + 9*dl*1000))) AS BIGINT) AS score_q
+             |  FROM post JOIN dfx USING(token) JOIN qt USING(token) CROSS JOIN ad
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score_q,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc)
+             |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "BM25 top-5 per keyword query: broadcast query terms prune postings map-side, exact-integer scoring, bounded TopK ranking")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →

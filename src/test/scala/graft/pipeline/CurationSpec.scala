@@ -224,4 +224,42 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(s10.size == 10 && s25.size == 25 && s10.subsetOf(s25))
   }
+
+  test("bm25TopK: term coverage and rarity drive the ranking") {
+    import spark.implicits._
+    // doc 1 covers both query terms; doc 2 one; doc 3 none; doc 4 is
+    // doc 1 diluted by padding -> length normalization demotes it
+    val docs = Seq(
+      (1L, "spark merge spark merge"),
+      (2L, "spark table table table"),
+      (3L, "row scan filter group"),
+      (4L, "spark merge pad pad pad pad pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val got = Vocab.bm25TopK(docs, "doc_id", "text",
+        Seq(1L -> "spark merge"), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toSeq == Seq(1L, 4L, 2L))  // 3 never matches
+    assert(got.head._3 > got(1)._3 && got(1)._3 > got(2)._3)
+  }
+
+  test("bm25TopK: scores are partitioning-invariant; ties break by doc id") {
+    import spark.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, s"w${i % 7} w${i % 3} filler w${i % 7}"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Vocab.bm25TopK(df, "doc_id", "text",
+        Seq(1L -> "w1 w2", 2L -> "w0"), k = 6)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(11))
+    assert(a.toSeq == b.toSeq) // exact-integer scoring: order-free
+    // identical docs (same residues) tie on score -> ranked by doc id
+    val q2 = a.filter(_._1 == 2L)
+    q2.groupBy(_._4).values.foreach { grp =>
+      assert(grp.map(_._3).toSeq == grp.map(_._3).sorted.toSeq)
+    }
+  }
 }

@@ -481,6 +481,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p88: BM25 prunes postings with broadcast terms and ranks via top-k") {
+    // inverted-index discipline: the query-term set, df table and corpus
+    // stats broadcast onto the token stream (never a shuffled join with
+    // the corpus), and the ranking tail is the bounded TopK aggregate —
+    // no Window node means the scored postings never shuffle wholesale.
+    val p = plan("p88_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query-term prune not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join in BM25:\n$p")
+    assert(p.toLowerCase.contains("partial_topkaggexpr"),
+      s"BM25 ranking is not a partial top-k aggregate:\n$p")
+    assert(!p.linesIterator.exists(_.matches(".*\\) Window$")),
+      s"BM25 ranks through a window (postings-stream shuffle):\n$p")
+  }
+
   test("q37: z-order block stats partial-aggregate map-side") {
     val p = plan("q37_zorder_layout")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
