@@ -133,4 +133,70 @@ object KMeans {
       corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     stats(corpus, train(corpus, k, iters, idCol, embCol), idCol, embCol)
+
+  /** Greedy k-center selection (farthest-point traversal, Gonzalez
+    * 1985): pick k maximally-spread corpus vectors, then assign every
+    * vector to its nearest pick — the diversity-sampling / coreset-
+    * seeding step of embedding-based data curation (the "spread" dual
+    * of [[Similarity.semanticDedup]]'s "collapse"), and the classic
+    * 2-approximation of the k-center coverage radius.
+    *
+    * Selection is deterministic: seed = lowest-id vector; each round
+    * picks the candidate maximizing min-distance to the chosen set
+    * (exact integer squared L2 on the quantized projection), ties to
+    * the lowest id; already-chosen ids are excluded so duplicate
+    * vectors cannot re-pick the seed. The DuckDB oracle unrolls the
+    * same rounds.
+    *
+    * SCALE: each round folds the chosen centers into ONE codegen'd
+    * projection (literal arrays + [[graft.functions.DotLongExpr]], the
+    * [[assignExpr]] shape) and reduces with TakeOrdered(1) — a
+    * one-row driver round-trip per round, k x dim longs of driver
+    * state, no shuffle of the corpus. The final assignment is the same
+    * literal-folded argmin projection. O(k^2) distance terms total per
+    * row is the price of keeping the loop stateless (no cached dmin
+    * column whose lineage grows per round); k is small by definition.
+    *
+    * @return (vec_id, center_rank, center_id, dist_q) — one row per
+    *         corpus vector; dist_q = exact squared distance to its
+    *         center (0 for the centers themselves)
+    */
+  def kCenterSelect(
+      corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    val q = quantized(corpus, idCol, embCol).persist()
+    try {
+      val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
+      var cs: IndexedSeq[(Long, Long, IndexedSeq[Long])] = IndexedSeq(
+        (0L, seed.getLong(0), seed.getSeq[Long](1).toIndexedSeq))
+      while (cs.size < k) {
+        val dmin = cs.map(c => distTo(c._3)) match {
+          case Seq(one) => one
+          case many => least(many: _*)
+        }
+        val next = q.filter(!col("vec_id").isin(cs.map(_._2): _*))
+          .select(col("vec_id"), col("v"), dmin.as("d"))
+          .orderBy(col("d").desc, col("vec_id"))
+          .limit(1).collect()(0)
+        cs = cs :+ ((cs.size.toLong, next.getLong(0),
+          next.getSeq[Long](1).toIndexedSeq))
+      }
+      val best = cs.map { case (rk, _, c) =>
+        struct(distTo(c).as("d"), lit(rk).as("rk"))
+      } match {
+        case Seq(one) => one
+        case many => least(many: _*)
+      }
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val cents = cs.map { case (rk, id, _) => (rk, id) }
+        .toDF("center_rank", "center_id")
+      q.select(col("vec_id"), best.getField("rk").as("center_rank"),
+          best.getField("d").as("dist_q"))
+        .join(broadcast(cents), "center_rank")
+        .select(col("vec_id"), col("center_rank"), col("center_id"),
+          col("dist_q"))
+    } finally { q.unpersist(blocking = false) }
+  }
 }

@@ -3120,7 +3120,22 @@ object Pipeline {
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc)
              |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin),
-      "BM25 top-5 per keyword query: broadcast query terms prune postings map-side, exact-integer scoring, bounded TopK ranking")
+      "BM25 top-5 per keyword query: broadcast query terms prune postings map-side, exact-integer scoring, bounded TopK ranking"),
+
+    // ---- Greedy k-center diversity selection (Gonzalez farthest-point
+    // traversal): pick 5 maximally-spread embedding vectors and assign
+    // every vector to its nearest pick — the coverage/coreset sampling
+    // step of embedding curation. Exact integer squared-L2 on the
+    // quantized projection; the oracle unrolls the same greedy rounds.
+    QueryDef(
+      "p89_kcenter_select",
+      (s, dir) => {
+        import s.implicits._
+        KMeans.kCenterSelect(T(s, dir, "embeddings"), k = 5)
+          .orderBy($"vec_id")
+      },
+      Some(kCenterOracle(5)),
+      "greedy k-center (farthest-point) selection of 5 centers + literal-folded nearest-center assignment; one-row driver round-trip per round")
   )
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →
@@ -3195,6 +3210,43 @@ object Pipeline {
     * left-to-right non-overlapping scan is exactly the Spark side's
     * greedy fold (same trick as [[bpeReplaceChain]]). MATERIALIZED
     * keeps DuckDB from re-running a round per downstream reference. */
+  /** Unrolled greedy k-center oracle: c0 = the lowest-id vector; round
+    * t folds the newest center into the running min-distance (LEAST)
+    * and picks the unchosen argmax (ties: lowest vec_id) — the exact
+    * selection of [[graft.pipeline.KMeans.kCenterSelect]]; the final
+    * assignment cross-joins the k-row center set and keeps the
+    * (dist, rank)-lexicographic minimum per vector. */
+  private def kCenterOracle(k: Int): String = {
+    def d(av: String, bv: String) =
+      s"CAST(list_sum(list_transform(list_zip($av, $bv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v FROM embeddings)",
+      "c0 AS (SELECT CAST(0 AS BIGINT) AS rk, vec_id, v FROM q ORDER BY vec_id LIMIT 1)")
+    for (t <- 1 until k) {
+      val body =
+        if (t == 1)
+          s"SELECT q.vec_id, q.v, ${d("q.v", "c0.v")} AS dmin FROM q, c0"
+        else
+          s"SELECT s${t - 1}.vec_id, s${t - 1}.v, LEAST(s${t - 1}.dmin, " +
+            s"${d(s"s${t - 1}.v", s"c${t - 1}.v")}) AS dmin FROM s${t - 1}, c${t - 1}"
+      ctes += s"s$t AS MATERIALIZED ($body)"
+      val excl = (0 until t).map(i => s"SELECT vec_id FROM c$i")
+        .mkString(" UNION ALL ")
+      ctes += s"c$t AS (SELECT CAST($t AS BIGINT) AS rk, vec_id, v FROM s$t " +
+        s"WHERE vec_id NOT IN ($excl) ORDER BY dmin DESC, vec_id LIMIT 1)"
+    }
+    val cents = (0 until k).map(i => s"SELECT * FROM c$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")},
+       |cents AS ($cents),
+       |dist AS (SELECT q.vec_id, c.rk, c.vec_id AS center_id,
+       |  ${d("q.v", "c.v")} AS dist_q FROM q, cents c),
+       |a AS (SELECT vec_id, rk, center_id, dist_q,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_q, rk) AS rn FROM dist)
+       |SELECT vec_id, rk AS center_rank, center_id, dist_q FROM a WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private def bpeTrainOracle(rounds: Int): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """w0 AS MATERIALIZED (

@@ -42,6 +42,33 @@ class KMeansSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 10L, 0L), (1L, 0L, 0L), (2L, 0L, 0L)))
   }
 
+  test("kCenterSelect: farthest-point picks spread across blobs") {
+    // seed is id 0 (blob A); the second pick must come from blob B, and
+    // every vector must be assigned to a center in its own blob
+    val out = KMeans.kCenterSelect(blobs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val centers = out.filter(_._4 == 0L).map(o => (o._2, o._1)).sorted
+    assert(centers.head == (0L, 0L) && centers(1)._2 >= 20L,
+      s"second center must be in the far blob: ${centers.toSeq}")
+    assert(out.forall(o => (o._1 < 20L) == (o._3 < 20L)),
+      "assignment must keep each blob with its own center")
+  }
+
+  test("kCenterSelect: deterministic under repartitioning; duplicates never re-pick") {
+    val dup = (0L until 12L).map(i => (i, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding") // all identical vectors
+    val out = KMeans.kCenterSelect(dup, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // all-identical corpus: the exclusion guard still terminates the 3
+    // rounds, and every vector assigns to (rank 0, id 0) at distance 0
+    assert(out.length == 12 &&
+      out.forall(o => o._2 == 0L && o._3 == 0L && o._4 == 0L))
+    val a = KMeans.kCenterSelect(blobs, k = 4).collect().map(_.toString).toSeq
+    val b = KMeans.kCenterSelect(blobs.repartition(7), k = 4)
+      .collect().map(_.toString).toSeq
+    assert(a.sorted == b.sorted)
+  }
+
   test("assignment ties break to the lowest cluster id") {
     // identical seed centroids: every point is equidistant to both, so
     // all of them must land on cid 0 deterministically
