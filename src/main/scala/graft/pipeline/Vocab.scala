@@ -447,7 +447,9 @@ object Vocab {
     * corpus stats are query-term-sized / one-row broadcasts; ranking
     * is the bounded [[graft.functions.TopK]] aggregate, so the final
     * shuffle carries |queries| x |partitions| k-entry buffers, never
-    * the scored postings.
+    * the scored postings. For a serving index probed repeatedly, use
+    * [[Retrieval.writeIndex]]/[[Retrieval.probeTopK]] — identical
+    * scores off a standing bucket-partitioned posting store.
     *
     * @param queries (query_id, query text) pairs; terms are the
     *        space-split distinct words of the text
@@ -457,14 +459,8 @@ object Vocab {
   def bm25TopK(
       docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val qterms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
-    val stats = docs.agg(
-      count(lit(1)).cast("long").as("n_docs"),
-      sum(size(TextOps.tokens(col(textCol)))).cast("long").as("tt"))
+    val qterms = Retrieval.queryTerms(docs.sparkSession, queries)
+    val stats = Retrieval.segStats(docs, idCol, textCol)
       .select(col("n_docs"), expr("tt * 1000L div n_docs").as("avgdl_q"))
     val post = docs.select(col(idCol).as("doc"),
         size(TextOps.tokens(col(textCol))).cast("long").as("dl"),
@@ -472,25 +468,6 @@ object Vocab {
       .join(broadcast(qterms.select("token").distinct()), "token")
       .groupBy("doc", "token")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dfTab = post.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = post
-      .join(broadcast(dfTab), "token")
-      .crossJoin(broadcast(stats))
-      .select(col("token"), col("doc"),
-        (floor(log(((col("n_docs") - col("df")).cast("double") + lit(0.5d)) /
-            (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) * lit(1e6))
-          .cast("long") *
-         expr("(22L*tf*avgdl_q*1000L) div (10L*tf*avgdl_q + 3L*avgdl_q + 9L*dl*1000L)"))
-          .as("contrib"))
-      .join(broadcast(qterms), "token")
-      .groupBy("query_id", "doc")
-      .agg(sum(col("contrib")).as("score_q"))
-    scored.groupBy("query_id")
-      .agg(graft.functions.TopK.agg(
-        col("score_q").cast("double"), col("doc"), k).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("e"))
-      .select(col("query_id"), col("e.rank").as("rank"),
-        col("e.neighbor_id").as("doc_id"),
-        col("e.cos").cast("long").as("score_q"))
+    Retrieval.scoreTopK(post, stats, qterms, k)
   }
 }

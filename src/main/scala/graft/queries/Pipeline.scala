@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Chunking, Contamination, Dedup, KMeans, Multimodal, Packing, Pca, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
+import graft.pipeline.{Chunking, Contamination, Dedup, KMeans, Multimodal, Packing, Pca, Retrieval, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -3098,29 +3098,44 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         Vocab.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
-          Seq(1L -> "spark window merge", 2L -> "hash join table",
-              3L -> "vector stream"), k = 5)
+          bm25Queries, k = 5)
           .orderBy($"query_id", $"rank")
       },
-      Some("""WITH q(query_id, qtext) AS (VALUES (1, 'spark window merge'), (2, 'hash join table'), (3, 'vector stream')),
-             |qt AS (SELECT DISTINCT query_id, u.t AS token FROM q, UNNEST(string_split(qtext,' ')) AS u(t)),
-             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-             |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  (CAST(SUM(len(ws)) AS BIGINT)*1000)//CAST(COUNT(*) AS BIGINT) AS avgdl_q FROM w),
-             |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, u.t AS token FROM w, UNNEST(ws) AS u(t)),
-             |post AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
-             |  FROM t WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
-             |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
-             |sc AS (SELECT qt.query_id, post.doc_id, CAST(SUM(
-             |    CAST(floor(ln((CAST(n_docs - df AS DOUBLE)+0.5)/(CAST(df AS DOUBLE)+0.5)+1.0)*1000000.0) AS BIGINT)
-             |    * ((22*tf*avgdl_q*1000)//(10*tf*avgdl_q + 3*avgdl_q + 9*dl*1000))) AS BIGINT) AS score_q
-             |  FROM post JOIN dfx USING(token) JOIN qt USING(token) CROSS JOIN ad
-             |  GROUP BY 1, 2),
-             |r AS (SELECT query_id, doc_id, score_q,
-             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc)
-             |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin),
+      Some(bm25Oracle),
       "BM25 top-5 per keyword query: broadcast query terms prune postings map-side, exact-integer scoring, bounded TopK ranking"),
+
+    // ---- The same BM25 queries over a STANDING inverted index
+    // (Retrieval.writeIndex/probeTopK): postings partitioned by token
+    // bucket, probe = partition-pruned scan + broadcast stats. Scores
+    // are bit-identical to p88's ad-hoc path, so the oracle is shared —
+    // the entry proves index round-trip fidelity, and the plan proves
+    // the probe touches only the query terms' buckets (PlanSpec).
+    QueryDef(
+      "p88b_bm25_index",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        // index keyed by the corpus FILES (path + mtime + size), so
+        // regenerated testdata can never hit a stale index
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+        val fp = files.sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+          .mkString("|").hashCode
+        val nBuckets = 64 // layout parameter -> part of the index identity
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-bm25idx-" + Integer.toHexString(dir.hashCode) +
+            "-" + Integer.toHexString(fp) + s"-b$nBuckets")
+        if (!new java.io.File(new java.io.File(idx, "postings"),
+            "_SUCCESS").exists())
+          Retrieval.writeIndex(d, idx.toString, nBuckets = nBuckets)
+        Retrieval.probeTopK(s, idx.toString, bm25Queries, k = 5,
+          nBuckets = nBuckets)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(bm25Oracle),
+      "BM25 top-5 over a standing bucket-partitioned inverted index: partition-pruned probe, summed segment stats, shared p88 oracle"),
 
     // ---- Greedy k-center diversity selection (Gonzalez farthest-point
     // traversal): pick 5 maximally-spread embedding vectors and assign
@@ -3137,6 +3152,33 @@ object Pipeline {
       Some(kCenterOracle(5)),
       "greedy k-center (farthest-point) selection of 5 centers + literal-folded nearest-center assignment; one-row driver round-trip per round")
   )
+
+  private lazy val bm25Queries = Seq(
+    1L -> "spark window merge", 2L -> "hash join table",
+    3L -> "vector stream")
+
+  /** Shared by p88 (ad-hoc) and p88b (standing index): the index is a
+    * lossless re-layout of the postings, so both paths produce
+    * bit-identical rows and replay against the same SQL. */
+  private lazy val bm25Oracle =
+         """WITH q(query_id, qtext) AS (VALUES (1, 'spark window merge'), (2, 'hash join table'), (3, 'vector stream')),
+             |qt AS (SELECT DISTINCT query_id, u.t AS token FROM q, UNNEST(string_split(qtext,' ')) AS u(t)),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  (CAST(SUM(len(ws)) AS BIGINT)*1000)//CAST(COUNT(*) AS BIGINT) AS avgdl_q FROM w),
+             |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, u.t AS token FROM w, UNNEST(ws) AS u(t)),
+             |post AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+             |  FROM t WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+             |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+             |sc AS (SELECT qt.query_id, post.doc_id, CAST(SUM(
+             |    CAST(floor(ln((CAST(n_docs - df AS DOUBLE)+0.5)/(CAST(df AS DOUBLE)+0.5)+1.0)*1000000.0) AS BIGINT)
+             |    * ((22*tf*avgdl_q*1000)//(10*tf*avgdl_q + 3*avgdl_q + 9*dl*1000))) AS BIGINT) AS score_q
+             |  FROM post JOIN dfx USING(token) JOIN qt USING(token) CROSS JOIN ad
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score_q,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc)
+             |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin
 
   /** Shared oracle prefix for p72/p73: quantize → per-dim sums →
     * truncated integer means → algebraically-centered integer Gram

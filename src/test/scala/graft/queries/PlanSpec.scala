@@ -495,6 +495,22 @@ class PlanSpec extends SparkSpec {
       s"BM25 ranks through a window (postings-stream shuffle):\n$p")
   }
 
+  test("p88b: index probe prunes token-bucket partitions and pushes the term filter") {
+    // the standing-index contract: a probe must read ONLY the buckets
+    // the query terms hash into (partition pruning = the index lookup),
+    // push `token IN (...)` to the scan, and rank through the bounded
+    // top-k aggregate like every other retrieval tail.
+    val p = plan("p88b_bm25_index")
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.exists(_.contains("tb#")),
+      s"postings scan has no tb partition filter:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(token")),
+      s"token IN filter not pushed to the postings scan:\n$p")
+    assert(p.toLowerCase.contains("partial_topkaggexpr"),
+      s"index probe lost the partial top-k aggregate:\n$p")
+  }
+
   test("q37: z-order block stats partial-aggregate map-side") {
     val p = plan("q37_zorder_layout")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))

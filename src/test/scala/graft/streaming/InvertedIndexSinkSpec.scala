@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.pipeline.{Retrieval, Vocab}
+
+class InvertedIndexSinkSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpusA = (1L to 30L)
+    .map(i => (i, s"spark merge w${i % 5} filler w${i % 3} table"))
+  private val corpusB = (31L to 45L)
+    .map(i => (i, s"spark window w${i % 4} merge merge stream"))
+  private val queries = Seq(1L -> "spark merge", 2L -> "window stream")
+
+  private def fileFingerprint(root: String): Map[String, (Long, Seq[Byte])] =
+    Files.walk(Paths.get(root)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val bytes = Files.readAllBytes(p)
+        Paths.get(root).relativize(p).toString ->
+          (Files.size(p), bytes.take(64).toSeq)
+      }.toMap
+
+  test("segmented appends stay probe-identical to the ad-hoc scorer") {
+    val path = Files.createTempDirectory("inv-idx").toString + "/idx"
+    assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 16))
+    val before = fileFingerprint(path)
+    assert(InvertedIndexSink.mergeBatch(docs(corpusB), path, 1L, nBuckets = 16))
+    val after = fileFingerprint(path)
+    // append-only: every batch-0 file is byte-identical after batch 1
+    before.foreach { case (name, fp) =>
+      assert(after.get(name).contains(fp), s"$name changed")
+    }
+    // probe over the two segments == ad-hoc BM25 over the full corpus
+    // (df and avgdl recomputed exactly from segments, never stale)
+    val probed = Retrieval.probeTopK(spark, path, queries, k = 8,
+        nBuckets = 16)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val adhoc = Vocab.bm25TopK(docs(corpusA ++ corpusB), "doc_id", "text",
+        queries, k = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(probed == adhoc)
+  }
+
+  test("replayed batch is a NOOP; batch writer compaction keeps results") {
+    val path = Files.createTempDirectory("inv-idx2").toString + "/idx"
+    assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 8))
+    val fp = fileFingerprint(path)
+    assert(!InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 8))
+    assert(fileFingerprint(path) == fp, "replay must not touch the index")
+    assert(InvertedIndexSink.appliedBatches(path) == Set(0L))
+    val segmented = Retrieval.probeTopK(spark, path, queries, k = 5,
+        nBuckets = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // compaction: rebuild the same corpus with the batch writer — one
+    // file per bucket instead of one per (bucket, batch), same answers
+    val compacted = Files.createTempDirectory("inv-idx3").toString + "/idx"
+    Retrieval.writeIndex(docs(corpusA), compacted, nBuckets = 8)
+    val probedC = Retrieval.probeTopK(spark, compacted, queries, k = 5,
+        nBuckets = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(segmented == probedC)
+  }
+
+  test("a batch's postings land only in the buckets its tokens hash into") {
+    val path = Files.createTempDirectory("inv-idx4").toString + "/idx"
+    assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 32))
+    val before = fileFingerprint(path)
+    // single-token doc: exactly one bucket may gain a file
+    val one = docs(Seq((99L, "zzzunique")))
+    val tb = one.select(Retrieval.tokenBucket(col("text"), 32))
+      .collect().head.getLong(0)
+    assert(InvertedIndexSink.mergeBatch(one, path, 1L, nBuckets = 32))
+    val added = fileFingerprint(path).keySet -- before.keySet
+    assert(added.exists(_.startsWith(s"postings/tb=$tb/")),
+      s"new posting not in tb=$tb: $added")
+    assert(added.forall(n => n.startsWith(s"postings/tb=$tb/") ||
+        n.startsWith("segstats/")),
+      s"additions outside tb=$tb + segstats: $added")
+  }
+}
