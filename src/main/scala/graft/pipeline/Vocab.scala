@@ -385,8 +385,9 @@ object Vocab {
     * (same determinism scheme as [[unigramLogProb]]).
     *
     * Selection: deterministic top-`topN` by (weight desc, id) — the
-    * argmax variant of the paper's Gumbel resampling (which needs
-    * per-row randomness; a seeded-hash Gumbel would bolt on here).
+    * argmax variant of the paper's Gumbel resampling
+    * ([[dsirResample]] is the sampling variant, with seeded-hash
+    * Gumbel noise instead of per-row randomness).
     *
     * SCALE: the bucket LM is `nBuckets` rows — broadcast, never
     * shuffled; the token stream partial-aggregates to one (doc, count,
@@ -400,6 +401,19 @@ object Vocab {
       docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column,
       nBuckets: Int = 64, topN: Int = 100): DataFrame = {
+    val scored = dsirScored(docs, idCol, textCol, targetPred, nBuckets)
+    val sel = scored.orderBy(col("w_sum").desc, col("doc")).limit(topN)
+      .select(col("doc"), lit(true).as("selected"))
+    scored.join(broadcast(sel), Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"), col("w_sum"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
+  /** Shared DSIR scoring stage: (doc, n_tokens, w_sum) per document,
+    * w_sum = integer micro-nat sum of per-bucket log-ratios. */
+  private def dsirScored(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, nBuckets: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc"), targetPred.as("__t"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .withColumn("b",
@@ -416,13 +430,46 @@ object Vocab {
        floor(log((col("cr").cast("double") + lit(1.0d)) /
           (col("tr").cast("double") + lit(nBuckets.toDouble))) * lit(1e6))
         .cast("long")).as("lw"))
-    val scored = toks.join(broadcast(lw), "b")
+    toks.join(broadcast(lw), "b")
       .groupBy("doc")
       .agg(count(lit(1)).as("n_tokens"), sum("lw").as("w_sum"))
-    val sel = scored.orderBy(col("w_sum").desc, col("doc")).limit(topN)
+  }
+
+  /** DSIR importance RESAMPLING — the paper's actual selection rule:
+    * sample `topN` docs without replacement from softmax(importance
+    * weights) via the Gumbel-top-k trick, keeping the top `topN` by
+    * w + g where g is Gumbel(0,1) noise. Randomness is a seeded hash,
+    * not an RNG: u = (h + 0.5) / 2^52 from 13 md5 hex digits of the
+    * doc id (never 0 or 1, exactly representable), g = −ln(−ln u),
+    * quantized to integer micro-nats to match w_sum's scale — so the
+    * draw is reproducible across engines, partitionings and reruns,
+    * and the DuckDB oracle replays every selected id. Versus
+    * [[dsirWeights]]' argmax, the noise trades a sliver of average
+    * weight for diversity — argmax fills the quota with near-identical
+    * top-scoring boilerplate, the sampled draw doesn't (the paper's
+    * stated reason for resampling over filtering).
+    *
+    * SCALE: identical shape to [[dsirWeights]] — the only additions
+    * are a per-row hash (map-side) and the same TakeOrdered(topN).
+    *
+    * @return (doc, n_tokens, w_sum, gumbel_q, selected)
+    */
+  def dsirResample(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      nBuckets: Int = 64, topN: Int = 100, seed: String = "g1"): DataFrame = {
+    val scored = dsirScored(docs, idCol, textCol, targetPred, nBuckets)
+      .withColumn("__u",
+        (conv(substring(md5(concat(lit(s"gmb:$seed:"), col("doc"))), 1, 13),
+          16, 10).cast("double") + lit(0.5d)) / lit(4503599627370496.0d))
+      .withColumn("gumbel_q",
+        floor(-log(-log(col("__u"))) * lit(1e6)).cast("long"))
+      .withColumn("__key", col("w_sum") + col("gumbel_q"))
+    val sel = scored.orderBy(col("__key").desc, col("doc")).limit(topN)
       .select(col("doc"), lit(true).as("selected"))
     scored.join(broadcast(sel), Seq("doc"), "left")
       .select(col("doc").as(idCol), col("n_tokens"), col("w_sum"),
+        col("gumbel_q"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
 

@@ -3087,6 +3087,43 @@ object Pipeline {
              |FROM scored s ORDER BY s.doc_id""".stripMargin),
       "DSIR importance resampling: hashed-unigram log-ratio weights vs a target distribution, deterministic top-100 selection"),
 
+    // ---- DSIR with the paper's actual Gumbel-top-k draw: sample 100
+    // docs from softmax(weights) without replacement, with the Gumbel
+    // noise seeded from a doc-id hash so the draw is engine-exact. The
+    // oracle replays the hash -> uniform -> Gumbel -> key arithmetic.
+    QueryDef(
+      "p87b_dsir_gumbel",
+      (s, dir) => {
+        import s.implicits._
+        Vocab.dsirResample(T(s, dir, "documents"), "doc_id", "text",
+          targetPred = $"lang" === "en", nBuckets = 64, topN = 100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, u.tok AS tok
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) w,
+             |  UNNEST(w.ws) AS u(tok)),
+             |bt AS (SELECT doc_id, is_t,
+             |  CAST('0x'||substr(md5('dsir:'||tok),1,8) AS BIGINT) % 64 AS b FROM t),
+             |cnt AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |  CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY b),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+             |lw AS (SELECT b,
+             |  CAST(floor(ln((CAST(ct AS DOUBLE)+1.0)/(CAST(tt AS DOUBLE)+64.0))*1000000.0) AS BIGINT)
+             |  - CAST(floor(ln((CAST(cr AS DOUBLE)+1.0)/(CAST(tr AS DOUBLE)+64.0))*1000000.0) AS BIGINT) AS lw
+             |  FROM cnt, tot),
+             |scored AS (SELECT bt.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(lw.lw) AS BIGINT) AS w_sum
+             |  FROM bt JOIN lw USING(b) GROUP BY bt.doc_id),
+             |g AS (SELECT doc_id, n_tokens, w_sum,
+             |  CAST(floor(-ln(-ln((CAST(CAST('0x'||substr(md5('gmb:g1:'||doc_id),1,13) AS BIGINT) AS DOUBLE)+0.5)
+             |    / 4503599627370496.0))*1000000.0) AS BIGINT) AS gumbel_q
+             |  FROM scored),
+             |sel AS (SELECT doc_id FROM g ORDER BY w_sum + gumbel_q DESC, doc_id LIMIT 100)
+             |SELECT doc_id, n_tokens, w_sum, gumbel_q,
+             |  doc_id IN (SELECT doc_id FROM sel) AS selected
+             |FROM g ORDER BY doc_id""".stripMargin),
+      "DSIR Gumbel-top-k resampling: seeded-hash Gumbel noise on the importance weights, engine-exact 100-doc draw"),
+
     // ---- BM25 retrieval (k1=1.2, b=0.75): keyword top-k over the
     // corpus — decontamination lookups and targeted selection. All
     // arithmetic is exact-integer (micro-nat idf, the tf saturation

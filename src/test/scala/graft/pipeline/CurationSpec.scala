@@ -225,6 +225,28 @@ class CurationSpec extends SparkSpec {
     assert(s10.size == 10 && s25.size == 25 && s10.subsetOf(s25))
   }
 
+  test("dsirResample: seeded Gumbel draw is deterministic and seed-sensitive") {
+    import spark.implicits._
+    val docs = (1L to 80L)
+      .map(i => (i, s"tok${i % 11} tok${i % 5} the of tok${i % 7}", i % 4 == 0))
+      .toDF("doc_id", "text", "is_t")
+    def sel(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Vocab.dsirResample(df, "doc_id", "text", col("is_t"),
+          topN = 20, seed = seed)
+        .where(col("selected")).collect().map(_.getLong(0)).toSet
+    val a = sel(docs.repartition(1), "g1")
+    val b = sel(docs.repartition(13), "g1")
+    assert(a == b && a.size == 20) // hash-seeded: partitioning-invariant
+    val c = sel(docs, "g2")
+    assert(c.size == 20 && c != a, "a different seed must change the draw")
+    // the noisy draw stays weight-aware: overlap with the argmax pick
+    // is substantial but not total (that's the point of resampling)
+    val argmax = Vocab.dsirWeights(docs, "doc_id", "text", col("is_t"),
+        topN = 20)
+      .where(col("selected")).collect().map(_.getLong(0)).toSet
+    assert((a intersect argmax).nonEmpty)
+  }
+
   test("bm25TopK: term coverage and rarity drive the ranking") {
     import spark.implicits._
     // doc 1 covers both query terms; doc 2 one; doc 3 none; doc 4 is
