@@ -82,6 +82,41 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k nearest corpus vectors with a DIFFERENT label — the
+    * most-confusable negatives that make embedding-model batches
+    * informative (easy random negatives teach nothing). The dual of
+    * [[knnClassify]]'s same-label voting.
+    *
+    * SCALE: [[bruteForceTopK]]'s shape exactly — the labeled query set
+    * broadcasts with its label, the corpus streams map-side, the
+    * label-mismatch predicate prunes pairs BEFORE scoring, and ranking
+    * is the bounded top-k aggregate. Swap the corpus side for a
+    * bucketed/IVF probe when the negative pool is indexed.
+    *
+    * @return (query_id, rank, neighbor_id, cos) — k hardest negatives
+    *         per query by (cos DESC, neighbor_id)
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"),
+      col(labelCol).as("q_lbl"))
+      .withColumn("q_nrm",
+        graft.functions.Vectors.dotCol(col("q_emb"), col("q_emb"))))
+    val c = Par.widen(corpus.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("e"), col(labelCol).as("c_lbl")))
+      .select(col("neighbor_id"), col("c_lbl"), quantize(col("e")).as("c_emb"))
+      .withColumn("c_nrm", dot(col("c_emb"), col("c_emb")))
+    val scored = q.join(c, col("q_lbl") =!= col("c_lbl"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Sign-bucket LSH key: sign bits of the first `planes` components
     * (axis-aligned hyperplane LSH). Coarse but deterministic; the scale
     * path — corpus is bucketed once, queries probe only their bucket. */

@@ -3187,7 +3187,31 @@ object Pipeline {
           .orderBy($"vec_id")
       },
       Some(kCenterOracle(5)),
-      "greedy k-center (farthest-point) selection of 5 centers + literal-folded nearest-center assignment; one-row driver round-trip per round")
+      "greedy k-center (farthest-point) selection of 5 centers + literal-folded nearest-center assignment; one-row driver round-trip per round"),
+
+    // ---- Hard-negative mining (contrastive training): per query, the
+    // 5 nearest corpus vectors with a DIFFERENT label — the label
+    // predicate prunes pairs before scoring, broadcast queries, corpus
+    // never shuffles, bounded TopK ranking (p7's plan + one predicate).
+    QueryDef(
+      "p90_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        Similarity.hardNegatives(em.filter($"vec_id" < 10), em, 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM q a, q b WHERE a.vec_id < 10 AND a.label <> b.label),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "hard-negative mining: top-5 nearest different-label vectors per query, label predicate pruning pairs before scoring")
   )
 
   private lazy val bm25Queries = Seq(

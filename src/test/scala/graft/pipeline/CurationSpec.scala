@@ -185,6 +185,21 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1, 2L), (2L, 2, 3L)))
   }
 
+  test("hardNegatives: nearest different-label vectors, own label excluded") {
+    import spark.implicits._
+    def emb(x: Double) = Array(x.toFloat, 1.0f)
+    val pool = Seq(
+      (10L, emb(1.0), 1), (11L, emb(0.95), 1), // same label as query 1
+      (12L, emb(0.9), 2), (13L, emb(0.5), 2), (14L, emb(-1.0), 3))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, emb(1.0), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(queries, pool, k = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // 10/11 share the query's label -> excluded even though nearest;
+    // hardest negatives are the closest label-2 vectors, in cos order
+    assert(got.toSeq == Seq((1, 12L), (2, 13L)))
+  }
+
   test("dsirWeights: docs resembling the target distribution score higher") {
     import spark.implicits._
     // target docs speak "alpha beta"; pool doc 10 echoes them, doc 11

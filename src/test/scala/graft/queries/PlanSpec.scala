@@ -465,7 +465,7 @@ class PlanSpec extends SparkSpec {
     // those are fine; the windowless pin applies to the pure-scoring
     // paths where any Window would mean pair-proportional shuffle.
     for (name <- Seq("p7_ann_brute", "p8_ann_lsh", "p8b_ann_prebucket",
-        "p7b_ann_ivf", "p28_knn_label")) {
+        "p7b_ann_ivf", "p28_knn_label", "p90_hard_negatives")) {
       val p = plan(name)
       assert(p.contains("ObjectHashAggregate"),
         s"$name lost the typed top-k aggregate:\n$p")
