@@ -159,7 +159,10 @@ object KMeans {
     *
     * @return (vec_id, center_rank, center_id, dist_q) — one row per
     *         corpus vector; dist_q = exact squared distance to its
-    *         center (0 for the centers themselves)
+    *         center (0 for the centers themselves). If k exceeds the
+    *         corpus size, every vector becomes a center and selection
+    *         stops there (the [[train]] convention: tolerate short
+    *         corpora, never throw mid-job).
     */
   def kCenterSelect(
       corpus: DataFrame, k: Int,
@@ -167,10 +170,12 @@ object KMeans {
     require(k >= 1, s"k-center needs k >= 1, got $k")
     val q = quantized(corpus, idCol, embCol).persist()
     try {
-      val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
+      val seedRows = q.orderBy(col("vec_id")).limit(1).collect()
+      require(seedRows.nonEmpty, "k-center: corpus is empty — nothing to select")
       var cs: IndexedSeq[(Long, Long, IndexedSeq[Long])] = IndexedSeq(
-        (0L, seed.getLong(0), seed.getSeq[Long](1).toIndexedSeq))
-      while (cs.size < k) {
+        (0L, seedRows(0).getLong(0), seedRows(0).getSeq[Long](1).toIndexedSeq))
+      var exhausted = false
+      while (cs.size < k && !exhausted) {
         val dmin = cs.map(c => distTo(c._3)) match {
           case Seq(one) => one
           case many => least(many: _*)
@@ -178,9 +183,13 @@ object KMeans {
         val next = q.filter(!col("vec_id").isin(cs.map(_._2): _*))
           .select(col("vec_id"), col("v"), dmin.as("d"))
           .orderBy(col("d").desc, col("vec_id"))
-          .limit(1).collect()(0)
-        cs = cs :+ ((cs.size.toLong, next.getLong(0),
-          next.getSeq[Long](1).toIndexedSeq))
+          .limit(1).collect()
+        // k > |corpus|: every vector is already a center — stop with
+        // the centers found (the train() convention: tolerate, don't
+        // throw mid-job)
+        if (next.isEmpty) exhausted = true
+        else cs = cs :+ ((cs.size.toLong, next(0).getLong(0),
+          next(0).getSeq[Long](1).toIndexedSeq))
       }
       val best = cs.map { case (rk, _, c) =>
         struct(distTo(c).as("d"), lit(rk).as("rk"))

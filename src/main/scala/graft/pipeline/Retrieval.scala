@@ -99,7 +99,9 @@ object Retrieval {
 
   /** Build the index from scratch: postings partitioned by token
     * bucket (one file per bucket — `repartition` by the partition key)
-    * plus the base `segstats` segment. Overwrites `path`. */
+    * plus the base `segstats` segment and the `docids` sidecar (the
+    * indexed-id set [[graft.streaming.InvertedIndexSink]] anti-joins
+    * redelivered docs against). Overwrites `path`. */
   def writeIndex(
       docs: DataFrame, path: String, nBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -108,6 +110,8 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     segStats(docs, idCol, textCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/segstats")
+    docs.select(col(idCol).cast("long").as("doc")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/docids")
   }
 
   /** BM25 top-k over the standing index. `nBuckets` must match the

@@ -347,22 +347,26 @@ object Similarity {
     // the real fix at 100 TB is raising nPivots (k-means k) so cells
     // stay constant-size — this guard is the backstop for the skewed
     // cell a static quantizer can't avoid.
-    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val hot = sizes.filter(_._2 > maxCell).map(_._1).toSet
+    // maxCell = Long.MaxValue disables the guard (the cross-check
+    // audit's exact-semantics pin) — skip the preflight scan entirely,
+    // its result could never trip
     val withSb =
-      if (hot.isEmpty) assigned.withColumn("sb", lit(""))
+      if (maxCell == Long.MaxValue) assigned.withColumn("sb", lit(""))
       else {
-        val maxHot = sizes.map(_._2).max
-        val planesEff = math.min(16,
-          64 - java.lang.Long.numberOfLeadingZeros(
-            math.max(1L, maxHot / 64L)).toInt)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"semanticDedup: ${hot.size} cell(s) over maxCell=$maxCell " +
-            s"sub-blocked at planes=$planesEff")
-        assigned.withColumn("sb",
-          when(col("cell").isInCollection(hot),
-            signBucket(col("c_emb"), planesEff)).otherwise(lit("")))
+        val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hot = sizes.filter(_._2 > maxCell).map(_._1).toSet
+        if (hot.isEmpty) assigned.withColumn("sb", lit(""))
+        else {
+          val planesEff = adaptivePlanes(sizes.map(_._2).max, 1,
+            piv.head._2.size)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"semanticDedup: ${hot.size} cell(s) over maxCell=$maxCell " +
+              s"sub-blocked at planes=$planesEff")
+          assigned.withColumn("sb",
+            when(col("cell").isInCollection(hot),
+              signBucket(col("c_emb"), planesEff)).otherwise(lit("")))
+        }
       }
     val a = withSb.select(col("neighbor_id").as("id_a"),
       col("c_emb").as("ea"), col("c_nrm").as("na"),
@@ -564,6 +568,20 @@ object Similarity {
       .where(col("cos") > threshold)
   }
 
+  /** Skew-adaptive sign-bucket plane count, shared by
+    * [[cosinePairsGuarded]] and [[semanticDedup]]: enough planes that
+    * the EXPECTED per-bucket population of the hottest block is ~64
+    * rows, so the in-bucket quadratic stays flat as blocks grow 100x.
+    * Capped at 16 planes (64Ki buckets) AND at the vector dimension —
+    * [[signBucket]] reads one component per plane, so positions past
+    * the end would all contribute the same bit and silently weaken the
+    * sub-blocking. Pure function of the measured sizes: deterministic.
+    */
+  private def adaptivePlanes(maxHot: Long, floorPlanes: Int, dim: Int): Int =
+    math.min(math.min(16, math.max(1, dim)), math.max(floorPlanes,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, maxHot / 64L)).toInt))
+
   /** [[cosinePairs]] behind a block-size guard — the production entry
     * point. Metadata blocks square: a label holding b rows costs b²/2
     * comparisons no matter how the join is salted, so blocks whose
@@ -588,14 +606,9 @@ object Similarity {
     val hot = sizes.filter(_._2 > maxBlock).map(_._1)
     if (hot.isEmpty)
       return cosinePairs(df, blockCol, threshold, idCol, embCol, salts)
-    // scale the sub-blocking to the skew: enough planes that the
-    // EXPECTED per-(label,bucket) population is ~64 rows, so the
-    // in-bucket quadratic stays flat as blocks grow 100x (the plane
-    // count is a pure function of the measured sizes — deterministic).
-    // Capped at 16 planes (64Ki buckets) and by the vector dimension.
     val maxHot = sizes.map(_._2).max
-    val planesEff = math.min(16, math.max(planes,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxHot / 64L)).toInt))
+    val dim = df.select(size(col(embCol)).cast("int")).first().getInt(0)
+    val planesEff = adaptivePlanes(maxHot, planes, dim)
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"cosinePairsGuarded: ${hot.length} block(s) over maxBlock=$maxBlock " +
         s"diverted to sign-bucket sub-blocking (planes=$planesEff): " +

@@ -22,26 +22,37 @@ object Pipeline {
   /** Shared DuckDB CTE: tokenized documents. */
   private val W = "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)"
 
-  /** Media fixtures (encoded PNG/WAV/AVI payloads) are pure functions of
-    * the testdata, so they build once per (testdata fingerprint, key)
-    * into tmp parquet and every later run reads the cache — benches then
-    * time the DECODE pipeline under test, not fixture encoding. Keyed by
-    * file path+mtime+size exactly like the ANN index caches, so
-    * regenerated testdata can never hit stale media. */
-  private def cachedMedia(
-      s: org.apache.spark.sql.SparkSession, dir: String, key: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val src = new java.io.File(s"$dir/documents.parquet")
+  /** Tmp-cached derived artifact (media fixtures, ANN/BM25 indexes):
+    * the cache key fingerprints the source table's parquet part files
+    * (name + mtime + size), so regenerated testdata can never hit a
+    * stale artifact; layout parameters belong in `key`. `build` runs
+    * once per (fingerprint, key) — decided by the `ready` marker —
+    * then every run reads the cached path, so benches time the
+    * pipeline under test, not artifact construction. */
+  private def cachedArtifact(
+      dir: String, table: String, key: String,
+      ready: String = "_SUCCESS")(build: java.io.File => Unit): java.io.File = {
+    val src = new java.io.File(s"$dir/$table.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
     val fp = files.sortBy(_.getName)
       .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
       .mkString("|").hashCode
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-media-$key-" + Integer.toHexString(dir.hashCode) +
+      s"graft-$key-" + Integer.toHexString(dir.hashCode) +
         "-" + Integer.toHexString(fp))
-    if (!new java.io.File(out, "_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(out.toString)
+    if (!new java.io.File(out, ready).exists()) build(out)
+    out
+  }
+
+  /** Media fixtures (encoded PNG/WAV/AVI payloads) built once into the
+    * artifact cache. */
+  private def cachedMedia(
+      s: org.apache.spark.sql.SparkSession, dir: String, key: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val out = cachedArtifact(dir, "documents", s"media-$key") { o =>
+      build.write.mode("overwrite").parquet(o.toString)
+    }
     s.read.parquet(out.toString)
   }
 
@@ -422,20 +433,10 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         val em = T(s, dir, "embeddings")
-        // index keyed by the corpus FILES (path + mtime + size), so
-        // regenerated testdata can never hit a stale index
-        val src = new java.io.File(s"$dir/embeddings.parquet")
-        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-        val fp = files.sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-          .mkString("|").hashCode
         val nPivots = 8 // layout parameter -> part of the index identity
-        val idx = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-ivfidx-" + Integer.toHexString(dir.hashCode) +
-            "-" + Integer.toHexString(fp) + s"-p$nPivots")
-        if (!new java.io.File(idx, "_SUCCESS").exists())
-          Similarity.writeIvfCorpus(em, idx.toString, nPivots = nPivots)
+        val idx = cachedArtifact(dir, "embeddings", s"ivfidx-p$nPivots") {
+          o => Similarity.writeIvfCorpus(em, o.toString, nPivots = nPivots)
+        }
         Similarity.probeIvfTopK(s, em.filter($"vec_id" < 10),
           idx.toString, 3, nProbe = 2)
           .orderBy($"query_id", $"rank")
@@ -531,20 +532,10 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         val em = T(s, dir, "embeddings")
-        // index path keyed by the corpus FILES (path + mtime + size),
-        // so regenerated testdata can never hit a stale index
-        val src = new java.io.File(s"$dir/embeddings.parquet")
-        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-        val fp = files.sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-          .mkString("|").hashCode
         val planes = 4 // layout parameter -> part of the index identity
-        val idx = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-annidx-" + Integer.toHexString(dir.hashCode) +
-            "-" + Integer.toHexString(fp) + s"-p$planes")
-        if (!new java.io.File(idx, "_SUCCESS").exists())
-          Similarity.writeBucketedCorpus(em, idx.toString, planes = planes)
+        val idx = cachedArtifact(dir, "embeddings", s"annidx-p$planes") {
+          o => Similarity.writeBucketedCorpus(em, o.toString, planes = planes)
+        }
         Similarity.probeBucketedTopK(s, em.filter($"vec_id" < 10),
           idx.toString, 3, planes = planes, multiProbe = 1)
           .orderBy($"query_id", $"rank")
@@ -3011,19 +3002,11 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         val em = T(s, dir, "embeddings")
-        val src = new java.io.File(s"$dir/embeddings.parquet")
-        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-        val fp = files.sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-          .mkString("|").hashCode
         val planes = 4
-        val idx = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-annidx-meta-" + Integer.toHexString(dir.hashCode) +
-            "-" + Integer.toHexString(fp) + s"-p$planes")
-        if (!new java.io.File(idx, "_SUCCESS").exists())
-          Similarity.writeBucketedCorpus(em, idx.toString, planes = planes,
+        val idx = cachedArtifact(dir, "embeddings", s"annidx-meta-p$planes") {
+          o => Similarity.writeBucketedCorpus(em, o.toString, planes = planes,
             metaCols = Seq("label"))
+        }
         Similarity.probeBucketedTopK(s, em.filter($"vec_id" < 10),
           idx.toString, 3, planes = planes, multiProbe = 1,
           metaFilter = Some($"label" % 2 === 0))
@@ -3152,21 +3135,11 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         val d = T(s, dir, "documents")
-        // index keyed by the corpus FILES (path + mtime + size), so
-        // regenerated testdata can never hit a stale index
-        val src = new java.io.File(s"$dir/documents.parquet")
-        val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-        val fp = files.sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-          .mkString("|").hashCode
         val nBuckets = 64 // layout parameter -> part of the index identity
-        val idx = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-bm25idx-" + Integer.toHexString(dir.hashCode) +
-            "-" + Integer.toHexString(fp) + s"-b$nBuckets")
-        if (!new java.io.File(new java.io.File(idx, "postings"),
-            "_SUCCESS").exists())
-          Retrieval.writeIndex(d, idx.toString, nBuckets = nBuckets)
+        val idx = cachedArtifact(dir, "documents", s"bm25idx-b$nBuckets",
+            ready = "postings/_SUCCESS") {
+          o => Retrieval.writeIndex(d, o.toString, nBuckets = nBuckets)
+        }
         Retrieval.probeTopK(s, idx.toString, bm25Queries, k = 5,
           nBuckets = nBuckets)
           .orderBy($"query_id", $"rank")
@@ -3304,15 +3277,6 @@ object Pipeline {
     }.mkString(",\n")
   }
 
-  /** DuckDB replay of [[graft.pipeline.Vocab.bpeTrain]]'s `rounds`
-    * greedy rounds: the word-TYPE table is encoded once as
-    * `|c||h||a||r|` (injective per word, so grouping by seq = grouping
-    * by token), then each round is three chained CTEs — adjacent-pair
-    * counts via lateral UNNEST over the split symbol list, the 1-row
-    * argmax `(n DESC, a, b)`, and the merge as a single REPLACE whose
-    * left-to-right non-overlapping scan is exactly the Spark side's
-    * greedy fold (same trick as [[bpeReplaceChain]]). MATERIALIZED
-    * keeps DuckDB from re-running a round per downstream reference. */
   /** Unrolled greedy k-center oracle: c0 = the lowest-id vector; round
     * t folds the newest center into the running min-distance (LEAST)
     * and picks the unchosen argmax (ties: lowest vec_id) — the exact
@@ -3350,6 +3314,15 @@ object Pipeline {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.pipeline.Vocab.bpeTrain]]'s `rounds`
+    * greedy rounds: the word-TYPE table is encoded once as
+    * `|c||h||a||r|` (injective per word, so grouping by seq = grouping
+    * by token), then each round is three chained CTEs — adjacent-pair
+    * counts via lateral UNNEST over the split symbol list, the 1-row
+    * argmax `(n DESC, a, b)`, and the merge as a single REPLACE whose
+    * left-to-right non-overlapping scan is exactly the Spark side's
+    * greedy fold (same trick as [[bpeReplaceChain]]). MATERIALIZED
+    * keeps DuckDB from re-running a round per downstream reference. */
   private def bpeTrainOracle(rounds: Int): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """w0 AS MATERIALIZED (

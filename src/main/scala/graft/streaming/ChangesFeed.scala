@@ -102,6 +102,13 @@ object SeqTok {
     if (n == null || n.isMissingNode || n.isNull) Zero
     else if (n.isTextual) parse(n.asText())
     else SeqTok(n.asLong(), None)
+
+  /** [[ofNode]] that yields None for a seq that parses to neither
+    * shape (e.g. `"now"`) instead of throwing — paging/admission loops
+    * skip such rows, mirroring [[ChangesFeed.parseNode]]'s skip
+    * semantics, so one malformed seq never kills a streaming query. */
+  def ofNodeOpt(n: JsonNode): Option[SeqTok] =
+    try Some(ofNode(n)) catch { case _: NumberFormatException => None }
 }
 
 object ChangesFeed {

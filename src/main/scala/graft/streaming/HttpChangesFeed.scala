@@ -125,7 +125,8 @@ final class HttpChangesFeed(
         s"&timeout=$waitMs&heartbeat=5000",
       reqTimeoutMs = waitMs + timeoutMs)
     val n = mapper.readTree(body)
-    val last = SeqTok.ofNode(n.path("last_seq"))
+    // unparseable last_seq = no observable progress, keep waiting
+    val last = SeqTok.ofNodeOpt(n.path("last_seq")).getOrElse(since)
     if (last.ord > since.ord) last else since
   }
 
@@ -204,12 +205,15 @@ final class HttpChangesFeed(
             var last = cursor
             while (i < results.size() && !exhausted) {
               val node = results.get(i)
-              val tok = SeqTok.ofNode(node.path("seq"))
-              if (tok.ord > until.ord) exhausted = true
-              else {
-                ChangesFeed.parseNode(mapper, node).foreach(out += _)
-                last = tok
-                if (until.token.contains(tok.sinceParam)) exhausted = true
+              // unparseable seq: skip the row without advancing the
+              // cursor, exactly like parseNode skips the change
+              SeqTok.ofNodeOpt(node.path("seq")).foreach { tok =>
+                if (tok.ord > until.ord) exhausted = true
+                else {
+                  ChangesFeed.parseNode(mapper, node).foreach(out += _)
+                  last = tok
+                  if (until.token.contains(tok.sinceParam)) exhausted = true
+                }
               }
               i += 1
             }
@@ -245,13 +249,15 @@ final class HttpChangesFeed(
         val prevCursor = cursor
         var i = 0
         while (i < results.size() && remaining > 0) {
-          val tok = SeqTok.ofNode(results.get(i).path("seq"))
-          if (tok.ord > cursor.ord ||
-              (tok.ord == cursor.ord && tok.sinceParam != cursor.sinceParam))
-            cursor = tok
-          if (tok.ord > since.ord && tok.ord <= capOrd) {
-            last = tok; remaining -= 1
-          } else if (tok.ord > capOrd) remaining = 0
+          // unparseable seq: skip the row (see changesTok)
+          SeqTok.ofNodeOpt(results.get(i).path("seq")).foreach { tok =>
+            if (tok.ord > cursor.ord ||
+                (tok.ord == cursor.ord && tok.sinceParam != cursor.sinceParam))
+              cursor = tok
+            if (tok.ord > since.ord && tok.ord <= capOrd) {
+              last = tok; remaining -= 1
+            } else if (tok.ord > capOrd) remaining = 0
+          }
           i += 1
         }
         if (results.size() < page ||

@@ -35,10 +35,19 @@ import graft.pipeline.Retrieval
   * and the log append replays into identical file names. Because no
   * statistic is stored per token (df is counted at probe time from the
   * pruned postings), appends never invalidate anything — the segmented
-  * index is probe-consistent after every committed batch. Documents
-  * are append-only (ids are new), the standard segment contract;
-  * re-ingesting a changed doc needs a rewrite, which is the batch
-  * writer's job.
+  * index is probe-consistent after every committed batch.
+  *
+  * Cross-batch redelivery (a changes-feed UPDATE re-emitting a doc id
+  * in a later batch) is FIRST-WRITE-WINS: every segment records its id
+  * set under `docids/`, and a new batch anti-joins against the union
+  * of prior segments' sidecars — without this, a redelivered id would
+  * silently append duplicate postings and double-count n_docs/df. The
+  * check reads only the narrow id column (the Lucene "applied ids"
+  * idea); the replaying batch's OWN sidecar is excluded from the read,
+  * so a crash-replay regenerates its full file set instead of
+  * anti-joining itself to empty. Re-ingesting CHANGED text for an
+  * indexed id needs a rebuild, which is the batch writer's job
+  * ([[graft.pipeline.Retrieval.writeIndex]]).
   *
   * SCALE: cost per batch is O(|batch postings| + touched buckets); the
   * index grows one small file per touched bucket per batch — compact
@@ -54,7 +63,30 @@ object InvertedIndexSink {
       batch: DataFrame, path: String, batchId: Long, nBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Boolean = {
     if (appliedBatches(path).contains(batchId)) return false
-    val docs = batch.dropDuplicates(idCol)
+    val inBatch = batch.dropDuplicates(idCol)
+    // first-write-wins: drop ids already indexed by PRIOR segments
+    // (this batch's own sidecar excluded — crash-replay must not
+    // anti-join itself to empty)
+    val priorIds = {
+      val dir = Paths.get(path, "docids")
+      if (!Files.exists(dir)) Seq.empty[String]
+      else scala.util.Using.resource(Files.list(dir)) { st =>
+        st.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && n != s"batch-$batchId.parquet"
+          }
+          .map(_.toString).toSeq.sorted
+      }
+    }
+    val docs =
+      if (priorIds.isEmpty) inBatch
+      else {
+        val known = batch.sparkSession.read.parquet(priorIds: _*)
+          .withColumnRenamed("doc", "__known")
+        inBatch.join(known,
+          inBatch(idCol).cast("long") === col("__known"), "left_anti")
+      }
     val rows = Retrieval.postingRows(docs, nBuckets, idCol, textCol)
     val staging = s"$path/_staging_batch_$batchId"
     rows.repartition(col("tb"))
@@ -95,12 +127,26 @@ object InvertedIndexSink {
     Files.createDirectories(segDest)
     Files.move(statFile, segDest.resolve(s"batch-$batchId.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    // commit marker AFTER the moves; then clean both staging trees
+    // the segment's id sidecar: the set future batches anti-join on
+    val idStaging = s"$path/_staging_ids_$batchId"
+    docs.select(col(idCol).cast("long").as("doc"))
+      .coalesce(1).write.mode("overwrite").parquet(idStaging)
+    val idDir = Paths.get(idStaging)
+    val idFile = scala.util.Using.resource(Files.list(idDir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString).head
+    }
+    val idDest = Paths.get(path, "docids")
+    Files.createDirectories(idDest)
+    Files.move(idFile, idDest.resolve(s"batch-$batchId.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // commit marker AFTER the moves; then clean the staging trees
     Files.createDirectories(Paths.get(path))
     Files.write(logPath(path), s"$batchId\n".getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    Seq(stagingDir, statDir).foreach { d =>
+    Seq(stagingDir, statDir, idDir).foreach { d =>
       scala.util.Using.resource(Files.walk(d)) { st =>
         st.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.toList

@@ -69,6 +69,15 @@ class KMeansSpec extends SparkSpec {
     assert(a.sorted == b.sorted)
   }
 
+  test("kCenterSelect: k beyond the corpus stops at |corpus| centers") {
+    val tiny = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 1f)),
+      (3L, Array(2f, 2f))).toDF("vec_id", "embedding")
+    val out = KMeans.kCenterSelect(tiny, k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.length == 3 && out.forall(_._2 == 0L),
+      "every vector becomes its own center, no crash")
+  }
+
   test("assignment ties break to the lowest cluster id") {
     // identical seed centroids: every point is equidistant to both, so
     // all of them must land on cid 0 deterministically

@@ -29,13 +29,17 @@ final class StubCouch(db: String) {
   /** CouchDB 2/3 emulation: seqs as opaque `"N-tok"` strings; `since`
     * must be 0 or a full token — a bare interior ordinal gets 400. */
   @volatile var opaque = false
+  /** Fault injection: the change with this seq is emitted with the
+    * unorderable seq literal `"now"` (neither numeric nor `N-blob`). */
+  @volatile var malformedSeqAt = -1L
   @volatile var requests = 0
 
   private var server: HttpServer = _
 
   def tokenOf(n: Long): String = s"$n-g1AA$n"
   private def seqLit(n: Long): String =
-    if (opaque) "\"" + tokenOf(n) + "\"" else n.toString
+    if (n == malformedSeqAt) "\"now\""
+    else if (opaque) "\"" + tokenOf(n) + "\"" else n.toString
 
   private def chgJson(c: Chg, includeDocs: Boolean, allDocs: Boolean): String = {
     val del = if (c.deleted) ""","deleted":true""" else ""
@@ -163,6 +167,21 @@ class HttpChangesFeedSpec extends SparkSpec {
       assert(feed.nthSeqAfter(25, 100, Long.MaxValue) == 30L) // fewer than n
       assert(feed.nthSeqAfter(0, 100, 17L) == 17L)            // cap wins
       assert(feed.nthSeqAfter(30, 5, Long.MaxValue) == 30L)   // nothing new
+    }
+  }
+
+  test("a malformed seq is skipped, not fatal — paging and admission survive") {
+    withCouch() { (couch, url) =>
+      seed(couch, 10)
+      couch.malformedSeqAt = 5L // row 5's seq arrives as "now"
+      val feed = new HttpChangesFeed(url, "testdb", pageSize = 4)
+      // the row with the unorderable seq is dropped (parseNode skip
+      // semantics); everything around it pages through
+      val got = feed.changesTok(SeqTok.Zero, SeqTok(10L, None)).toVector
+      assert(got.map(_.seq) == Vector(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L))
+      // admission control counts the well-formed rows and never throws
+      val t = feed.nthSeqTokAfter(SeqTok.Zero, 9, Long.MaxValue)
+      assert(t.ord == 10L)
     }
   }
 

@@ -73,6 +73,26 @@ class InvertedIndexSinkSpec extends SparkSpec {
     assert(segmented == probedC)
   }
 
+  test("cross-batch redelivery of a doc id is dropped (first write wins)") {
+    val path = Files.createTempDirectory("inv-idx5").toString + "/idx"
+    assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 8))
+    // batch 1 redelivers id 5 (changed text!) alongside a new doc 50
+    val redelivered = Seq((5L, "spark spark spark merge merge merge"),
+      (50L, "spark window merge stream"))
+    assert(InvertedIndexSink.mergeBatch(docs(redelivered), path, 1L,
+      nBuckets = 8))
+    // the index must score as if only the NEW doc was ingested: doc 5
+    // keeps its batch-0 postings, n_docs/df are not double-counted
+    val probed = Retrieval.probeTopK(spark, path, queries, k = 10,
+        nBuckets = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val adhoc = Vocab.bm25TopK(
+        docs(corpusA :+ (50L, "spark window merge stream")),
+        "doc_id", "text", queries, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(probed == adhoc)
+  }
+
   test("a batch's postings land only in the buckets its tokens hash into") {
     val path = Files.createTempDirectory("inv-idx4").toString + "/idx"
     assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 32))
@@ -86,7 +106,7 @@ class InvertedIndexSinkSpec extends SparkSpec {
     assert(added.exists(_.startsWith(s"postings/tb=$tb/")),
       s"new posting not in tb=$tb: $added")
     assert(added.forall(n => n.startsWith(s"postings/tb=$tb/") ||
-        n.startsWith("segstats/")),
-      s"additions outside tb=$tb + segstats: $added")
+        n.startsWith("segstats/") || n.startsWith("docids/")),
+      s"additions outside tb=$tb + sidecars: $added")
   }
 }
