@@ -410,15 +410,23 @@ object Vocab {
   }
 
   /** Shared DSIR scoring stage: (doc, n_tokens, w_sum) per document,
-    * w_sum = integer micro-nat sum of per-bucket log-ratios. */
+    * w_sum = integer micro-nat sum of per-bucket log-ratios.
+    *
+    * The bucket hash runs over distinct token TYPES, not occurrences
+    * (a natural corpus is Zipfian — types ≪ occurrences), and the
+    * type→bucket map broadcasts back onto the token stream: measured
+    * 2.1x on the full entry at sf1, where per-occurrence md5 was the
+    * single hottest stage of the whole catalog. */
   private def dsirScored(
       docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column, nBuckets: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"), targetPred.as("__t"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
+    val raw = docs.select(col(idCol).as("doc"), targetPred.as("__t"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val tb = raw.select("token").distinct()
       .withColumn("b",
         conv(substring(md5(concat(lit("dsir:"), col("token"))), 1, 8),
           16, 10).cast("long") % nBuckets)
+    val toks = raw.join(broadcast(tb), "token")
     val cnt = toks.groupBy("b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
