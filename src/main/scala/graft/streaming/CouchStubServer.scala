@@ -105,6 +105,18 @@ final class CouchStubServer(
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
       val method = ex.getRequestMethod
       if (slowMs > 0L) Thread.sleep(slowMs)
+      if (maybeServeContinuous(ex, path, params)) ()
+      else serveBuffered(ex, path, params, method)
+    })
+    server.start()
+    server.getAddress.getPort
+  }
+
+  /** The original buffered request/response path (everything except
+    * `feed=continuous`). */
+  private def serveBuffered(
+      ex: HttpExchange, path: String,
+      params: Map[String, String], method: String): Unit = {
       val body: (Int, String) =
         if (reqCount.incrementAndGet() <= rateLimitFirst) {
           rateLimited.increment()
@@ -198,9 +210,61 @@ final class CouchStubServer(
         ex.getResponseBody.write(bytes)
         ex.close()
       }
-    })
-    server.start()
-    server.getAddress.getPort
+  }
+
+  /** `feed=continuous` — the reference's socket mode (follow.Feed,
+    * lib/index.js:243-290): every change after `since` streams as one
+    * line of JSON over a chunked response, the connection is then held
+    * open emitting heartbeat BLANK lines until the server `timeout`
+    * elapses, and a `{"last_seq":N}` trailer line closes the feed —
+    * the documented continuous format. [[dropChangesRequest]] cuts the
+    * stream after half the changes with no trailer (socket drop
+    * mid-feed); the client must resume from the last consumed seq. */
+  private def maybeServeContinuous(
+      ex: HttpExchange, path: String,
+      params: Map[String, String]): Boolean = {
+    if (path != s"/$db/_changes" ||
+        !params.get("feed").contains("continuous")) return false
+    reqCount.incrementAndGet()
+    val sinceRaw = params.getOrElse("since", "0")
+    changesSinceRaw.add(sinceRaw)
+    val since =
+      if (sinceRaw == "0" || sinceRaw == "now") 0L
+      else {
+        val i = sinceRaw.indexOf('-')
+        if (i > 0 && sinceRaw.substring(0, i).forall(_.isDigit))
+          sinceRaw.substring(0, i).toLong
+        else sinceRaw.toLong
+      }
+    changesSinceLog.add(since)
+    val from = math.min(math.max(since, 0L), lines.length.toLong).toInt
+    val cut = dropChangesRequest > 0 && {
+      val hit = changesSeen.incrementAndGet() == dropChangesRequest.toLong
+      if (hit) dropChangesRequest = 0
+      hit
+    }
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0) // length 0 = chunked, held open
+    val os = ex.getResponseBody
+    val rest = lines.drop(from)
+    val emit = if (cut) rest.take(math.max(1, rest.length / 2)) else rest
+    emit.foreach { l =>
+      os.write((seqify(l) + "\n").getBytes("UTF-8")); os.flush()
+    }
+    if (cut) { ex.close(); return true }
+    val timeoutMs =
+      math.min(params.getOrElse("timeout", "500").toLong, 2000L)
+    val hbMs = math.max(10L,
+      math.min(params.getOrElse("heartbeat", "100").toLong, 100L))
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      Thread.sleep(hbMs)
+      os.write('\n'); os.flush() // heartbeat: blank line
+    }
+    os.write(s"""{"last_seq":${seqLit(lines.length.toLong)}}\n"""
+      .getBytes("UTF-8"))
+    ex.close()
+    true
   }
 
   def stop(): Unit = if (server != null) {

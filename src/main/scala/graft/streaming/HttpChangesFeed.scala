@@ -130,6 +130,65 @@ final class HttpChangesFeed(
     if (last.ord > since.ord) last else since
   }
 
+  /** One `feed=continuous` session — the reference's actual socket
+    * mode (follow.Feed with inactivity_ms, lib/index.js:243-290): the
+    * server streams line-delimited change objects over a held-open
+    * chunked response, interleaves heartbeat BLANK lines while quiet,
+    * and closes with a `{"last_seq":...}` trailer after `timeout` ms
+    * without changes. Consumes the whole session and returns (events,
+    * resume token) — the trailer's last_seq, or the last consumed seq
+    * if the socket cut before the trailer, so a crash mid-stream
+    * resumes exactly where the reference's restart logic would
+    * (lib/index.js:247). Malformed seqs and unparseable lines are
+    * skipped, like everywhere else in this client. */
+  def changesContinuous(
+      since: SeqTok, serverTimeoutMs: Long = 500L,
+      includeDocs: Boolean = true): (Vector[ChangeEvent], SeqTok) = {
+    val q = s"/$db/_changes?feed=continuous&include_docs=$includeDocs" +
+      s"&since=${since.sinceParam}&timeout=$serverTimeoutMs" +
+      s"&heartbeat=5000$styleParam"
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$q"))
+      .timeout(Duration.ofMillis(serverTimeoutMs + timeoutMs))
+      .GET()
+    authHeader.foreach(b.header("Authorization", _))
+    val resp = client.send(b.build(),
+      HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() == 404)
+      throw new FeedGoneException(s"$baseUrl/$db not found (no_db_file)")
+    if (resp.statusCode() >= 400)
+      throw new java.io.IOException(
+        s"GET /$db/_changes feed=continuous -> HTTP ${resp.statusCode()}")
+    val out = Vector.newBuilder[ChangeEvent]
+    var last = since
+    val rdr = new java.io.BufferedReader(
+      new java.io.InputStreamReader(resp.body(), StandardCharsets.UTF_8))
+    try {
+      var done = false
+      var line = rdr.readLine()
+      while (line != null && !done) {
+        val t = line.trim // heartbeats arrive as blank lines
+        if (t.nonEmpty) {
+          val n = mapper.readTree(t)
+          if (n.has("last_seq")) {
+            SeqTok.ofNodeOpt(n.get("last_seq"))
+              .foreach(lt => if (lt.ord > last.ord) last = lt)
+            done = true
+          } else {
+            ChangesFeed.parseNode(mapper, n).foreach(out += _)
+            SeqTok.ofNodeOpt(n.path("seq"))
+              .foreach(tok => if (tok.ord > last.ord) last = tok)
+          }
+        }
+        if (!done) line = rdr.readLine()
+      }
+    } catch {
+      // mid-stream socket cut: keep what was consumed; `last` is the
+      // exact resume point (at-least-once, like the paged path)
+      case _: java.io.IOException => ()
+    } finally rdr.close()
+    (out.result(), last)
+  }
+
   /** `doc_count` from the db info document — exactly what the
     * reference's nagios check reads (nagios-check_couch_postgres_count:
     * 25). */

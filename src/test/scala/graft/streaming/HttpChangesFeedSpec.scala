@@ -220,6 +220,51 @@ class HttpChangesFeedSpec extends SparkSpec {
     finally stub.stop()
   }
 
+  test("continuous feed: line-delimited events, heartbeats, trailer token") {
+    withFaultCouch(12) { (_, url) =>
+      val feed = new HttpChangesFeed(url, "fdb")
+      val (evs, tok) = feed.changesContinuous(SeqTok.Zero,
+        serverTimeoutMs = 300L)
+      assert(evs.map(_.seq) == (1L to 12L).toVector)
+      assert(evs.forall(_.doc != null)) // include_docs rode the stream
+      assert(tok.ord == 12L)
+      // a quiet follow-up session: only heartbeats, trailer returns the
+      // same high-water, no events
+      val (more, tok2) = feed.changesContinuous(tok, serverTimeoutMs = 300L)
+      assert(more.isEmpty && tok2.ord == 12L)
+    }
+  }
+
+  test("continuous feed: mid-stream cut resumes from the last consumed seq") {
+    withFaultCouch(12) { (stub, url) =>
+      stub.dropChangesRequest = 1 // cut the first session after half
+      val feed = new HttpChangesFeed(url, "fdb")
+      val (first, tok) = feed.changesContinuous(SeqTok.Zero,
+        serverTimeoutMs = 300L)
+      assert(first.nonEmpty && first.length < 12)
+      assert(tok.ord == first.last.seq) // resume point = last consumed
+      val (rest, tok2) = feed.changesContinuous(tok, serverTimeoutMs = 300L)
+      assert((first ++ rest).map(_.seq) == (1L to 12L).toVector,
+        "resume must lose nothing and repeat nothing")
+      assert(tok2.ord == 12L)
+    }
+  }
+
+  test("continuous feed on an opaque-seq server carries full tokens") {
+    withFaultCouch(8) { (stub, url) =>
+      stub.opaqueSeqs = true
+      val feed = new HttpChangesFeed(url, "fdb")
+      val (evs, tok) = feed.changesContinuous(SeqTok.Zero,
+        serverTimeoutMs = 300L)
+      assert(evs.map(_.seq) == (1L to 8L).toVector)
+      assert(tok.ord == 8L && tok.token.exists(_.contains("-g1AA")))
+      // resuming hands the server the FULL token, not a bare ordinal
+      val (_, _) = feed.changesContinuous(tok, serverTimeoutMs = 300L)
+      val raws = stub.changesSinceRaw.toArray(Array.empty[String]).toSeq
+      assert(raws.last.contains("-g1AA"), s"bare ordinal leaked: $raws")
+    }
+  }
+
   test("429 with Retry-After is retried in-client and recovers transparently") {
     withFaultCouch(5) { (stub, url) =>
       stub.rateLimitFirst = 2
