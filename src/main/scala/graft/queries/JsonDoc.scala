@@ -453,6 +453,46 @@ object JsonDoc {
              |  ',"h":"' || md5(text) || '"}' AS doc
              |FROM documents WHERE doc_id % 7 <> 0
              |ORDER BY id""".stripMargin),
-      "full streaming plane: DSv2 changes source -> checkpoint -> rev-guarded merge, final store hash-matched")
+      "full streaming plane: DSv2 changes source -> checkpoint -> rev-guarded merge, final store hash-matched"),
+
+    // ---- Streaming RETRIEVAL under the correctness gate: the document
+    // corpus as an insert-only `_changes` feed (synthesized
+    // distributed — to_json + write.text, no driver collect), replayed
+    // through couch-changes source → checkpoint → InvertedIndexSink in
+    // admission-controlled micro-batches, then probed with the p88
+    // queries. The stream-maintained segmented index must answer
+    // BIT-IDENTICALLY to ad-hoc BM25 over the table — the oracle IS
+    // p88's. S1→S3→index closes the loop the AnnIndexSink specs only
+    // scalatest.
+    QueryDef(
+      "j20_streaming_index",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+        val base = java.nio.file.Files.createTempDirectory("j20")
+        val staged = base.resolve("staged")
+        d.select(to_json(struct(
+            ($"doc_id" + 1L).as("seq"),
+            $"doc_id".cast("string").as("id"),
+            array(struct(lit("1-a").as("rev"))).as("changes"),
+            struct($"text").as("doc"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(staged.toString)
+        val feed = base.resolve("feed")
+        java.nio.file.Files.createDirectories(feed)
+        // the file feed reads *.jsonl — adopt the staged part file
+        val part = staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+          .toSeq.sortBy(_.getName).head
+        java.nio.file.Files.move(part.toPath, feed.resolve("f.jsonl"))
+        val nDocs = d.count()
+        graft.streaming.ChangesPipeline.runIndexOnce(s, feed.toString,
+          base.resolve("idx").toString, base.resolve("ckpt").toString,
+          name = s"j20-${java.util.UUID.randomUUID()}",
+          maxChangesPerTrigger = Some(math.max(251L, nDocs / 3L)))
+        graft.pipeline.Retrieval.probeTopK(s,
+          base.resolve("idx").toString, Pipeline.bm25QueriesShared, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(Pipeline.bm25OracleShared),
+      "streaming retrieval: feed -> checkpointed micro-batches -> segmented inverted index, probe hash-matched against the ad-hoc oracle")
   )
 }

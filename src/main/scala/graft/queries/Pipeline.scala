@@ -3187,6 +3187,10 @@ object Pipeline {
       "hard-negative mining: top-5 nearest different-label vectors per query, label predicate pruning pairs before scoring")
   )
 
+  /** Shared with j20's streaming-index replay (JsonDoc). */
+  private[queries] lazy val bm25QueriesShared: Seq[(Long, String)] = bm25Queries
+  private[queries] lazy val bm25OracleShared: String = bm25Oracle
+
   private lazy val bm25Queries = Seq(
     1L -> "spark window merge", 2L -> "hash join table",
     3L -> "vector stream")

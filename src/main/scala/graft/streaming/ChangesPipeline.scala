@@ -54,6 +54,64 @@ object ChangesPipeline {
       .start()
   }
 
+  /** Start following a feed into a standing BM25 inverted index — the
+    * retrieval twin of [[start]]: same source and checkpoint plane,
+    * but the sink maintains [[graft.pipeline.Retrieval]]'s segmented
+    * postings ([[InvertedIndexSink]]) instead of the doc store. Each
+    * change's text is `$.textField` of the doc payload; deletions and
+    * payloads without the field are skipped, and a redelivered doc id
+    * is dropped by the sink's first-write-wins contract (an update
+    * needs the batch-writer rebuild — the LSM compaction step). */
+  def startIndexing(
+      spark: SparkSession,
+      feedPath: String,
+      indexRoot: String,
+      checkpoint: String,
+      name: String,
+      textField: String = "text",
+      nBuckets: Int = 64,
+      since: Long = 0L,
+      maxChangesPerTrigger: Option[Long] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    var reader = spark.readStream.format("couch-changes")
+      .option("since", since.toString)
+    if (feedPath.startsWith("http://") || feedPath.startsWith("https://")) {
+      val cut = feedPath.lastIndexOf('/')
+      reader = reader
+        .option("url", feedPath.substring(0, cut))
+        .option("db", feedPath.substring(cut + 1))
+    } else reader = reader.option("path", feedPath)
+    maxChangesPerTrigger.foreach(n =>
+      reader = reader.option("maxChangesPerTrigger", n.toString))
+    reader.load()
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch
+          .where(!col("deleted"))
+          .select(col("id").cast("long").as("doc_id"),
+            get_json_object(col("doc"), s"$$.$textField").as("text"))
+          .where(col("text").isNotNull)
+        InvertedIndexSink.mergeBatch(docs, indexRoot, batchId, nBuckets)
+        ()
+      }
+      .start()
+  }
+
+  /** Run a feed into the inverted index to completion and wait. */
+  def runIndexOnce(
+      spark: SparkSession,
+      feedPath: String,
+      indexRoot: String,
+      checkpoint: String,
+      name: String = "graft-idx",
+      maxChangesPerTrigger: Option[Long] = None): Unit =
+    startIndexing(spark, feedPath, indexRoot, checkpoint, name,
+      maxChangesPerTrigger = maxChangesPerTrigger).awaitTermination()
+
   /** Run a feed to completion (AvailableNow) and wait. */
   def runOnce(
       spark: SparkSession,
