@@ -93,6 +93,43 @@ class InvertedIndexSinkSpec extends SparkSpec {
     assert(probed == adhoc)
   }
 
+  test("startIndexing: updates and deletes in the feed don't corrupt the index") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("j20spec")
+    val feedDir = base.resolve("feed"); Files.createDirectories(feedDir)
+    // insert 1..4; update doc 2 (new text); delete doc 3 (tombstone)
+    val lines = Seq(
+      """{"seq":1,"id":"1","changes":[{"rev":"1-a"}],"doc":{"text":"spark merge alpha"}}""",
+      """{"seq":2,"id":"2","changes":[{"rev":"1-a"}],"doc":{"text":"spark merge beta"}}""",
+      """{"seq":3,"id":"3","changes":[{"rev":"1-a"}],"doc":{"text":"window stream gamma"}}""",
+      """{"seq":4,"id":"4","changes":[{"rev":"1-a"}],"doc":{"text":"table scan delta"}}""",
+      """{"seq":5,"id":"2","changes":[{"rev":"2-b"}],"doc":{"text":"zebra zebra zebra"}}""",
+      """{"seq":6,"id":"3","changes":[{"rev":"2-b"}],"deleted":true}""")
+    Files.write(feedDir.resolve("f.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val idx = base.resolve("idx").toString
+    ChangesPipeline.runIndexOnce(spark, feedDir.toString, idx,
+      base.resolve("ckpt").toString,
+      name = s"j20spec-${java.util.UUID.randomUUID()}")
+    // first-write-wins: doc 2 keeps its original text (the update is a
+    // redelivered id); the tombstone carries no text and indexes
+    // nothing, but doc 3's insert stays (removal = rebuild, by
+    // contract). The index answers exactly like ad-hoc BM25 over the
+    // first-write states.
+    val firstWrites = Seq((1L, "spark merge alpha"), (2L, "spark merge beta"),
+      (3L, "window stream gamma"), (4L, "table scan delta"))
+    val qs = Seq(1L -> "spark merge", 2L -> "window stream", 3L -> "zebra")
+    val probed = Retrieval.probeTopK(spark, idx, qs, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val adhoc = Vocab.bm25TopK(docs(firstWrites), "doc_id", "text", qs, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(probed == adhoc)
+    // the update's vocabulary must not have leaked in: the "zebra"
+    // query can match nothing in the first-write corpus
+    assert(!probed.exists(_.startsWith("[3,")),
+      s"update text leaked into the index: $probed")
+  }
+
   test("a batch's postings land only in the buckets its tokens hash into") {
     val path = Files.createTempDirectory("inv-idx4").toString + "/idx"
     assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 32))
