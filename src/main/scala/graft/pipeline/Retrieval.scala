@@ -54,29 +54,91 @@ object Retrieval {
     * one row (n_docs, avgdl_q). df is counted from `post` — exact, as
     * each posting row is one (doc, token) pair of the full corpus.
     * Returns (query_id, rank, doc_id, score_q). */
-  private[pipeline] def scoreTopK(
-      post: DataFrame, stats: DataFrame, qterms: DataFrame,
-      k: Int): DataFrame = {
-    val dfTab = post.groupBy("token").agg(count(lit(1)).as("df"))
-    post
-      .join(broadcast(dfTab), "token")
-      .crossJoin(broadcast(stats))
-      .select(col("token"), col("doc"),
-        (floor(log(((col("n_docs") - col("df")).cast("double") + lit(0.5d)) /
-            (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) * lit(1e6))
-          .cast("long") *
-         expr("(22L*tf*avgdl_q*1000L) div (10L*tf*avgdl_q + 3L*avgdl_q + 9L*dl*1000L)"))
-          .as("contrib"))
-      .join(broadcast(qterms), "token")
-      .groupBy("query_id", "doc")
-      .agg(sum(col("contrib")).as("score_q"))
-      .groupBy("query_id")
+  /** The exact-integer per-(posting, query-term) BM25 contribution:
+    * micro-nat idf x the integer tf-saturation ratio. Expects columns
+    * n_docs, df, tf, dl, avgdl_q in scope. */
+  private def contribExpr: Column =
+    floor(log(((col("n_docs") - col("df")).cast("double") + lit(0.5d)) /
+        (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) * lit(1e6))
+      .cast("long") *
+      expr("(22L*tf*avgdl_q*1000L) div (10L*tf*avgdl_q + 3L*avgdl_q + 9L*dl*1000L)")
+
+  /** Bounded top-k tail over per-(query, doc) integer scores. */
+  private def rankTail(perDoc: DataFrame, k: Int): DataFrame =
+    perDoc.groupBy("query_id")
       .agg(graft.functions.TopK.agg(
         col("score_q").cast("double"), col("doc"), k).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("e"))
       .select(col("query_id"), col("e.rank").as("rank"),
         col("e.neighbor_id").as("doc_id"),
         col("e.cos").cast("long").as("score_q"))
+
+  private[pipeline] def scoreTopK(
+      post: DataFrame, stats: DataFrame, qterms: DataFrame,
+      k: Int): DataFrame = {
+    val dfTab = post.groupBy("token").agg(count(lit(1)).as("df"))
+    rankTail(post
+      .join(broadcast(dfTab), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc"), contribExpr.as("contrib"))
+      .join(broadcast(qterms), "token")
+      .groupBy("query_id", "doc")
+      .agg(sum(col("contrib")).as("score_q")), k)
+  }
+
+  /** Passage-level retrieval — the RAG data-prep shape: slide the
+    * [[Chunking]] token windows over every document, score each CHUNK
+    * as a BM25 unit (chunk-grain df and length norm — long documents
+    * can't bury a relevant passage), keep each document's best
+    * passage, and rank documents by it (max-passage aggregation, the
+    * standard long-document trick).
+    *
+    * SCALE: chunks are a map-side generator off the token stream
+    * (p46's arithmetic — no chunk materialization shuffle); the
+    * posting prune, broadcast df/stats, and bounded top-k tail are
+    * [[scoreTopK]]'s; the only extra aggregation is the per-(query,
+    * doc) max over chunk scores, which partial-aggregates map-side.
+    *
+    * @return (query_id, rank, doc_id, score_q) — top-k docs per query
+    *         by best-passage score
+    */
+  def bm25PassageTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      window: Int = 40, stride: Int = 30): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need window >= stride >= 1, got window=$window stride=$stride")
+    val qterms = queryTerms(docs.sparkSession, queries)
+    val chunks = docs.select(col(idCol).cast("long").as("doc"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc", when(col("n") <= window, lit(1L))
+        .otherwise(lit(1L) + expr(s"(n - ${window - stride + 1}) div $stride")))
+      .select(col("doc"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("ci"), col("toks"))
+      .select(col("doc"), col("ci"),
+        slice(col("toks"), (col("ci") * stride + 1).cast("int"),
+          lit(window)).as("ctoks"))
+      .withColumn("dl", size(col("ctoks")).cast("long"))
+    val stats = chunks.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).as("tt"))
+      .select(col("n_docs"), expr("tt * 1000L div n_docs").as("avgdl_q"))
+    val post = chunks
+      .select(col("doc"), col("ci"), col("dl"),
+        explode(col("ctoks")).as("token"))
+      .join(broadcast(qterms.select("token").distinct()), "token")
+      .groupBy("doc", "ci", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfTab = post.groupBy("token").agg(count(lit(1)).as("df"))
+    rankTail(post
+      .join(broadcast(dfTab), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc"), col("ci"), contribExpr.as("contrib"))
+      .join(broadcast(qterms), "token")
+      .groupBy("query_id", "doc", "ci")
+      .agg(sum(col("contrib")).as("cscore"))
+      .groupBy("query_id", "doc")
+      .agg(max(col("cscore")).as("score_q")), k)
   }
 
   /** Posting rows of a document set: (token, doc, tf, dl, tb). One

@@ -3184,7 +3184,48 @@ object Pipeline {
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
              |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin),
-      "hard-negative mining: top-5 nearest different-label vectors per query, label predicate pruning pairs before scoring")
+      "hard-negative mining: top-5 nearest different-label vectors per query, label predicate pruning pairs before scoring"),
+
+    // ---- Passage retrieval (RAG data prep): p46's sliding token
+    // windows scored as BM25 units (chunk-grain df + length norm so
+    // long docs can't bury a relevant passage), documents ranked by
+    // their best passage. Chunks are a map-side generator; the oracle
+    // replays the window arithmetic, chunk-grain statistics, and
+    // max-passage aggregation exactly.
+    QueryDef(
+      "p91_passage_topk",
+      (s, dir) => {
+        import s.implicits._
+        Retrieval.bm25PassageTopK(T(s, dir, "documents"), "doc_id", "text",
+          bm25Queries, k = 5, window = 40, stride = 30)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES (1, 'spark window merge'), (2, 'hash join table'), (3, 'vector stream')),
+             |qt AS (SELECT DISTINCT query_id, u.t AS token FROM q, UNNEST(string_split(qtext,' ')) AS u(t)),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |cn AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 40 THEN 1
+             |  ELSE 1 + (CAST(len(ws) AS BIGINT) - 11)//30 END AS nc FROM w),
+             |cd AS (SELECT doc_id, u.ci AS ci,
+             |  ws[(u.ci*30+1):(u.ci*30+40)] AS ct
+             |  FROM cn, UNNEST(range(0, nc)) AS u(ci)),
+             |cl AS (SELECT doc_id, ci, CAST(len(ct) AS BIGINT) AS dl, ct FROM cd),
+             |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  (CAST(SUM(dl) AS BIGINT)*1000)//CAST(COUNT(*) AS BIGINT) AS avgdl_q FROM cl),
+             |t AS (SELECT doc_id, ci, dl, u.t AS token FROM cl, UNNEST(ct) AS u(t)),
+             |post AS (SELECT doc_id, ci, token, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+             |  FROM t WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2, 3),
+             |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+             |sc AS (SELECT qt.query_id, post.doc_id, post.ci, CAST(SUM(
+             |    CAST(floor(ln((CAST(n_docs - df AS DOUBLE)+0.5)/(CAST(df AS DOUBLE)+0.5)+1.0)*1000000.0) AS BIGINT)
+             |    * ((22*tf*avgdl_q*1000)//(10*tf*avgdl_q + 3*avgdl_q + 9*dl*1000))) AS BIGINT) AS cscore
+             |  FROM post JOIN dfx USING(token) JOIN qt USING(token) CROSS JOIN ad
+             |  GROUP BY 1, 2, 3),
+             |pd AS (SELECT query_id, doc_id, MAX(cscore) AS score_q FROM sc GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score_q,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM pd)
+             |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "passage retrieval: sliding windows scored as BM25 units, documents ranked by best passage (max-passage aggregation)")
   )
 
   /** Shared with j20's streaming-index replay (JsonDoc). */

@@ -280,6 +280,27 @@ class CurationSpec extends SparkSpec {
     assert(got.head._3 > got(1)._3 && got(1)._3 > got(2)._3)
   }
 
+  test("bm25PassageTopK: a relevant passage buried in a long doc still wins") {
+    import spark.implicits._
+    // doc 1: 200 filler tokens + one dense relevant window; doc 2: a
+    // short doc with one weak mention. Whole-doc BM25 punishes doc 1's
+    // length; chunk-grain scoring must surface its buried passage.
+    val buried = (("pad " * 200).trim.split(" ") ++
+      Array("spark", "spark", "spark")).mkString(" ")
+    val docs = Seq((1L, buried), (2L, "spark pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val qs = Seq(1L -> "spark")
+    val passage = Retrieval.bm25PassageTopK(docs, "doc_id", "text", qs,
+        k = 2, window = 10, stride = 5)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(passage.head == (1, 1L),
+      s"buried passage must rank first: ${passage.toSeq}")
+    val wholeDoc = Vocab.bm25TopK(docs, "doc_id", "text", qs, k = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(wholeDoc.head == (1, 2L),
+      s"whole-doc ranking should bury doc 1 (the contrast): ${wholeDoc.toSeq}")
+  }
+
   test("bm25TopK: scores are partitioning-invariant; ties break by doc id") {
     import spark.implicits._
     val docs = (1L to 40L)
