@@ -484,12 +484,16 @@ object JsonDoc {
           .toSeq.sortBy(_.getName).head
         java.nio.file.Files.move(part.toPath, feed.resolve("f.jsonl"))
         val nDocs = d.count()
+        // 16 buckets: the correctness surface (pruning, segment sums,
+        // first-write-wins) is bucket-count-independent, and 3 batches
+        // x 64 dirs of small-file churn was pure bench overhead
         graft.streaming.ChangesPipeline.runIndexOnce(s, feed.toString,
           base.resolve("idx").toString, base.resolve("ckpt").toString,
-          name = s"j20-${java.util.UUID.randomUUID()}",
-          maxChangesPerTrigger = Some(math.max(251L, nDocs / 3L)))
+          name = s"j20-${java.util.UUID.randomUUID()}", nBuckets = 16,
+          maxChangesPerTrigger = Some(math.max(251L, nDocs / 2L + 1L)))
         graft.pipeline.Retrieval.probeTopK(s,
-          base.resolve("idx").toString, Pipeline.bm25QueriesShared, k = 5)
+          base.resolve("idx").toString, Pipeline.bm25QueriesShared, k = 5,
+          nBuckets = 16)
           .orderBy($"query_id", $"rank")
       },
       Some(Pipeline.bm25OracleShared),

@@ -108,8 +108,10 @@ object ChangesPipeline {
       indexRoot: String,
       checkpoint: String,
       name: String = "graft-idx",
+      nBuckets: Int = 64,
       maxChangesPerTrigger: Option[Long] = None): Unit =
     startIndexing(spark, feedPath, indexRoot, checkpoint, name,
+      nBuckets = nBuckets,
       maxChangesPerTrigger = maxChangesPerTrigger).awaitTermination()
 
   /** Run a feed to completion (AvailableNow) and wait. */

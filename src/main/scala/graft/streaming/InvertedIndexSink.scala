@@ -79,14 +79,19 @@ object InvertedIndexSink {
           .map(_.toString).toSeq.sorted
       }
     }
-    val docs =
+    // persisted: the postings, segstats and docids writes below are
+    // three separate actions over this (small, batch-sized) frame —
+    // without the cache each re-runs the anti-join and any upstream
+    // extraction
+    val docs = (
       if (priorIds.isEmpty) inBatch
       else {
         val known = batch.sparkSession.read.parquet(priorIds: _*)
           .withColumnRenamed("doc", "__known")
         inBatch.join(known,
           inBatch(idCol).cast("long") === col("__known"), "left_anti")
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val rows = Retrieval.postingRows(docs, nBuckets, idCol, textCol)
     val staging = s"$path/_staging_batch_$batchId"
     rows.repartition(col("tb"))
@@ -153,6 +158,7 @@ object InvertedIndexSink {
       }.foreach(Files.deleteIfExists(_))
     }
     true
+    } finally { docs.unpersist(blocking = false) }
   }
 
   /** foreachBatch adapter:
