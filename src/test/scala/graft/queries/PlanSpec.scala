@@ -511,6 +511,20 @@ class PlanSpec extends SparkSpec {
       s"index probe lost the partial top-k aggregate:\n$p")
   }
 
+  test("p91: passage scoring stays broadcast + partial top-k, chunks never sort") {
+    // chunk generation is a map-side explode; df/stats/query-terms
+    // broadcast; the max-passage layer partial-aggregates; ranking is
+    // the bounded top-k — a Window or SortMergeJoin here would mean a
+    // chunk-proportional shuffle.
+    val p = plan("p91_passage_topk")
+    assert(p.contains("BroadcastHashJoin"), s"posting prune not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"chunk-sized shuffle join:\n$p")
+    assert(p.toLowerCase.contains("partial_topkaggexpr"),
+      s"passage ranking lost the partial top-k:\n$p")
+    assert(!p.linesIterator.exists(_.matches(".*\\) Window$")),
+      s"passage ranking through a window:\n$p")
+  }
+
   test("q37: z-order block stats partial-aggregate map-side") {
     val p = plan("q37_zorder_layout")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
