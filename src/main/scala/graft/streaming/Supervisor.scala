@@ -30,7 +30,19 @@ final case class FeedConfig(
     checkpoint: String,
     enabled: Boolean = true,
     since: Long = 0L,
-    maxChangesPerTrigger: Option[Long] = None)
+    maxChangesPerTrigger: Option[Long] = None,
+    sink: FeedSink = FeedSink.Store)
+
+/** What a supervised feed maintains: the versioned doc store
+  * ([[MergeSink]], the reference's pgtable) or a standing BM25
+  * inverted index ([[InvertedIndexSink]] — `storeRoot` is then the
+  * index root). Same finder/watchdog/backoff lifecycle either way. */
+sealed trait FeedSink
+object FeedSink {
+  case object Store extends FeedSink
+  final case class Index(textField: String = "text", nBuckets: Int = 64)
+    extends FeedSink
+}
 
 object FeedConfig {
   /** Feed-name mangling `-`→`_` (reference lib/index.js:32,
@@ -142,10 +154,18 @@ final class Supervisor(
         // a feed that fails to START must not kill the finder pass
         // (the daemon survives per-feed errors, bin/daemon.js:75-94);
         // fatal-class start errors halt, transient ones back off
-        scala.util.Try(ChangesPipeline.start(
-          spark, f.feedPath, f.storeRoot, f.checkpoint, n,
-          since = f.since, maxChangesPerTrigger = f.maxChangesPerTrigger,
-          trigger = trigger)) match {
+        scala.util.Try(f.sink match {
+          case FeedSink.Store => ChangesPipeline.start(
+            spark, f.feedPath, f.storeRoot, f.checkpoint, n,
+            since = f.since, maxChangesPerTrigger = f.maxChangesPerTrigger,
+            trigger = trigger)
+          case FeedSink.Index(textField, nBuckets) =>
+            ChangesPipeline.startIndexing(
+              spark, f.feedPath, f.storeRoot, f.checkpoint, n,
+              textField = textField, nBuckets = nBuckets, since = f.since,
+              maxChangesPerTrigger = f.maxChangesPerTrigger,
+              trigger = trigger)
+        }) match {
           case scala.util.Success(q) =>
             running(n) = (q, f)
             Some(n)

@@ -168,4 +168,40 @@ class DaemonChaosSpec extends SparkSpec {
       } finally stub2.stop()
     } finally sup.stopAll()
   }
+
+  test("walk 4: a supervised Index feed builds the retrieval plane next to a Store feed") {
+    val sup = new Supervisor(spark, trigger = fastTrigger, backoff = noBackoff)
+    val feedDir = Files.createTempDirectory("chaos4-feed")
+    Files.write(feedDir.resolve("a.jsonl"), (1 to 6).map(i =>
+      s"""{"seq":$i,"id":"$i","changes":[{"rev":"1-a"}],"doc":{"text":"spark merge w$i"}}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val store = FeedConfig("texts-pg", feedDir.toString,
+      Files.createTempDirectory("chaos4-store").toString,
+      Files.createTempDirectory("chaos4-ck1").toString)
+    val idxRoot = Files.createTempDirectory("chaos4-idx").toString + "/idx"
+    val index = FeedConfig("texts-idx", feedDir.toString, idxRoot,
+      Files.createTempDirectory("chaos4-ck2").toString,
+      sink = FeedSink.Index(nBuckets = 8))
+    try {
+      val (started, _) = sup.reconcile(Seq(store, index))
+      assert(started == Seq("texts_idx", "texts_pg"))
+      // both planes converge from the same feed: the doc store holds
+      // the merged docs, the index answers BM25 over their text
+      assert(await() {
+        MergeSink.readState(spark, store.storeRoot).count() == 6L &&
+          InvertedIndexSink.appliedBatches(idxRoot).nonEmpty
+      })
+      assert(await() {
+        !sup.activeFeeds.contains("texts_idx") || {
+          val got = graft.pipeline.Retrieval.probeTopK(spark, idxRoot,
+            Seq(1L -> "spark"), k = 10, nBuckets = 8).count()
+          got == 6L
+        }
+      })
+      val got = graft.pipeline.Retrieval.probeTopK(spark, idxRoot,
+        Seq(1L -> "spark"), k = 10, nBuckets = 8)
+        .collect().map(_.getLong(2)).toSet
+      assert(got == (1L to 6L).toSet, s"index missing docs: $got")
+    } finally sup.stopAll()
+  }
 }
