@@ -601,13 +601,19 @@ object Similarity {
       df: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding",
       salts: Int = 8, maxBlock: Long = 4000L, planes: Int = 6): DataFrame = {
-    val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0), r.getLong(1)))
+    // one preflight scan yields both the block populations AND the
+    // vector dimension (for the plane cap) — no second action, and no
+    // NPE on a null first-row embedding
+    val pre = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"),
+        max(size(col(embCol))).as("__d"))
+      .collect().map(r => (r.get(0), r.getLong(1),
+        if (r.isNullAt(2)) 0 else r.getInt(2)))
+    val sizes = pre.map(t => (t._1, t._2))
     val hot = sizes.filter(_._2 > maxBlock).map(_._1)
     if (hot.isEmpty)
       return cosinePairs(df, blockCol, threshold, idCol, embCol, salts)
     val maxHot = sizes.map(_._2).max
-    val dim = df.select(size(col(embCol)).cast("int")).first().getInt(0)
+    val dim = math.max(1, pre.map(_._3).max)
     val planesEff = adaptivePlanes(maxHot, planes, dim)
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"cosinePairsGuarded: ${hot.length} block(s) over maxBlock=$maxBlock " +

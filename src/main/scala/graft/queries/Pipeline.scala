@@ -29,7 +29,7 @@ object Pipeline {
     * once per (fingerprint, key) — decided by the `ready` marker —
     * then every run reads the cached path, so benches time the
     * pipeline under test, not artifact construction. */
-  private def cachedArtifact(
+  private[queries] def cachedArtifact(
       dir: String, table: String, key: String,
       ready: String = "_SUCCESS")(build: java.io.File => Unit): java.io.File = {
     val src = new java.io.File(s"$dir/$table.parquet")

@@ -14,6 +14,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object ChangesPipeline {
 
+  /** The couch-changes reader both sinks share: URL vs path feed
+    * split, resume seq, admission control. */
+  private def buildReader(
+      spark: SparkSession, feedPath: String, since: Long,
+      maxChangesPerTrigger: Option[Long]) = {
+    var reader = spark.readStream.format("couch-changes")
+      .option("since", since.toString)
+    if (feedPath.startsWith("http://") || feedPath.startsWith("https://")) {
+      val cut = feedPath.lastIndexOf('/')
+      reader = reader
+        .option("url", feedPath.substring(0, cut))
+        .option("db", feedPath.substring(cut + 1))
+    } else reader = reader.option("path", feedPath)
+    maxChangesPerTrigger.foreach(n =>
+      reader = reader.option("maxChangesPerTrigger", n.toString))
+    reader
+  }
+
   /** Start following a feed into a document store.
     *
     * @param feedPath   JSONL `_changes` feed (FileChangesFeed), or an
@@ -35,17 +53,7 @@ object ChangesPipeline {
       maxChangesPerTrigger: Option[Long] = None,
       excludeTypes: Set[String] = Set.empty,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    var reader = spark.readStream.format("couch-changes")
-      .option("since", since.toString)
-    if (feedPath.startsWith("http://") || feedPath.startsWith("https://")) {
-      val cut = feedPath.lastIndexOf('/')
-      reader = reader
-        .option("url", feedPath.substring(0, cut))
-        .option("db", feedPath.substring(cut + 1))
-    } else reader = reader.option("path", feedPath)
-    maxChangesPerTrigger.foreach(n =>
-      reader = reader.option("maxChangesPerTrigger", n.toString))
-    reader.load()
+    buildReader(spark, feedPath, since, maxChangesPerTrigger).load()
       .writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
@@ -74,28 +82,22 @@ object ChangesPipeline {
       maxChangesPerTrigger: Option[Long] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, get_json_object}
-    var reader = spark.readStream.format("couch-changes")
-      .option("since", since.toString)
-    if (feedPath.startsWith("http://") || feedPath.startsWith("https://")) {
-      val cut = feedPath.lastIndexOf('/')
-      reader = reader
-        .option("url", feedPath.substring(0, cut))
-        .option("db", feedPath.substring(cut + 1))
-    } else reader = reader.option("path", feedPath)
-    maxChangesPerTrigger.foreach(n =>
-      reader = reader.option("maxChangesPerTrigger", n.toString))
-    reader.load()
+    buildReader(spark, feedPath, since, maxChangesPerTrigger).load()
       .writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // seq rides along so an insert+update of one id in the same
+        // micro-batch deterministically keeps the FIRST write
         val docs = batch
           .where(!col("deleted"))
           .select(col("id").cast("long").as("doc_id"),
-            get_json_object(col("doc"), s"$$.$textField").as("text"))
+            get_json_object(col("doc"), s"$$.$textField").as("text"),
+            col("seq"))
           .where(col("text").isNotNull)
-        InvertedIndexSink.mergeBatch(docs, indexRoot, batchId, nBuckets)
+        InvertedIndexSink.mergeBatch(docs, indexRoot, batchId, nBuckets,
+          orderCol = Some("seq"))
         ()
       }
       .start()

@@ -225,17 +225,36 @@ final class CouchStubServer(
       params: Map[String, String]): Boolean = {
     if (path != s"/$db/_changes" ||
         !params.get("feed").contains("continuous")) return false
-    reqCount.incrementAndGet()
+    // the fault knobs apply exactly as on the buffered path
+    if (reqCount.incrementAndGet() <= rateLimitFirst) {
+      rateLimited.increment()
+      ex.getRequestBody.readAllBytes()
+      ex.getResponseHeaders.add("Retry-After", "0")
+      val b = """{"error":"too_many_requests","reason":"backoff"}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(429, b.length)
+      ex.getResponseBody.write(b); ex.close()
+      return true
+    }
     val sinceRaw = params.getOrElse("since", "0")
     changesSinceRaw.add(sinceRaw)
-    val since =
-      if (sinceRaw == "0" || sinceRaw == "now") 0L
+    val sinceParsed: Option[Long] =
+      if (sinceRaw == "0" || sinceRaw == "now") Some(0L)
       else {
         val i = sinceRaw.indexOf('-')
         if (i > 0 && sinceRaw.substring(0, i).forall(_.isDigit))
-          sinceRaw.substring(0, i).toLong
-        else sinceRaw.toLong
+          Some(sinceRaw.substring(0, i).toLong)
+        else if (!opaqueSeqs) sinceRaw.toLongOption
+        else None // 2/3: a bare interior ordinal is a malformed cursor
       }
+    if (sinceParsed.isEmpty) {
+      val b = """{"error":"bad_request","reason":"Malformed sequence supplied in 'since' parameter."}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(400, b.length)
+      ex.getResponseBody.write(b); ex.close()
+      return true
+    }
+    val since = sinceParsed.get
     changesSinceLog.add(since)
     val from = math.min(math.max(since, 0L), lines.length.toLong).toInt
     val cut = dropChangesRequest > 0 && {

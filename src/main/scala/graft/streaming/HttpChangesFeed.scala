@@ -133,20 +133,24 @@ final class HttpChangesFeed(
   /** One `feed=continuous` session — the reference's actual socket
     * mode (follow.Feed with inactivity_ms, lib/index.js:243-290): the
     * server streams line-delimited change objects over a held-open
-    * chunked response, interleaves heartbeat BLANK lines while quiet,
-    * and closes with a `{"last_seq":...}` trailer after `timeout` ms
-    * without changes. Consumes the whole session and returns (events,
-    * resume token) — the trailer's last_seq, or the last consumed seq
-    * if the socket cut before the trailer, so a crash mid-stream
-    * resumes exactly where the reference's restart logic would
-    * (lib/index.js:247). Malformed seqs and unparseable lines are
-    * skipped, like everywhere else in this client. */
+    * chunked response and closes with a `{"last_seq":...}` trailer
+    * after `timeout` ms without changes. NO `heartbeat=` is sent: on a
+    * real CouchDB, heartbeat overrides the timeout and holds the feed
+    * open forever — a bounded session must rely on `timeout` alone.
+    * Blank lines in the stream are still tolerated (proxies and the
+    * stub emit them), and a client-side watchdog force-closes the
+    * stream if the server holds it past `timeout + timeoutMs` anyway
+    * (the inactivity_ms role). Returns (events, resume token) — the
+    * trailer's last_seq, or the last consumed seq if the socket cut
+    * (or was cut) before the trailer, so restart resumes exactly where
+    * the reference's follower would (lib/index.js:247). A line whose
+    * JSON doesn't parse, or whose seq is unorderable, is skipped like
+    * everywhere else in this client. */
   def changesContinuous(
       since: SeqTok, serverTimeoutMs: Long = 500L,
       includeDocs: Boolean = true): (Vector[ChangeEvent], SeqTok) = {
     val q = s"/$db/_changes?feed=continuous&include_docs=$includeDocs" +
-      s"&since=${since.sinceParam}&timeout=$serverTimeoutMs" +
-      s"&heartbeat=5000$styleParam"
+      s"&since=${since.sinceParam}&timeout=$serverTimeoutMs$styleParam"
     val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$q"))
       .timeout(Duration.ofMillis(serverTimeoutMs + timeoutMs))
       .GET()
@@ -160,32 +164,53 @@ final class HttpChangesFeed(
         s"GET /$db/_changes feed=continuous -> HTTP ${resp.statusCode()}")
     val out = Vector.newBuilder[ChangeEvent]
     var last = since
+    val body = resp.body()
+    // watchdog: the HttpRequest timeout covers headers only, not a
+    // streaming body — a server that ignores timeout= (or heartbeats
+    // forever) would otherwise block readLine() indefinitely
+    val watchdog = new java.util.Timer("changes-continuous-watchdog", true)
+    watchdog.schedule(new java.util.TimerTask {
+      override def run(): Unit =
+        try body.close() catch { case _: java.io.IOException => () }
+    }, serverTimeoutMs + timeoutMs)
     val rdr = new java.io.BufferedReader(
-      new java.io.InputStreamReader(resp.body(), StandardCharsets.UTF_8))
+      new java.io.InputStreamReader(body, StandardCharsets.UTF_8))
     try {
       var done = false
       var line = rdr.readLine()
       while (line != null && !done) {
-        val t = line.trim // heartbeats arrive as blank lines
+        val t = line.trim // blank keep-alive lines are ignored
         if (t.nonEmpty) {
-          val n = mapper.readTree(t)
-          if (n.has("last_seq")) {
-            SeqTok.ofNodeOpt(n.get("last_seq"))
-              .foreach(lt => if (lt.ord > last.ord) last = lt)
-            done = true
-          } else {
-            ChangesFeed.parseNode(mapper, n).foreach(out += _)
-            SeqTok.ofNodeOpt(n.path("seq"))
-              .foreach(tok => if (tok.ord > last.ord) last = tok)
+          // per-line guard: one malformed line must not end the
+          // session (JsonProcessingException IS an IOException — the
+          // outer socket-cut catch would silently wedge the follower
+          // at that line forever)
+          val parsed =
+            try Some(mapper.readTree(t))
+            catch {
+              case _: com.fasterxml.jackson.core.JsonProcessingException =>
+                None
+            }
+          parsed.foreach { n =>
+            if (n.has("last_seq")) {
+              SeqTok.ofNodeOpt(n.get("last_seq"))
+                .foreach(lt => if (lt.ord > last.ord) last = lt)
+              done = true
+            } else {
+              ChangesFeed.parseNode(mapper, n).foreach(out += _)
+              SeqTok.ofNodeOpt(n.path("seq"))
+                .foreach(tok => if (tok.ord > last.ord) last = tok)
+            }
           }
         }
         if (!done) line = rdr.readLine()
       }
     } catch {
-      // mid-stream socket cut: keep what was consumed; `last` is the
-      // exact resume point (at-least-once, like the paged path)
+      // mid-stream socket cut (incl. the watchdog's forced close):
+      // keep what was consumed; `last` is the exact resume point
+      // (at-least-once, like the paged path)
       case _: java.io.IOException => ()
-    } finally rdr.close()
+    } finally { watchdog.cancel(); rdr.close() }
     (out.result(), last)
   }
 
@@ -262,11 +287,13 @@ final class HttpChangesFeed(
             val out = Vector.newBuilder[ChangeEvent]
             var i = 0
             var last = cursor
+            var sawTok = false
             while (i < results.size() && !exhausted) {
               val node = results.get(i)
               // unparseable seq: skip the row without advancing the
               // cursor, exactly like parseNode skips the change
               SeqTok.ofNodeOpt(node.path("seq")).foreach { tok =>
+                sawTok = true
                 if (tok.ord > until.ord) exhausted = true
                 else {
                   ChangesFeed.parseNode(mapper, node).foreach(out += _)
@@ -276,6 +303,15 @@ final class HttpChangesFeed(
               }
               i += 1
             }
+            // an entire page of unorderable seqs is not "exhausted" —
+            // treating it so would wedge the feed silently (the cursor
+            // never advances, every trigger re-reads the same page).
+            // Fail loudly as the transient class so the Supervisor's
+            // watchdog/backoff sees it, like the pre-skip behavior.
+            if (!sawTok)
+              throw new java.io.IOException(
+                s"/$db/_changes page after since=${cursor.sinceParam}: " +
+                  s"all ${results.size()} seqs unparseable")
             // a stuck cursor (server ignored since=) must not loop
             if (!exhausted && last.sinceParam == cursor.sinceParam)
               exhausted = true
@@ -307,9 +343,11 @@ final class HttpChangesFeed(
       else {
         val prevCursor = cursor
         var i = 0
+        var sawTok = false
         while (i < results.size() && remaining > 0) {
           // unparseable seq: skip the row (see changesTok)
           SeqTok.ofNodeOpt(results.get(i).path("seq")).foreach { tok =>
+            sawTok = true
             if (tok.ord > cursor.ord ||
                 (tok.ord == cursor.ord && tok.sinceParam != cursor.sinceParam))
               cursor = tok
@@ -319,6 +357,11 @@ final class HttpChangesFeed(
           }
           i += 1
         }
+        // full page of unorderable seqs: fail loudly (see changesTok)
+        if (!sawTok && remaining > 0)
+          throw new java.io.IOException(
+            s"/$db/_changes page after since=${prevCursor.sinceParam}: " +
+              s"all ${results.size()} seqs unparseable")
         if (results.size() < page ||
             cursor.sinceParam == prevCursor.sinceParam) done = true
       }

@@ -58,12 +58,26 @@ object InvertedIndexSink {
 
   /** Merge a micro-batch of (idCol, textCol) documents into the index
     * at `path`. Returns true if applied, false for a replayed batchId
-    * (NOOP). `nBuckets` must match the index layout. */
+    * (NOOP). `nBuckets` must match the index layout.
+    *
+    * `orderCol`: when the batch carries an ordering column (the
+    * changes feed's `seq`), within-batch duplicates of an id keep the
+    * LOWEST-ordered row — deterministic first-write-wins even when an
+    * insert and its update land in one micro-batch. Without it,
+    * `dropDuplicates` keeps an arbitrary row (fine only for
+    * known-unique batches). */
   def mergeBatch(
       batch: DataFrame, path: String, batchId: Long, nBuckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+      idCol: String = "doc_id", textCol: String = "text",
+      orderCol: Option[String] = None): Boolean = {
     if (appliedBatches(path).contains(batchId)) return false
-    val inBatch = batch.dropDuplicates(idCol)
+    val inBatch = orderCol match {
+      case None => batch.dropDuplicates(idCol)
+      case Some(oc) =>
+        batch.groupBy(col(idCol))
+          .agg(min_by(struct(batch.columns.map(col): _*), col(oc)).as("__r"))
+          .select(col("__r.*"))
+    }
     // first-write-wins: drop ids already indexed by PRIOR segments
     // (this batch's own sidecar excluded — crash-replay must not
     // anti-join itself to empty)
