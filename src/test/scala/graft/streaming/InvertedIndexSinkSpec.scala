@@ -130,6 +130,38 @@ class InvertedIndexSinkSpec extends SparkSpec {
       s"update text leaked into the index: $probed")
   }
 
+  test("compact: collapses segments in place, probes unchanged, log preserved") {
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("inv-idx6").toString + "/idx"
+    assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 8))
+    assert(InvertedIndexSink.mergeBatch(docs(corpusB), path, 1L, nBuckets = 8))
+    def probe() = Retrieval.probeTopK(spark, path, queries, k = 8,
+        nBuckets = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    def parquetCount(sub: String) =
+      Files.walk(Paths.get(path, sub)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    val before = probe()
+    val filesBefore = parquetCount("postings")
+    Retrieval.compact(spark, path)
+    assert(probe() == before, "compaction must not change any answer")
+    assert(parquetCount("postings") < filesBefore,
+      s"expected fewer posting files than $filesBefore")
+    assert(parquetCount("segstats") == 1 && parquetCount("docids") == 1)
+    // the batch log survives: replaying an old stream batch still NOOPs
+    assert(InvertedIndexSink.appliedBatches(path) == Set(0L, 1L))
+    assert(!InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 8))
+    // and the index keeps accepting new segments after compaction,
+    // with redelivered ids still dropped via the compacted sidecar
+    val extra = Seq((99L, "spark merge omega")) ++ corpusA.take(1)
+    assert(InvertedIndexSink.mergeBatch(docs(extra), path, 2L, nBuckets = 8))
+    val adhoc = Vocab.bm25TopK(
+        docs(corpusA ++ corpusB :+ (99L -> "spark merge omega")),
+        "doc_id", "text", queries, k = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(probe() == adhoc)
+  }
+
   test("a batch's postings land only in the buckets its tokens hash into") {
     val path = Files.createTempDirectory("inv-idx4").toString + "/idx"
     assert(InvertedIndexSink.mergeBatch(docs(corpusA), path, 0L, nBuckets = 32))
