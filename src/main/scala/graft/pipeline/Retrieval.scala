@@ -74,12 +74,19 @@ object Retrieval {
     * pruned to the query-term postings (token, doc, tf, dl); `stats` is
     * one row (n_docs, avgdl_q). df is counted from `post` — exact, as
     * each posting row is one (doc, token) pair of the full corpus.
+    *
+    * `allowed`: optional (doc) set restricting the RANKED candidates —
+    * filtered search keeps GLOBAL statistics (df/avgdl over the whole
+    * corpus, the standard convention), so the filter applies after df
+    * is counted but before scoring, as a doc-keyed semi join.
     * Returns (query_id, rank, doc_id, score_q). */
   private[pipeline] def scoreTopK(
       post: DataFrame, stats: DataFrame, qterms: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     val dfTab = post.groupBy("token").agg(count(lit(1)).as("df"))
-    rankTail(post
+    val postA = allowed.fold(post)(a =>
+      post.join(a.select(col("doc")), Seq("doc"), "left_semi"))
+    rankTail(postA
       .join(broadcast(dfTab), "token")
       .crossJoin(broadcast(stats))
       .select(col("token"), col("doc"), contribExpr.as("contrib"))
@@ -233,7 +240,7 @@ object Retrieval {
   def probeTopK(
       spark: SparkSession, path: String,
       queries: Seq[(Long, String)], k: Int,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64, allowed: Option[DataFrame] = None): DataFrame = {
     val qterms = queryTerms(spark, queries)
     val terms = qterms.select("token").distinct()
       .withColumn("tb", tokenBucket(col("token"), nBuckets))
@@ -246,6 +253,6 @@ object Retrieval {
     val stats = spark.read.parquet(s"$path/segstats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tt")).as("tt"))
       .select(col("n_docs"), expr("tt * 1000L div n_docs").as("avgdl_q"))
-    scoreTopK(post, stats, qterms, k)
+    scoreTopK(post, stats, qterms, k, allowed)
   }
 }

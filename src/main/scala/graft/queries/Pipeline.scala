@@ -3147,6 +3147,48 @@ object Pipeline {
       Some(bm25Oracle),
       "BM25 top-5 over a standing bucket-partitioned inverted index: partition-pruned probe, summed segment stats, shared p88 oracle"),
 
+    // ---- FILTERED retrieval (the search analog of p86's filtered
+    // ANN): a metadata predicate restricts the ranked candidates while
+    // df/avgdl stay GLOBAL — the standard filtered-search convention.
+    // The allowed-id set applies as a doc-keyed semi join on the
+    // pruned postings, after df is counted, before scoring.
+    QueryDef(
+      "p88c_bm25_filtered",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val nBuckets = 64
+        val idx = cachedArtifact(dir, "documents", s"bm25idx-b$nBuckets",
+            ready = "postings/_SUCCESS") {
+          o => Retrieval.writeIndex(d, o.toString, nBuckets = nBuckets)
+        }
+        val allowed = d.where($"lang" === "en")
+          .select($"doc_id".as("doc"))
+        Retrieval.probeTopK(s, idx.toString, bm25Queries, k = 5,
+          nBuckets = nBuckets, allowed = Some(allowed))
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES (1, 'spark window merge'), (2, 'hash join table'), (3, 'vector stream')),
+             |qt AS (SELECT DISTINCT query_id, u.t AS token FROM q, UNNEST(string_split(qtext,' ')) AS u(t)),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  (CAST(SUM(len(ws)) AS BIGINT)*1000)//CAST(COUNT(*) AS BIGINT) AS avgdl_q FROM w),
+             |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, u.t AS token FROM w, UNNEST(ws) AS u(t)),
+             |post AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+             |  FROM t WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+             |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+             |sc AS (SELECT qt.query_id, post.doc_id, CAST(SUM(
+             |    CAST(floor(ln((CAST(n_docs - df AS DOUBLE)+0.5)/(CAST(df AS DOUBLE)+0.5)+1.0)*1000000.0) AS BIGINT)
+             |    * ((22*tf*avgdl_q*1000)//(10*tf*avgdl_q + 3*avgdl_q + 9*dl*1000))) AS BIGINT) AS score_q
+             |  FROM post JOIN dfx USING(token) JOIN qt USING(token) CROSS JOIN ad
+             |  WHERE post.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score_q,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc)
+             |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "filtered BM25: lang predicate restricts ranked candidates via a doc-keyed semi join, global df/avgdl statistics kept"),
+
     // ---- Greedy k-center diversity selection (Gonzalez farthest-point
     // traversal): pick 5 maximally-spread embedding vectors and assign
     // every vector to its nearest pick — the coverage/coreset sampling
