@@ -150,6 +150,34 @@ object Retrieval {
       .agg(max(col("cscore")).as("score_q")), k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) — the
+    * standard hybrid-search combiner: given ranked lists from
+    * different retrievers (BM25, ANN, ...), score each (query, doc) by
+    * the sum of 1/(k0 + rank) over the lists that returned it, and
+    * re-rank. Scores are quantized to exact integers
+    * (floor(1e9/(k0+rank)) per entry — rank is small, so the sum is
+    * order-free and engine-replayable).
+    *
+    * SCALE: each input is already a top-k list (|queries| x k rows,
+    * tiny by construction); the fusion is a union + one partial-agg'd
+    * groupBy and the bounded top-k tail. Nothing corpus-sized ever
+    * enters.
+    *
+    * @param rankings (query_id, rank, doc_id) lists — extra columns
+    *        are ignored
+    * @return (query_id, rank, doc_id, score_q) — fused top-k per query
+    *         by (RRF desc, doc_id)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "RRF needs at least one ranking")
+    val parts = rankings.map(_.select(col("query_id"),
+      col("doc_id").cast("long").as("doc"),
+      expr(s"1000000000L div (${k0}L + CAST(rank AS BIGINT))").as("pt")))
+    rankTail(parts.reduce(_ unionAll _)
+      .groupBy("query_id", "doc")
+      .agg(sum(col("pt")).as("score_q")), k)
+  }
+
   /** Posting rows of a document set: (token, doc, tf, dl, tb). One
     * corpus scan; dl rides the exploded stream (max over the group). */
   private[graft] def postingRows(

@@ -3267,7 +3267,61 @@ object Pipeline {
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM pd)
              |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin),
-      "passage retrieval: sliding windows scored as BM25 units, documents ranked by best passage (max-passage aggregation)")
+      "passage retrieval: sliding windows scored as BM25 units, documents ranked by best passage (max-passage aggregation)"),
+
+    // ---- Hybrid retrieval via Reciprocal Rank Fusion: the BM25
+    // keyword list and the embedding ANN list fuse by
+    // sum(1e9 div (60+rank)) — exact integers, so the oracle replays
+    // both retrievers at k=20 and the fusion arithmetic bit-for-bit.
+    // Both inputs are |queries| x 20 rows; fusion is a union + one
+    // partial-agg'd groupBy + the bounded top-k tail.
+    QueryDef(
+      "p92_rrf_hybrid",
+      (s, dir) => {
+        import s.implicits._
+        val bm = Vocab.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+          bm25Queries, k = 20)
+        val em = T(s, dir, "embeddings")
+        val ann = Similarity.bruteForceTopK(
+            em.filter($"vec_id".isin(1L, 2L, 3L)), em, 20)
+          .withColumnRenamed("neighbor_id", "doc_id")
+        Retrieval.rrfFuse(Seq(bm, ann), k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES (1, 'spark window merge'), (2, 'hash join table'), (3, 'vector stream')),
+             |qt AS (SELECT DISTINCT query_id, u.t AS token FROM q, UNNEST(string_split(qtext,' ')) AS u(t)),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  (CAST(SUM(len(ws)) AS BIGINT)*1000)//CAST(COUNT(*) AS BIGINT) AS avgdl_q FROM w),
+             |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, u.t AS token FROM w, UNNEST(ws) AS u(t)),
+             |post AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+             |  FROM t WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+             |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+             |sc AS (SELECT qt.query_id, post.doc_id, CAST(SUM(
+             |    CAST(floor(ln((CAST(n_docs - df AS DOUBLE)+0.5)/(CAST(df AS DOUBLE)+0.5)+1.0)*1000000.0) AS BIGINT)
+             |    * ((22*tf*avgdl_q*1000)//(10*tf*avgdl_q + 3*avgdl_q + 9*dl*1000))) AS BIGINT) AS score_q
+             |  FROM post JOIN dfx USING(token) JOIN qt USING(token) CROSS JOIN ad
+             |  GROUP BY 1, 2),
+             |bm AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             |  PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc),
+             |qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v FROM embeddings),
+             |asc_ AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*a.v[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.v[i]*b.v[i])) AS DOUBLE)) AS cos
+             |  FROM qv a, qv b WHERE a.vec_id IN (1, 2, 3) AND a.vec_id <> b.vec_id),
+             |ann AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             |  PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM asc_),
+             |u AS (SELECT query_id, doc_id, CAST(1000000000 AS BIGINT)//(60+rank) AS pt
+             |  FROM bm WHERE rank <= 20
+             |  UNION ALL SELECT query_id, doc_id, CAST(1000000000 AS BIGINT)//(60+rank)
+             |  FROM ann WHERE rank <= 20),
+             |f AS (SELECT query_id, doc_id, CAST(SUM(pt) AS BIGINT) AS score_q FROM u GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score_q, ROW_NUMBER() OVER (
+             |  PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM f)
+             |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      "hybrid retrieval: BM25 + ANN lists fused by exact-integer Reciprocal Rank Fusion, bounded top-k re-rank")
   )
 
   /** Shared with j20's streaming-index replay (JsonDoc). */

@@ -280,6 +280,22 @@ class CurationSpec extends SparkSpec {
     assert(got.head._3 > got(1)._3 && got(1)._3 > got(2)._3)
   }
 
+  test("rrfFuse: consensus across retrievers outranks a single top hit") {
+    import spark.implicits._
+    // retriever A: doc 10 first, doc 20 second; retriever B: doc 20
+    // first, doc 30 second. Doc 20 appears in both -> fused winner.
+    val a = Seq((1L, 1, 10L), (1L, 2, 20L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1, 20L), (1L, 2, 30L)).toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toSeq == Seq(20L, 10L, 30L), s"got ${got.toSeq}")
+    // exact integer points: 1e9/61 + 1e9/62 for the consensus doc
+    assert(got.head._3 == 1000000000L / 61 + 1000000000L / 62)
+    // the singles keep their own list's reciprocal points
+    assert(got(1)._3 == 1000000000L / 61 && got(2)._3 == 1000000000L / 62)
+  }
+
   test("bm25PassageTopK: a relevant passage buried in a long doc still wins") {
     import spark.implicits._
     // doc 1: 200 filler tokens + one dense relevant window; doc 2: a
