@@ -75,22 +75,33 @@ object Relational {
       "SURVEY §2.2 P3/P5 predicate + projection; PushedFilters on the scan"),
 
     // ---- J-class: 3-way join, revenue per market segment.
-    // customer<->orders shuffle on custkey; orders<->lineitem on orderkey.
+    // Raw lineitem rows never shuffle: revenue partial-aggregates to
+    // order grain first (parquet is orderkey-clustered, so the map-side
+    // combine cuts the exchange ~4x — |lineitem| rows in, ~|orders|
+    // rows out), the orderkey join then carries one row per order, and
+    // the custkey side re-aggregates to customer grain before meeting
+    // the dimension. Decimal sums regroup associatively, so the
+    // two-level aggregation is exact.
     QueryDef(
       "q3_join_revenue",
       (s, dir) => {
         import s.implicits._
         val c = T(s, dir, "customer")
         val o = T(s, dir, "orders")
-        val l = T(s, dir, "lineitem")
-        c.join(o, $"c_custkey" === $"o_custkey")
-          .join(l, $"o_orderkey" === $"l_orderkey")
-          .groupBy($"c_mktsegment")
+        val lAgg = T(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
           .agg(
             sum(($"l_extendedprice".cast(dec) *
               (lit(BigDecimal(1)).cast(dec) - $"l_discount".cast(dec))))
-              .cast("double").as("revenue"),
-            count(lit(1)).as("n_items"))
+              .as("__rev"),
+            count(lit(1)).as("__n"))
+        val perCust = o.join(lAgg, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_custkey")
+          .agg(sum($"__rev").as("__rev"), sum($"__n").as("__n"))
+        c.join(perCust, $"c_custkey" === $"o_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(sum($"__rev").cast("double").as("revenue"),
+            sum($"__n").as("n_items"))
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment,

@@ -45,6 +45,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q3: revenue pre-aggregates to order grain — raw lineitem never shuffles") {
+    val p = plan("q3_join_revenue")
+    // three aggregation grains (order, customer, segment), each
+    // partial+final = 6 HashAggregate nodes; the order-grain partial
+    // sits below the first join, so the exchange carries ~|orders|
+    // combined rows instead of |lineitem| raw rows.
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 6, s"expected 3 partial+final aggregate grains:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("LSH pair joins are equi-joins on band keys (no cartesian)") {
     for (name <- Seq("p2_minhash_lsh", "p4_simhash_pairs",
         "p82_lsh_bucket_cap", "p83_lsh_hot_buckets")) {
