@@ -170,6 +170,23 @@ object JsonOps {
       * containers); callers feeding pretty-printed nested JSON should
       * not expect compact output. */
     var bad: Boolean = false
+
+    /** Value at the cursor as its `->` RAW JSON slice: quotes and
+      * escapes PRESERVED for strings (`"100"`, not `100` — the
+      * README.md:106-111 distinction), source text for numbers /
+      * booleans / containers, null for JSON null (matching
+      * jsonb->-cast-to-text and DuckDB json_extract, both of which
+      * surface JSON null as SQL NULL). */
+    def valueAsRaw(): String = {
+      ws()
+      val start = i
+      if (!skipValue()) { bad = true; null }
+      else {
+        val raw = s.substring(start, i)
+        if (raw == "null") null else raw
+      }
+    }
+
     def valueAsString(): String = {
       ws()
       if (peek == '"') {
@@ -216,6 +233,36 @@ object JsonOps {
         return if (found == null || foundNull) null
         else UTF8String.fromString(found)
       }
+      if (!sc.eat(',')) return null
+    }
+    null
+  }
+
+  /** `->` : top-level key extraction, JSON-TYPED — the value's raw JSON
+    * slice with string quotes kept (P1: `doc->'myvar'` is `"100"`,
+    * `doc->>'myvar'` is `100`, reference README.md:102,106-111).
+    * Same walk and last-wins duplicate handling as [[getField]]. */
+  def getFieldJson(json: UTF8String, key: String): UTF8String = {
+    val sc = new Scanner(json.toString)
+    sc.ws()
+    if (!sc.eat('{')) return null
+    sc.ws()
+    if (sc.eat('}')) return null
+    var found: String = null
+    while (true) {
+      sc.ws()
+      val name = sc.str()
+      if (name == null) return null
+      sc.ws()
+      if (!sc.eat(':')) return null
+      if (name == key) {
+        val v = sc.valueAsRaw()
+        if (sc.bad) return null
+        found = v
+      } else if (!sc.skipValue()) return null
+      sc.ws()
+      if (sc.eat('}'))
+        return if (found == null) null else UTF8String.fromString(found)
       if (!sc.eat(',')) return null
     }
     null
@@ -397,6 +444,8 @@ object JsonOps {
 object Json {
   def get(doc: Column, key: String): Column =
     Bridge.column(JsonGetExpr(Bridge.expression(doc), key))
+  def getJson(doc: Column, key: String): Column =
+    Bridge.column(JsonGetJsonExpr(Bridge.expression(doc), key))
   def topKeys(doc: Column): Column =
     Bridge.column(JsonTopKeysExpr(Bridge.expression(doc)))
   def toStrMap(doc: Column): Column =
@@ -435,6 +484,24 @@ final case class JsonGetExpr(child: Expression, key: String)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullableStaticCall(ctx, ev)
   override protected def withNewChildInternal(c: Expression): JsonGetExpr =
+    copy(child = c)
+}
+
+/** -> top-level key extraction, JSON-typed (P1: quotes preserved). */
+final case class JsonGetJsonExpr(child: Expression, key: String)
+    extends UnaryExpression with JsonStaticCall with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    JsonOps.getFieldJson(input.asInstanceOf[UTF8String], key)
+  override protected def callCode(c: String, ctx: CodegenContext): String = {
+    val keyRef = ctx.addReferenceObj("key", key, "java.lang.String")
+    s"graft.functions.JsonOps.getFieldJson($c, $keyRef)"
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullableStaticCall(ctx, ev)
+  override protected def withNewChildInternal(c: Expression): JsonGetJsonExpr =
     copy(child = c)
 }
 

@@ -681,24 +681,28 @@ object Similarity {
     }
   }
 
-  /** Argmin code over one subspace's codewords, literal-folded:
-    * dist(x,w) = |x|² - 2·x·w + |w|² on exact integers, ties to the
-    * lowest code (struct-least lexicographic compare). */
+  /** Argmin code over one subspace's codewords — dist(x,w) = |x|² -
+    * 2·x·w + |w|² on exact integers, ties to the lowest code. The
+    * codebook rides as a reference object inside ONE codegen'd
+    * expression ([[graft.functions.PqArgminExpr]]) reading the full
+    * embedding in place at `off` — NOT as literal-folded
+    * `least(struct(...))` chains, which grew one generated method past
+    * janino's 64 KB limit and silently de-codegen'd the whole stage
+    * (and sliced a fresh subvector array per row per subspace). */
   private def pqAssign(
-      x: Column, cw: IndexedSeq[(Int, IndexedSeq[Long], Long)]): Column = {
-    val xx = graft.functions.Vectors.dotCol(x, x)
-    least(cw.map { case (code, w, ww) =>
-      struct(
-        (xx - lit(2L) * graft.functions.Vectors.dotCol(x, typedLit(w))
-          + lit(ww)).as("dist"),
-        lit(code).as("code"))
-    }: _*).getField("code")
+      emb: Column, cw: IndexedSeq[(Int, IndexedSeq[Long], Long)],
+      off: Int): Column = {
+    // codes are positional by construction (pqCodebookOf tabulates,
+    // training preserves order) — the expression returns the index
+    require(cw.zipWithIndex.forall { case ((c, _, _), i) => c == i },
+      "PQ codebook codes must be positional")
+    graft.functions.PqOps.argminCol(emb, cw.map(_._2), off)
   }
 
   /** TRAINED PQ codebook: per-subspace Lloyd's k-means, all m subspaces
     * updated from ONE corpus scan per iteration — the per-row projection
-    * computes every subspace's assigned code (literal-folded, like
-    * [[KMeans.train]]'s assignment), explodes to (subspace, code, dim)
+    * computes every subspace's assigned code ([[pqAssign]]'s
+    * reference-object expression), explodes to (subspace, code, dim)
     * partial sums, and the driver collects m x nCode x subDim bounded
     * rows to rebuild the codebooks. Seeds = the sampled codebook
     * ([[pqCodebookOf]]); truncating integer means keep every update
@@ -719,7 +723,8 @@ object Similarity {
       while (it < iters) {
         val perSub = (0 until m).map { s =>
           val x = slice(col("c_emb"), s * sub + 1, sub)
-          struct(lit(s).as("s"), pqAssign(x, cb(s)).as("code"), x.as("x"))
+          struct(lit(s).as("s"),
+            pqAssign(col("c_emb"), cb(s), s * sub).as("code"), x.as("x"))
         }
         val sums = q.select(explode(array(perSub: _*)).as("e"))
           .select(col("e.s").as("s"), col("e.code").as("code"),
@@ -743,16 +748,16 @@ object Similarity {
     } finally { q.unpersist(blocking = false) }
   }
 
-  /** Nearest-codeword assignment for every subspace, literal-folded: the
-    * codebook folds into the projection as literals (like IVF pivots),
-    * so encoding is ONE codegen'd map pass over the corpus — no join, no
-    * shuffle. dist(x,w) = |x|² - 2·x·w + |w|² on exact integers; ties
-    * break to the lowest code (struct-least lexicographic compare). */
+  /** Nearest-codeword assignment for every subspace: the codebook rides
+    * as a broadcast-style reference object inside [[pqAssign]]'s
+    * expression, so encoding is ONE codegen'd map pass over the corpus —
+    * no join, no shuffle, and generated-code size independent of
+    * (m, nCode, dim). dist(x,w) = |x|² - 2·x·w + |w|² on exact integers;
+    * ties break to the lowest code. */
   private def pqEncodeWith(c: DataFrame, cb: PqCodebook): DataFrame = {
     val sub = cb.head.head._2.size
     (0 until cb.size).foldLeft(c) { (df, s) =>
-      df.withColumn(s"code_$s",
-        pqAssign(slice(col("c_emb"), s * sub + 1, sub), cb(s)))
+      df.withColumn(s"code_$s", pqAssign(col("c_emb"), cb(s), s * sub))
     }
   }
 
@@ -767,16 +772,11 @@ object Similarity {
     val c = corpusSide(corpus, idCol, embCol)
     val cb = pqCodebookTrained(c, m, nCode, trainIters)
     val sub = cb.head.head._2.size
+    // the assigned codeword's distance per subspace, same reference-obj
+    // expression as the encode path (one call per subspace, never a
+    // literal-folded least() chain)
     val err = (0 until m).map { s =>
-      val x = slice(col("c_emb"), s * sub + 1, sub)
-      val xx = graft.functions.Vectors.dotCol(x, x)
-      // least() over (dist, code) — the dist of the assigned codeword
-      least(cb(s).map { case (code, w, ww) =>
-        struct(
-          (xx - lit(2L) * graft.functions.Vectors.dotCol(x, typedLit(w))
-            + lit(ww)).as("dist"),
-          lit(code).as("code"))
-      }: _*).getField("dist")
+      graft.functions.PqOps.minDistCol(col("c_emb"), cb(s).map(_._2), s * sub)
     }.reduce(_ + _)
     c.select(err.as("e")).agg(sum(col("e")).as("total_err"))
   }

@@ -412,38 +412,67 @@ object JsonDoc {
     // several admission-controlled micro-batches — and the final store
     // read back. The oracle reconstructs the same final state from
     // documents directly, so S1→S3→S2 gets a hash-matched row, not just
-    // scalatest. (Feed synthesis collects (doc_id, md5) pairs — harness
-    // scaffolding, not the measured operator; the pipeline itself is
-    // the set-oriented merge.)
+    // scalatest. Feed synthesis is DISTRIBUTED (to_json + write.text,
+    // multiple part files, no driver collect — the file feed sorts by
+    // the lines' own seqs, so staging order is free).
+    //
+    // `style=all_docs` winning-rev semantics ride the same gate: some
+    // change lines list MULTIPLE leaf revs (open conflict branches, in
+    // no guaranteed order — reference follow-lib behavior) and the
+    // store must converge on CouchDB's deterministic winner: highest
+    // ordinal, ties to the lexicographically highest suffix. Inserts
+    // for doc_id%5∈{0,1} carry a losing "1-!loser" branch before/after
+    // the winner (position must not matter); updates list [1-x, 2-x]
+    // (the higher ordinal wins). The oracle is UNCHANGED — that is the
+    // assertion.
     QueryDef(
       "j19_streaming_replay",
       (s, dir) => {
         import s.implicits._
-        val rows = T(s, dir, "documents")
-          .select($"doc_id", md5($"text").as("h"))
-          .collect().map(r => (r.getLong(0), r.getString(1)))
-        val lines = rows.flatMap { case (d, h) =>
-          val ins = s"""{"seq":${3 * d - 2},"id":"$d","changes":[{"rev":"1-$h"}],"doc":{"v":1,"h":"$h"}}"""
-          val upd = if (d % 3 == 0)
-            Some(s"""{"seq":${3 * d - 1},"id":"$d","changes":[{"rev":"2-$h"}],"doc":{"v":2,"h":"$h"}}""")
-          else None
-          val del = if (d % 7 == 0)
-            Some(s"""{"seq":${3 * d},"id":"$d","changes":[{"rev":"3-$h"}],"deleted":true}""")
-          else None
-          Seq(ins) ++ upd ++ del
-        }
         val base = java.nio.file.Files.createTempDirectory("j19")
+        val staged = base.resolve("staged")
+        val d = T(s, dir, "documents")
+          .select($"doc_id".as("d"), md5($"text").as("h"))
+        val rev1 = concat(lit("1-"), $"h")
+        val loser = struct(lit("1-!loser").as("rev")) // '!' < any hex char
+        val changes =
+          when($"c.v" === 1 && $"d" % 5 === 0,
+            array(loser, struct(rev1.as("rev"))))
+          .when($"c.v" === 1 && $"d" % 5 === 1,
+            array(struct(rev1.as("rev")), loser))
+          .when($"c.v" === 2,
+            array(struct(rev1.as("rev")),
+              struct(concat(lit("2-"), $"h").as("rev"))))
+          .otherwise(array(struct(
+            concat($"c.v".cast("string"), lit("-"), $"h").as("rev"))))
+        d.select($"d", $"h", explode(array(
+            struct(($"d" * 3 - 2).as("seq"), lit(1).as("v"), lit(true).as("keep")),
+            struct(($"d" * 3 - 1).as("seq"), lit(2).as("v"), ($"d" % 3 === 0).as("keep")),
+            struct(($"d" * 3).as("seq"), lit(3).as("v"), ($"d" % 7 === 0).as("keep")))).as("c"))
+          .where($"c.keep")
+          .select(to_json(struct(
+            $"c.seq".as("seq"),
+            $"d".cast("string").as("id"),
+            changes.as("changes"),
+            when($"c.v" === 3, lit(true)).as("deleted"), // null -> omitted
+            when($"c.v" =!= 3,
+              struct($"c.v".as("v"), $"h".as("h"))).as("doc"))).as("value"))
+          .write.text(staged.toString)
         val feed = base.resolve("feed")
         java.nio.file.Files.createDirectories(feed)
-        java.nio.file.Files.write(feed.resolve("f.jsonl"),
-          lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+          .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
+          }
+        val nLines = new graft.streaming.FileChangesFeed(feed.toString)
+          .latestSeq() / 3 // upper bound is fine for the admission cap
         // admission cap scales with the corpus so the replay is always
         // ~3 admission-controlled micro-batches, at any SF (a fixed cap
         // would mean O(corpus) trigger overhead at bench scale)
         graft.streaming.ChangesPipeline.runOnce(s, feed.toString,
           base.resolve("store").toString, base.resolve("ckpt").toString,
           name = s"j19-${java.util.UUID.randomUUID()}",
-          maxChangesPerTrigger = Some(math.max(251L, lines.length / 3L)))
+          maxChangesPerTrigger = Some(math.max(251L, nLines / 2L)))
         graft.streaming.MergeSink
           .readState(s, base.resolve("store").toString)
           .select($"id", $"rev", $"doc")
@@ -486,13 +515,16 @@ object JsonDoc {
               $"doc_id".cast("string").as("id"),
               array(struct(lit("1-a").as("rev"))).as("changes"),
               struct($"text").as("doc"))).as("value"))
-            .coalesce(1).write.mode("overwrite").text(staged.toString)
+            .write.mode("overwrite").text(staged.toString)
           val feed = base.resolve("feed")
           java.nio.file.Files.createDirectories(feed)
-          // the file feed reads *.jsonl — adopt the staged part file
-          val part = staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
-            .toSeq.sortBy(_.getName).head
-          java.nio.file.Files.move(part.toPath, feed.resolve("f.jsonl"))
+          // the file feed reads *.jsonl and orders by each line's own
+          // seq — adopt ALL staged part files (a single-writer
+          // coalesce(1) funnel would serialize the stage for nothing)
+          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+            .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
+            }
           val nDocs = d.count()
           // 16 buckets: the correctness surface (pruning, segment sums,
           // first-write-wins) is bucket-count-independent; 64 dirs of
@@ -515,6 +547,172 @@ object JsonDoc {
           .orderBy($"query_id", $"rank")
       },
       Some(Pipeline.bm25OracleShared),
-      "streaming retrieval: feed -> checkpointed micro-batches -> segmented inverted index, probe hash-matched against the ad-hoc oracle")
+      "streaming retrieval: feed -> checkpointed micro-batches -> segmented inverted index, probe hash-matched against the ad-hoc oracle"),
+
+    // ---- The WRITE-BACK ROUND-TRIP under the correctness gate — the
+    // reference's signature loop (README.md:29-62: write rows from the
+    // SQL side -> `couchdb_put` trigger POSTs them to CouchDB -> couch
+    // assigns the rev -> the `_changes` echo lands the authoritative
+    // copy back in the store; README.md:336-352 trigger, 491-528 bulk).
+    // Spark-first: BulkDocsSink chunks + POSTs over REAL HTTP to a
+    // STATEFUL stub couch (stores docs, rev-guards, assigns
+    // deterministic revs `<ord>-md5(id:ord)`, appends `_changes`
+    // echoes), then ChangesPipeline re-ingests the echoes through the
+    // DSv2 source + checkpoint + rev-guarded merge. Three generations:
+    // create every doc; update doc_id%3==0 with the _rev the CONVERGED
+    // STORE reports (the loop feeding itself, as the reference's
+    // UPDATE-with-_rev does); delete doc_id%7==0 likewise. The oracle
+    // reconstructs the final (id, rev, doc) from `documents` alone —
+    // possible only because the rev chain is deterministic.
+    QueryDef(
+      "j21_writeback_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val stub = new graft.streaming.CouchStubServer(
+          "graftdb", IndexedSeq.empty, stateful = true)
+        val port = stub.start()
+        try {
+          val base = java.nio.file.Files.createTempDirectory("j21")
+          val url = s"http://127.0.0.1:$port/graftdb"
+          val store = base.resolve("store").toString
+          val ckpt = base.resolve("ckpt").toString
+          val poster = new graft.streaming.JdkHttpPoster()
+          def post(docs: org.apache.spark.sql.DataFrame): Unit = {
+            // partition-local chunking (no global sort) -> executor-side
+            // POSTs; per-doc results come back as rows — any conflict
+            // must surface, not vanish into a swallowed batch
+            val res = graft.streaming.BulkDocsSink.postPerDoc(
+              graft.streaming.BulkDocsSink.chunkedByPartition(
+                docs, "id", "doc"), url, poster)
+            val bad = res.where(!$"ok").count()
+            require(bad == 0L, s"write-back reported $bad conflicts")
+          }
+          def ingest(): Unit =
+            graft.streaming.ChangesPipeline.runOnce(s, url, store, ckpt,
+              name = s"j21-${java.util.UUID.randomUUID()}",
+              maxChangesPerTrigger = Some(251L))
+          // gen 1: create everything
+          post(T(s, dir, "documents")
+            .select($"doc_id".cast("string").as("id"), md5($"text").as("h"))
+            .select($"id", to_json(struct(
+              $"id".as("_id"), lit(1).as("v"), $"h".as("h"))).as("doc")))
+          ingest()
+          // gen 2+3: the converged store supplies each doc's current
+          // _rev — update %3, delete %7 (disjoint: deletes win overlap)
+          val st = graft.streaming.MergeSink.readState(s, store)
+            .select($"id", $"rev",
+              get_json_object($"doc", "$.h").as("h"),
+              ($"id".cast("long") % 3).as("m3"),
+              ($"id".cast("long") % 7).as("m7"))
+          val updates = st.where($"m3" === 0 && $"m7" =!= 0)
+            .select($"id", to_json(struct(
+              $"id".as("_id"), $"rev".as("_rev"),
+              lit(2).as("v"), $"h".as("h"))).as("doc"))
+          val deletes = st.where($"m7" === 0)
+            .select($"id", to_json(struct(
+              $"id".as("_id"), $"rev".as("_rev"),
+              lit(true).as("_deleted"))).as("doc"))
+          post(updates.unionAll(deletes))
+          ingest() // same checkpoint: resumes past gen-1 echoes
+          graft.streaming.MergeSink.readState(s, store)
+            .select($"id", $"rev", $"doc")
+            .orderBy($"id")
+        } finally stub.stop()
+      },
+      Some("""SELECT id,
+             |  ver || '-' || md5(id || ':' || ver) AS rev,
+             |  '{"_id":"' || id || '","_rev":"' || ver || '-' ||
+             |    md5(id || ':' || ver) || '","v":' || ver ||
+             |    ',"h":"' || h || '"}' AS doc
+             |FROM (SELECT CAST(doc_id AS VARCHAR) AS id,
+             |        CASE WHEN doc_id % 3 = 0 THEN '2' ELSE '1' END AS ver,
+             |        md5(text) AS h
+             |      FROM documents WHERE doc_id % 7 <> 0) t
+             |ORDER BY id""".stripMargin),
+      "write-back round-trip: bulk HTTP POST -> stateful couch assigns revs -> _changes echoes re-ingested -> converged store hash-matched (T10/S4/S5)"),
+
+    // ---- P1 vs P2, the QUOTE-PRESERVING distinction the reference
+    // documents as a pitfall (README.md:102,106-111): `doc->'myvar'`
+    // is JSON-typed — a string value keeps its quotes (`"100"`) — while
+    // `doc->>'myvar'` is its text (`100`). Both come from the codegen'd
+    // scanner; DuckDB's json_extract (JSON-typed) vs
+    // json_extract_string (text) is the independent oracle pair.
+    // Covers: quoted string, bare number, nested object (raw slice ==
+    // minified, because the doc is compactly built), and a field read
+    // from the events.props column.
+    QueryDef(
+      "j22_typed_vs_text_projection",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .select($"event_id", $"props",
+            to_json(struct(
+              $"event_id".cast("string").as("myvar"),
+              $"event_id".as("num"),
+              struct($"event_id".as("a")).as("obj"))).as("doc"))
+          .select($"event_id",
+            Json.getJson($"doc", "myvar").as("myvar_json"),
+            Json.get($"doc", "myvar").as("myvar_text"),
+            Json.getJson($"doc", "num").as("num_json"),
+            Json.getJson($"doc", "obj").as("obj_json"),
+            Json.getJson($"props", "k").as("k_json"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract(doc, '$.myvar') AS VARCHAR) AS myvar_json,
+             |  json_extract_string(doc, '$.myvar') AS myvar_text,
+             |  CAST(json_extract(doc, '$.num') AS VARCHAR) AS num_json,
+             |  CAST(json_extract(doc, '$.obj') AS VARCHAR) AS obj_json,
+             |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_json
+             |FROM (SELECT event_id, props,
+             |        '{"myvar":"' || event_id || '","num":' || event_id ||
+             |        ',"obj":{"a":' || event_id || '}}' AS doc
+             |      FROM events) t
+             |ORDER BY event_id""".stripMargin),
+      "P1 `->` JSON-typed projection: quotes preserved, vs `->>` text — the documented distinction, gated"),
+
+    // ---- S6 under the gate: couch REDUCED VIEW == SQL GROUP BY — the
+    // reference's own equivalence walkthrough (README.md:194-215: a
+    // `_count` view with group=true returns the same rows as
+    // `SELECT key, count(*) ... GROUP BY`). The stub serves the view
+    // from its OWN fold over the database (the view-engine stand-in,
+    // Jackson-based — independent of both Spark and DuckDB), Spark
+    // reads it over real HTTP through RestSource (http_get +
+    // json_to_recordset), and DuckDB computes the GROUP BY from the
+    // parquet — a three-way triangle, hash-matched. Feed lines stage
+    // distributed (to_json + write.text); the driver-side slurp is the
+    // stub server's own content, not a Spark collect.
+    QueryDef(
+      "j23_view_groupby_equivalence",
+      (s, dir) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("j23")
+        val staged = base.resolve("staged")
+        T(s, dir, "documents")
+          .select(to_json(struct(
+            ($"doc_id" + 1L).as("seq"),
+            $"doc_id".cast("string").as("id"),
+            array(struct(lit("1-a").as("rev"))).as("changes"),
+            struct($"lang").as("doc"))).as("value"))
+          .write.text(staged.toString)
+        val lines = staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+          .toSeq.sortBy(_.getName)
+          .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
+        val stub = new graft.streaming.CouchStubServer(
+          "graftdb", lines.toIndexedSeq)
+        val port = stub.start()
+        try {
+          // readView fetches eagerly (one small reduced payload — the
+          // heavy lifting happened in the view build), so the stub can
+          // stop before the plan executes
+          graft.sources.RestSource.readView(s, new graft.sources.JdkFetcher(),
+            s"http://127.0.0.1:$port/graftdb/_design/graft/_view/count_by_lang?group=true")
+            .select($"key".as("lang"), $"value".cast("long").as("n_docs"))
+            .orderBy($"lang")
+        } finally stub.stop()
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs FROM documents
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      "S6 gated: stub-couch reduced view read over HTTP == direct GROUP BY (README.md:194-215 equivalence)")
   )
 }

@@ -34,7 +34,118 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * modern CouchDB ignores `all_or_nothing` and reports conflicts per
   * doc) instead of the fast-path `[]`. */
 final class CouchStubServer(
-    db: String, lines: IndexedSeq[String], port: Int = 0) {
+    db: String, lines: IndexedSeq[String], port: Int = 0,
+    stateful: Boolean = false) {
+
+  // ---- STATEFUL MODE (round-8 j21: the write-back round-trip gate).
+  // A real CouchDB stores the doc, assigns the next rev, and ECHOES the
+  // write on `_changes` — the loop the reference's trigger architecture
+  // depends on (reference README.md:29-62: PG write -> couchdb_put ->
+  // couch assigns rev -> _changes echo -> PG converges). `stateful=true`
+  // turns the swallow-and-count stub into that server: `_bulk_docs` /
+  // single-doc PUT parse docs, rev-guard against the store, append a
+  // change line per accepted write, and report per-doc results. Revs are
+  // DETERMINISTIC — `<ord>-md5(<id>:<ord>)` — so an oracle can
+  // reconstruct the converged state without talking to the stub.
+  private object state {
+    val lock = new Object
+    // id -> (ordinal, rev, payload JSON with _id/_rev stripped)
+    val store = new java.util.LinkedHashMap[String, (Long, String, String)]
+    val feed = scala.collection.mutable.ArrayBuffer.empty[String]
+    feed ++= lines
+  }
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Current change list: static `lines` unless stateful. */
+  private def allLines: IndexedSeq[String] =
+    if (!stateful) lines
+    else state.lock.synchronized { state.feed.toIndexedSeq }
+
+  /** Live (non-deleted) doc count for the db-info endpoint. */
+  private def liveCount: Long =
+    if (!stateful) lines.length.toLong
+    else state.lock.synchronized { state.store.size.toLong }
+
+  /** Apply ONE posted doc (parsed node) to the store under the rev
+    * guard; returns the per-doc `_bulk_docs` result row. CouchDB
+    * semantics: a write must carry the doc's CURRENT rev (or none for a
+    * create) — anything else is `conflict`, reported as a row, never a
+    * request failure (README.md:504-530). */
+  private def applyWrite(n: com.fasterxml.jackson.databind.JsonNode,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): String = {
+    val id = n.path("_id").asText("")
+    if (id.isEmpty)
+      return """{"error":"bad_request","reason":"missing _id"}"""
+    if (conflictIds.contains(id))
+      return s"""{"id":"$id","error":"conflict","reason":"Document update conflict."}"""
+    val postedRev =
+      if (n.hasNonNull("_rev")) Some(n.get("_rev").asText()) else None
+    val deleted = n.path("_deleted").asBoolean(false)
+    state.lock.synchronized {
+      val cur = Option(state.store.get(id))
+      if (cur.map(_._2) != postedRev)
+        return s"""{"id":"$id","error":"conflict","reason":"Document update conflict."}"""
+      val ord = cur.map(_._1).getOrElse(0L) + 1L
+      val rev = s"$ord-${md5hex(s"$id:$ord")}"
+      val seq = state.feed.length + 1
+      if (deleted) {
+        state.store.remove(id)
+        state.feed +=
+          s"""{"seq":$seq,"id":"$id","changes":[{"rev":"$rev"}],"deleted":true}"""
+      } else {
+        val payload = n.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        payload.remove("_id"); payload.remove("_rev"); payload.remove("_deleted")
+        val pj = mapper.writeValueAsString(payload)
+        state.store.put(id, (ord, rev, pj))
+        // the echoed doc is the STORED doc: _id/_rev first (as couch
+        // serves with include_docs=true), then the payload fields in
+        // their posted order
+        val doc =
+          if (pj == "{}") s"""{"_id":"$id","_rev":"$rev"}"""
+          else s"""{"_id":"$id","_rev":"$rev",""" + pj.substring(1)
+        state.feed +=
+          s"""{"seq":$seq,"id":"$id","changes":[{"rev":"$rev"}],"doc":$doc}"""
+      }
+      s"""{"ok":true,"id":"$id","rev":"$rev"}"""
+    }
+  }
+
+  /** The couch VIEW engine stand-in (S6, reference README.md:194-215):
+    * `_design/graft/_view/count_by_<field>?group=true` — map emits
+    * doc.<field>, reduce `_count`, group=true. Computed from the CURRENT
+    * database state (latest change per id, deletes drop the doc), keys
+    * sorted, exactly the reduced rows a real couch serves. */
+  private def viewCountBy(field: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // fold the feed latest-per-id (static mode has no store; stateful
+    // mode's store agrees with this fold by construction)
+    val last = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Option[String])]
+    allLines.foreach { l =>
+      val n = mapper.readTree(l)
+      val id = n.path("id").asText("")
+      val seq = SeqTok.ofNode(n.get("seq")).ord
+      if (id.nonEmpty && last.get(id).forall(_._1 < seq)) {
+        val doc =
+          if (n.path("deleted").asBoolean(false) || !n.hasNonNull("doc")) None
+          else Some(mapper.writeValueAsString(n.get("doc")))
+        last(id) = (seq, doc)
+      }
+    }
+    val counts = scala.collection.mutable.TreeMap.empty[String, Long]
+    last.valuesIterator.flatMap(_._2).foreach { d =>
+      val k = mapper.readTree(d).path(field).asText(null)
+      if (k != null) counts(k) = counts.getOrElse(k, 0L) + 1L
+    }
+    counts.map { case (k, v) => s"""{"key":"$k","value":$v}""" }
+      .mkString("""{"rows":[""", ",", "]}")
+  }
+
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
   private val bulkPosts = new java.util.concurrent.atomic.LongAdder
@@ -127,7 +238,13 @@ final class CouchStubServer(
           val req = ex.getRequestBody.readAllBytes()
           bulkPosts.increment()
           bytesIn.add(req.length)
-          if (conflictIds.isEmpty) (201, "[]")
+          if (stateful) {
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            val docs = mapper.readTree(req).path("docs")
+            val results = (0 until docs.size())
+              .map(i => applyWrite(docs.get(i), mapper))
+            (201, results.mkString("[", ",", "]"))
+          } else if (conflictIds.isEmpty) (201, "[]")
           else {
             // documented per-doc result array: conflicts do NOT fail
             // the request — they are rows in a 201 response
@@ -141,6 +258,11 @@ final class CouchStubServer(
             }
             (201, results.mkString("[", ",", "]"))
           }
+        } else if (path.startsWith(s"/$db/_design/") &&
+            path.contains("/_view/count_by_")) {
+          val field = path.substring(
+            path.indexOf("/_view/count_by_") + "/_view/count_by_".length)
+          (200, viewCountBy(field))
         } else if ((method == "PUT" || method == "POST")
             && path.startsWith(s"/$db/")
             && !path.substring(db.length + 2).contains("/")) {
@@ -148,7 +270,14 @@ final class CouchStubServer(
           docPuts.increment()
           bytesIn.add(req.length)
           val id = path.substring(db.length + 2)
-          (201, s"""{"ok":true,"id":"$id","rev":"1-stub"}""")
+          if (stateful) {
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            val n = mapper.readTree(req)
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            n.put("_id", id) // the URL names the doc on a single-doc PUT
+            val res = applyWrite(n, mapper)
+            (if (res.contains("\"error\"")) 409 else 201, res)
+          } else (201, s"""{"ok":true,"id":"$id","rev":"1-stub"}""")
         } else if (path == s"/$db/_changes") {
           val sinceRaw = params.getOrElse("since", "0")
           changesSinceRaw.add(sinceRaw)
@@ -168,28 +297,30 @@ final class CouchStubServer(
               """{"error":"bad_request","reason":"Malformed sequence supplied in 'since' parameter."}""")
             case Some(since) =>
               changesSinceLog.add(since)
+              val ls = allLines
               val limit =
                 params.getOrElse("limit", Int.MaxValue.toString).toLong
               val longpoll = params.get("feed").contains("longpoll")
-              if (longpoll && since >= lines.length.toLong)
+              if (longpoll && since >= ls.length.toLong)
                 // static change list: nothing will arrive — hold for the
                 // (bounded) timeout as a real server would, then answer
                 // empty. Heartbeats accumulate as leading newlines.
                 Thread.sleep(math.min(
                   params.getOrElse("timeout", "1000").toLong, 1000L))
               val from =
-                math.min(math.max(since, 0L), lines.length.toLong).toInt
+                math.min(math.max(since, 0L), ls.length.toLong).toInt
               val until = math.min(from + math.min(limit, Int.MaxValue.toLong),
-                lines.length.toLong).toInt
-              val page = lines.slice(from, until).map(seqify)
+                ls.length.toLong).toInt
+              val page = ls.slice(from, until).map(seqify)
               val last = if (until > from) until.toLong else since
               val hb = if (longpoll) "\n\n\n" else ""
               (200, hb + page.mkString("""{"results":[""", ",",
                 s"""],"last_seq":${seqLit(last)}}"""))
           }
         } else if (path == s"/$db") {
-          (200, s"""{"db_name":"$db","update_seq":${seqLit(lines.length)},""" +
-            s""""doc_count":${lines.length}}""")
+          (200,
+            s"""{"db_name":"$db","update_seq":${seqLit(allLines.length)},""" +
+            s""""doc_count":$liveCount}""")
         } else (404, """{"error":"not_found","reason":"no_db_file"}""")
       val bytes = body._2.getBytes("UTF-8")
       ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -256,6 +387,7 @@ final class CouchStubServer(
     }
     val since = sinceParsed.get
     changesSinceLog.add(since)
+    val lines = allLines // one snapshot per continuous request
     val from = math.min(math.max(since, 0L), lines.length.toLong).toInt
     val cut = dropChangesRequest > 0 && {
       val hit = changesSeen.incrementAndGet() == dropChangesRequest.toLong

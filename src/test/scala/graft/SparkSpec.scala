@@ -19,6 +19,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIL (don't silently interpret) when generated code can't
+      // compile — e.g. a literal-folded expression tree pushing one
+      // method past janino's 64 KB limit. Production sessions keep the
+      // resilient default; the test session is the regression pin that
+      // every catalog plan stays codegen'd (VERDICT r7 finding 1).
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
