@@ -43,6 +43,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+    // Side-effecting end-to-end REPLAYS (streaming ingest / write-back
+    // round-trips): each run rebuilds a feed, drives a fresh streaming
+    // query, and rewrites a store — wall is I/O + micro-batch
+    // scheduling, not codegen, so min-of-N warmup semantics measure
+    // nothing extra. Run ONCE, and keep them out of the retry trigger
+    // (they would otherwise push the catalog sum past the retry target
+    // and re-run the whole heavy loop up to 3 more times).
+    val onceOnly = Set("j19_streaming_replay", "j21_writeback_roundtrip")
     // A query that throws must NOT be timed as a ~0 s success — that
     // would make regressions look like speedups. Failures are reported
     // per-query on stderr and counted in the JSON line.
@@ -70,7 +78,7 @@ object Bench {
       t
     }
     val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
-    if (warmup) names.foreach { n =>
+    if (warmup) names.filterNot(onceOnly).foreach { n =>
       val t = run(n)
       if (verbose) System.err.println(f"[bench] warmup $n%-28s $t%8.3f s")
     }
@@ -99,7 +107,8 @@ object Bench {
     if (warmup) jitSettle("post-warmup")
     val rounds = if (warmup) 2 else 1
     val results0 = names.map { name =>
-      name -> (0 until rounds).map { r =>
+      val n = if (onceOnly(name)) 1 else rounds
+      name -> (0 until n).map { r =>
         val t = run(name)
         if (verbose) System.err.println(f"[bench] round$r $name%-28s $t%8.3f s")
         t
@@ -119,9 +128,11 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap(results0: _*)
     if (warmup) {
       var pass = 0
-      while (pass < 3 && best.values.sum > target && best.values.exists(_ > 0.5)) {
+      def retrySum = best.filterNot(kv => onceOnly(kv._1)).values.sum
+      while (pass < 3 && retrySum > target &&
+          best.exists(kv => !onceOnly(kv._1) && kv._2 > 0.5)) {
         jitSettle(s"pre-retry-$pass")
-        best.keys.toSeq.foreach { n =>
+        best.keys.toSeq.filterNot(onceOnly).foreach { n =>
           if (best(n) > 0.5) {
             val r = run(n)
             if (verbose) System.err.println(f"[bench] retry$pass $n%-28s $r%8.3f s")
@@ -136,7 +147,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.size},"failed":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.size},"failed":$errs,"sf":"$sfDir"}"""
+    // The full line also lands in a sibling artifact: harness logs keep
+    // only a bounded tail, which truncates a 170-query map mid-JSON —
+    // per-query evidence must survive in a reproducible file, not a log
+    // snippet. Unset SPARK_GRAFT_BENCH_DETAIL to skip; full sweeps
+    // default into the repo.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (only.isEmpty) "BENCH_DETAIL.json" else "")
+    if (detailPath.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(line)
     if (failed.nonEmpty) {
       spark.stop()
       sys.exit(1)

@@ -64,26 +64,21 @@ object Bucketing {
   }
 
   /** Deterministic scratch location + table name for a source dataset,
-    * keyed by the source FILES (name+mtime+size) AND the requested
-    * layout (bucket key, bucket count, projected columns) so neither
-    * regenerated testdata nor a second caller asking for a different
-    * layout of the same source can ever hit a stale table — the same
-    * fingerprint scheme as the persisted ANN indexes. */
+    * keyed by the source FILES (name+length+content sample — mtime-free,
+    * see [[graft.Fingerprint]]) AND the requested layout (bucket key,
+    * bucket count, projected columns) so neither regenerated testdata
+    * nor a second caller asking for a different layout of the same
+    * source can ever hit a stale table — the same fingerprint scheme as
+    * the persisted ANN indexes. */
   def layoutFor(dir: String, name: String, key: String, nBuckets: Int,
       columns: Seq[String]): (String, String) = {
     val src = new java.io.File(s"$dir/$name.parquet")
-    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-    val srcFp = files.sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-      .mkString("|")
+    val srcFp = graft.Fingerprint.ofTable(src)
     // 128-bit md5, not 32-bit String.hashCode: at 2^16 distinct layouts
     // a 32-bit fingerprint has ~40% birthday-collision odds — and a
     // collision here would silently reuse the WRONG table
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val fp = md.digest(
-      s"$dir#$srcFp#$key#$nBuckets#${columns.mkString(",")}"
-        .getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+    val fp = graft.Fingerprint.md5hex(
+      s"$dir#$srcFp#$key#$nBuckets#${columns.mkString(",")}")
     val id = fp.take(16)
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-bucketed-$name-$id").toString

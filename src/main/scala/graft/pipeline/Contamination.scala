@@ -137,9 +137,16 @@ object Contamination {
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
       .select(col("src"), md5(col("s")).as("h"))
-    val perSrc = sh.groupBy("src").agg(countDistinct(col("h")).as("n"))
-    val pairs = sh.groupBy("h")
+    // BOTH aggregates derive from the one per-hash source-set table:
+    // the two branches share its Exchange (identical subtree -> the
+    // planner's ReusedExchange), so the corpus is scanned, exploded and
+    // h-shuffled ONCE — a separate countDistinct branch re-ran that
+    // whole stage just to size each source (measured 2x wall at sf0.1)
+    val hs = sh.groupBy("h")
       .agg(sort_array(collect_set(col("src"))).as("srcs"))
+    val perSrc = hs.select(explode(col("srcs")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = hs
       .where(size(col("srcs")) >= 2)
       .select(explode(col("srcs")).as("src_a"), col("srcs"))
       .select(col("src_a"), explode(col("srcs")).as("src_b"))

@@ -33,14 +33,14 @@ object Pipeline {
       dir: String, table: String, key: String,
       ready: String = "_SUCCESS")(build: java.io.File => Unit): java.io.File = {
     val src = new java.io.File(s"$dir/$table.parquet")
-    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-    val fp = files.sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-      .mkString("|").hashCode
+    // CONTENT fingerprint (name+length+head/tail sample), not mtime:
+    // the per-round testdata refresh rewrites identical bytes with new
+    // timestamps, and an mtime key rebuilt every warm fixture each
+    // round — most of a bench job's wall was artifact reconstruction
+    val fp = graft.Fingerprint.md5hex(
+      dir + "#" + graft.Fingerprint.ofTable(src)).take(16)
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-$key-" + Integer.toHexString(dir.hashCode) +
-        "-" + Integer.toHexString(fp))
+      sys.props("java.io.tmpdir"), s"graft-$key-$fp")
     if (!new java.io.File(out, ready).exists()) build(out)
     out
   }

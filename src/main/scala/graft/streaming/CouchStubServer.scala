@@ -49,7 +49,11 @@ final class CouchStubServer(
   // reconstruct the converged state without talking to the stub.
   private object state {
     val lock = new Object
-    // id -> (ordinal, rev, payload JSON with _id/_rev stripped)
+    // id -> (ordinal, rev, payload JSON with _id/_rev stripped; null
+    // payload = TOMBSTONE — deletion keeps the rev chain, so a recreate
+    // continues at the next generation exactly as CouchDB's rev tree
+    // does (restarting at 1 would mint a rev string IDENTICAL to the
+    // original create's — deterministic hashes — for different content)
     val store = new java.util.LinkedHashMap[String, (Long, String, String)]
     val feed = scala.collection.mutable.ArrayBuffer.empty[String]
     feed ++= lines
@@ -69,7 +73,11 @@ final class CouchStubServer(
   /** Live (non-deleted) doc count for the db-info endpoint. */
   private def liveCount: Long =
     if (!stateful) lines.length.toLong
-    else state.lock.synchronized { state.store.size.toLong }
+    else state.lock.synchronized {
+      var n = 0L
+      state.store.forEach((_, v) => if (v._3 != null) n += 1)
+      n
+    }
 
   /** Apply ONE posted doc (parsed node) to the store under the rev
     * guard; returns the per-doc `_bulk_docs` result row. CouchDB
@@ -88,13 +96,20 @@ final class CouchStubServer(
     val deleted = n.path("_deleted").asBoolean(false)
     state.lock.synchronized {
       val cur = Option(state.store.get(id))
-      if (cur.map(_._2) != postedRev)
+      val isTombstone = cur.exists(_._3 == null)
+      // rev guard: a LIVE doc demands its current rev; a tombstone (or
+      // no doc) accepts a rev-less create — CouchDB lets a deleted id
+      // be recreated without supplying the tombstone rev
+      val guarded =
+        if (isTombstone) postedRev.forall(r => cur.exists(_._2 == r))
+        else cur.map(_._2) == postedRev
+      if (!guarded || (deleted && isTombstone))
         return s"""{"id":"$id","error":"conflict","reason":"Document update conflict."}"""
       val ord = cur.map(_._1).getOrElse(0L) + 1L
       val rev = s"$ord-${md5hex(s"$id:$ord")}"
       val seq = state.feed.length + 1
       if (deleted) {
-        state.store.remove(id)
+        state.store.put(id, (ord, rev, null))
         state.feed +=
           s"""{"seq":$seq,"id":"$id","changes":[{"rev":"$rev"}],"deleted":true}"""
       } else {

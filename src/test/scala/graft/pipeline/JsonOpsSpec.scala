@@ -83,4 +83,31 @@ class JsonOpsSpec extends SparkSpec {
       }
     }
   }
+
+  private def getJson(doc: String, key: String): String = {
+    val r = JsonOps.getFieldJson(UTF8String.fromString(doc), key)
+    if (r == null) null else r.toString
+  }
+
+  test("-> returns the RAW JSON slice: quotes kept, escapes unprocessed") {
+    // the reference's documented P1 distinction (README.md:106-111):
+    // doc->'myvar' is "100" WITH quotes; doc->>'myvar' is 100
+    assert(getJson("""{"myvar":"100"}""", "myvar") == "\"100\"")
+    assert(get("""{"myvar":"100"}""", "myvar") == "100")
+    assert(getJson("""{"k":"a\nb"}""", "k") == "\"a\\nb\"") // escape kept
+    assert(getJson("""{"k":1}""", "k") == "1")              // number: same
+    assert(getJson("""{"k":-1.5e3}""", "k") == "-1.5e3")
+    assert(getJson("""{"k":true}""", "k") == "true")
+    assert(getJson("""{"k":{"x":1}}""", "k") == """{"x":1}""")
+    assert(getJson("""{"k":[1,"a"]}""", "k") == """[1,"a"]""")
+  }
+
+  test("-> null semantics and error paths match ->> / json_extract") {
+    assert(getJson("""{"k":null}""", "k") == null)   // JSON null -> SQL NULL
+    assert(getJson("""{"k":1}""", "missing") == null)
+    assert(getJson("""{"k":trux}""", "k") == null)   // malformed -> NULL
+    assert(getJson("""not json""", "k") == null)
+    assert(getJson("""{"k":1,"k":"2"}""", "k") == "\"2\"") // last-wins
+    assert(getJson("""{"k":"2","k":null}""", "k") == null) // last-wins null
+  }
 }
