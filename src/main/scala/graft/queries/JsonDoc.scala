@@ -587,10 +587,14 @@ object JsonDoc {
             val bad = res.where(!$"ok").count()
             require(bad == 0L, s"write-back reported $bad conflicts")
           }
+          // admission cap scales with the corpus (j19 gates the
+          // admission-control semantics; a fixed cap here would mean
+          // O(corpus) micro-batch overhead in the round-trip)
+          val nDocs = T(s, dir, "documents").count()
           def ingest(): Unit =
             graft.streaming.ChangesPipeline.runOnce(s, url, store, ckpt,
               name = s"j21-${java.util.UUID.randomUUID()}",
-              maxChangesPerTrigger = Some(251L))
+              maxChangesPerTrigger = Some(math.max(251L, nDocs / 2L)))
           // gen 1: create everything
           post(T(s, dir, "documents")
             .select($"doc_id".cast("string").as("id"), md5($"text").as("h"))
