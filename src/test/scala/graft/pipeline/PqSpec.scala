@@ -96,4 +96,37 @@ class PqSpec extends SparkSpec {
     assert(top.forall(_.getLong(2) % 3 == 0L),
       s"top-5 left the query's direction group: ${top.mkString(",")}")
   }
+
+  test("argmin kernel: reference-object loop == naive distance argmin") {
+    // the expression that replaced the literal-folded least(struct(...))
+    // chains (which overflowed janino's 64 KB method limit) — pin its
+    // semantics against a naive implementation over deterministic
+    // pseudo-random inputs, including the tie-to-lowest-code rule
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def rnd(seed: Long, n: Int, mod: Long): IndexedSeq[Long] =
+      IndexedSeq.tabulate(n)(i =>
+        ((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 17) % mod - mod / 2)
+    (0 until 50).foreach { t =>
+      val sub = 1 + t % 7
+      val nCode = 1 + t % 9
+      val off = t % 3
+      val x = rnd(t + 1L, off + sub, 1000L)
+      val cw = IndexedSeq.tabulate(nCode)(c =>
+        if (c > 0 && t % 5 == 0) rnd(1000L + t, sub, 7L) // force ties
+        else rnd(c * 31L + t, sub, 7L))
+      val naive = cw.zipWithIndex.map { case (w, c) =>
+        val d = (0 until sub).map { j =>
+          val diff = x(off + j) - w(j); diff * diff
+        }.sum
+        (d, c)
+      }.min // lowest dist, ties to lowest code
+      val arr = new GenericArrayData(x.map(java.lang.Long.valueOf).toArray[Any])
+      val flat = cw.flatten.toArray
+      val ww = cw.map(w => w.map(v => v * v).sum).toArray
+      assert(graft.functions.PqOps.argmin(arr, flat, ww, off, sub) == naive._2,
+        s"t=$t x=$x cw=$cw")
+      assert(graft.functions.PqOps.minDist(arr, flat, ww, off, sub) == naive._1,
+        s"t=$t dist mismatch")
+    }
+  }
 }
