@@ -34,6 +34,14 @@ object Bench {
       // Buffers are k entries, so 1M groups/task is still only ~MBs.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      // Shuffle files are reclaimed by the ContextCleaner only when the
+      // DRIVER GCs their dependencies, and the default periodic-GC
+      // interval is 30 MINUTES — a large-SF sweep under a big heap
+      // barely GCs, so tens of GB of dead shuffle state pile up and
+      // inflate every LATE query (measured at sf10: p16 202 s mid-sweep
+      // vs 67 s isolated; p66 129 s vs 27 s). Two minutes bounds the
+      // accumulation at a negligible GC cost.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.getOrElse("SPARK_GRAFT_PIN", "0") == "1")
