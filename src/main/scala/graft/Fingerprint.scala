@@ -2,50 +2,63 @@ package graft
 
 /** Content-keyed fingerprints for the fixture/index caches.
   *
-  * Keyed by file NAME + LENGTH + a content sample (md5 of the first and
-  * last 64 KB), NOT mtime: regenerated-but-identical source tables (the
-  * per-round testdata refresh) keep their fingerprint, so warm caches
-  * survive across benchmark rounds instead of rebuilding every fixture
-  * for nothing. A collision across genuinely different data would need
-  * identical head and tail bytes at identical length — not a realistic
-  * failure mode for parquet, whose footer (schema, row-group offsets,
-  * column stats) lives in the sampled tail.
+  * Keyed by file NAME + LENGTH + a content sample (md5 of the first,
+  * middle and last 64 KB), NOT mtime: regenerated-but-identical source
+  * tables (the per-round testdata refresh) keep their fingerprint, so
+  * warm caches survive across benchmark rounds instead of rebuilding
+  * every fixture for nothing. For parquet the tail sample alone already
+  * pins schema, row-group offsets and column stats (the footer); the
+  * middle block extends the guarantee to ANY file format a caller
+  * fingerprints — a same-length interior edit with unchanged head/tail
+  * (e.g. a text corpus with a fixed header/footer) still rekeys.
   */
 object Fingerprint {
 
-  /** md5 over the first and last 64 KB (whole file when smaller). */
+  private val SAMPLE = 65536L
+
+  /** md5 over the first, middle and last 64 KB (whole file when the
+    * regions overlap — every byte of a <=128 KB file is hashed). */
   def ofFile(f: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val len = f.length()
     val in = new java.io.RandomAccessFile(f, "r")
     try {
-      val head = new Array[Byte](math.min(65536L, len).toInt)
-      in.readFully(head)
-      md.update(head)
-      if (len > 65536L) {
-        val start = math.max(65536L, len - 65536L)
+      def region(start: Long, end: Long): Unit = {
+        val buf = new Array[Byte]((end - start).toInt)
         in.seek(start)
-        val tail = new Array[Byte]((len - start).toInt)
-        in.readFully(tail)
-        md.update(tail)
+        in.readFully(buf)
+        md.update(buf)
       }
+      region(0L, math.min(SAMPLE, len))
+      if (len > 2 * SAMPLE) {
+        // middle block, clamped so it never re-reads head or tail bytes
+        val mid0 = math.max(SAMPLE, len / 2 - SAMPLE / 2)
+        val mid1 = math.min(len - SAMPLE, mid0 + SAMPLE)
+        if (mid1 > mid0) region(mid0, mid1)
+      }
+      if (len > SAMPLE) region(math.max(SAMPLE, len - SAMPLE), len)
     } finally in.close()
     md.digest().map(b => f"$b%02x").mkString
   }
 
-  /** `name:length:sample|...` over a table's part files (or the single
-    * file when the path is not a directory). A missing path contributes
-    * a stable `absent` marker instead of throwing — layout planning may
-    * fingerprint a source that is only about to exist (the mtime scheme
-    * this replaces read 0:0 there). */
+  /** `name:length:sample|...` over a table's files, RECURSING into
+    * subdirectories (Hive-style `key=value` partition layouts, bucketed
+    * stores): each directory contributes a `dir:<name>` marker and its
+    * children in sorted order, so a nested part file can never be
+    * silently invisible to the key (a flat listing used to fingerprint
+    * only top-level files — a partitioned source would have reused
+    * stale caches after a partition rewrite). A missing path
+    * contributes a stable `absent` marker instead of throwing — layout
+    * planning may fingerprint a source that is only about to exist. */
   def ofTable(dirOrFile: java.io.File): String = {
-    val files = Option(dirOrFile.listFiles()).map(_.toSeq.filter(_.isFile))
-      .getOrElse(Seq(dirOrFile))
-    files.sortBy(_.getName)
-      .map(f =>
-        if (f.isFile) s"${f.getName}:${f.length}:${ofFile(f)}"
-        else s"${f.getName}:absent")
-      .mkString("|")
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isFile) Seq(s"${f.getName}:${f.length}:${ofFile(f)}")
+      else Option(f.listFiles()) match {
+        case None => Seq(s"${f.getName}:absent")
+        case Some(kids) =>
+          s"dir:${f.getName}" +: kids.sortBy(_.getName).toSeq.flatMap(walk)
+      }
+    walk(dirOrFile).mkString("|")
   }
 
   /** 128-bit hex digest of an arbitrary cache-key string. */

@@ -580,10 +580,19 @@ object JsonDoc {
           def post(docs: org.apache.spark.sql.DataFrame): Unit = {
             // partition-local chunking (no global sort) -> executor-side
             // POSTs; per-doc results come back as rows — any conflict
-            // must surface, not vanish into a swallowed batch
+            // must surface, not vanish into a swallowed batch.
+            // AT-MOST-ONCE NOTE: the POSTs run inside the result's
+            // lineage, so a task retry / speculative attempt would
+            // re-POST and advance the stub's revs (the retried rows
+            // then read as conflicts). localCheckpoint pins the result
+            // after ONE evaluation — no later action can re-fire the
+            // HTTP stage — and local[] bench mode neither speculates
+            // nor retries a succeeded task; on a real cluster the sink
+            // belongs behind foreachBatch (j19's path), where Spark's
+            // batch-id contract supplies the replay guard.
             val res = graft.streaming.BulkDocsSink.postPerDoc(
               graft.streaming.BulkDocsSink.chunkedByPartition(
-                docs, "id", "doc"), url, poster)
+                docs, "id", "doc"), url, poster).localCheckpoint()
             val bad = res.where(!$"ok").count()
             require(bad == 0L, s"write-back reported $bad conflicts")
           }

@@ -23,12 +23,15 @@ object Pipeline {
   private val W = "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)"
 
   /** Tmp-cached derived artifact (media fixtures, ANN/BM25 indexes):
-    * the cache key fingerprints the source table's parquet part files
-    * (name + mtime + size), so regenerated testdata can never hit a
-    * stale artifact; layout parameters belong in `key`. `build` runs
-    * once per (fingerprint, key) — decided by the `ready` marker —
-    * then every run reads the cached path, so benches time the
-    * pipeline under test, not artifact construction. */
+    * the cache key is a CONTENT fingerprint of the source table's
+    * parquet part files (name + length + head/middle/tail byte sample,
+    * [[graft.Fingerprint.ofTable]]) — NOT mtime, so the per-round
+    * testdata refresh (identical bytes, new timestamps) keeps warm
+    * caches, while any real data change rekeys; layout parameters
+    * belong in `key`. `build` runs once per (fingerprint, key) —
+    * decided by the `ready` marker — then every run reads the cached
+    * path, so benches time the pipeline under test, not artifact
+    * construction. */
   private[queries] def cachedArtifact(
       dir: String, table: String, key: String,
       ready: String = "_SUCCESS")(build: java.io.File => Unit): java.io.File = {

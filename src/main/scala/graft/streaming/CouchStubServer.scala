@@ -47,6 +47,20 @@ final class CouchStubServer(
   // change line per accepted write, and report per-doc results. Revs are
   // DETERMINISTIC — `<ord>-md5(<id>:<ord>)` — so an oracle can
   // reconstruct the converged state without talking to the stub.
+  // Stateful writes mint seq = feed.length + 1 and the `_changes` pager
+  // treats `since` as a positional index, so the feed MUST stay dense
+  // (line i carries seq i+1 — the documented static-mode contract too).
+  // Guard the seeding: non-dense initial lines would make new writes
+  // mint colliding/regressing seqs. One parse of the LAST line pins the
+  // counter seed; interior density stays the caller's (documented)
+  // contract, as in static mode.
+  require(!stateful || lines.isEmpty || {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lines.last)
+    SeqTok.ofNode(n.get("seq")).ord == lines.length.toLong
+  }, s"stateful stub seeded with non-dense seqs: last of ${lines.length} " +
+    s"lines is ${lines.last.take(80)}")
+
   private object state {
     val lock = new Object
     // id -> (ordinal, rev, payload JSON with _id/_rev stripped; null
@@ -153,11 +167,18 @@ final class CouchStubServer(
       }
     }
     val counts = scala.collection.mutable.TreeMap.empty[String, Long]
+    var nullCount = 0L
     last.valuesIterator.flatMap(_._2).foreach { d =>
       val k = mapper.readTree(d).path(field).asText(null)
       if (k != null) counts(k) = counts.getOrElse(k, 0L) + 1L
+      else nullCount += 1L // map emits doc.<field> even when absent/null
     }
-    counts.map { case (k, v) => s"""{"key":"$k","value":$v}""" }
+    // CouchDB view collation sorts null before every string key; a
+    // dropped null group would silently disagree with a SQL GROUP BY
+    // over a nullable field (the j23 equivalence triangle)
+    val nullRow =
+      if (nullCount > 0) Seq(s"""{"key":null,"value":$nullCount}""") else Nil
+    (nullRow ++ counts.map { case (k, v) => s"""{"key":"$k","value":$v}""" })
       .mkString("""{"rows":[""", ",", "]}")
   }
 
