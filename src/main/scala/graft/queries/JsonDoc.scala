@@ -28,6 +28,94 @@ object JsonDoc {
   private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** The replay `_changes` feed j19/j24/j25 share: per doc an insert,
+    * an update for doc_id%3==0, a delete for doc_id%7==0 — with
+    * multi-rev conflict-branch lines (style=all_docs winning-rev
+    * semantics, see j19's entry comment). Synthesized DISTRIBUTED
+    * (to_json + write.text, no driver collect) once per corpus into the
+    * content-keyed artifact cache: the feed is a pure function of the
+    * documents table, and all three gated state stores must replay the
+    * SAME bytes against the SAME oracle — that sameness IS the gate. */
+  private def stagedReplayFeed(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = Pipeline.cachedArtifact(dir, "documents", "j19feed-v1",
+        ready = "_complete") { o =>
+      val base = java.nio.file.Files.createTempDirectory("j19stage")
+      val staged = base.resolve("staged")
+      val d = T(s, dir, "documents")
+        .select($"doc_id".as("d"), md5($"text").as("h"))
+      val rev1 = concat(lit("1-"), $"h")
+      val loser = struct(lit("1-!loser").as("rev")) // '!' < any hex char
+      val changes =
+        when($"c.v" === 1 && $"d" % 5 === 0,
+          array(loser, struct(rev1.as("rev"))))
+        .when($"c.v" === 1 && $"d" % 5 === 1,
+          array(struct(rev1.as("rev")), loser))
+        .when($"c.v" === 2,
+          array(struct(rev1.as("rev")),
+            struct(concat(lit("2-"), $"h").as("rev"))))
+        .otherwise(array(struct(
+          concat($"c.v".cast("string"), lit("-"), $"h").as("rev"))))
+      d.select($"d", $"h", explode(array(
+          struct(($"d" * 3 - 2).as("seq"), lit(1).as("v"), lit(true).as("keep")),
+          struct(($"d" * 3 - 1).as("seq"), lit(2).as("v"), ($"d" % 3 === 0).as("keep")),
+          struct(($"d" * 3).as("seq"), lit(3).as("v"), ($"d" % 7 === 0).as("keep")))).as("c"))
+        .where($"c.keep")
+        .select(to_json(struct(
+          $"c.seq".as("seq"),
+          $"d".cast("string").as("id"),
+          changes.as("changes"),
+          when($"c.v" === 3, lit(true)).as("deleted"), // null -> omitted
+          when($"c.v" =!= 3,
+            struct($"c.v".as("v"), $"h".as("h"))).as("doc"))).as("value"))
+        .write.text(staged.toString)
+      // adopt ALL staged part files (the file feed orders by each
+      // line's own seq, so a single-writer funnel would buy nothing)
+      java.nio.file.Files.createDirectories(o.toPath)
+      staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+        .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath, o.toPath.resolve(f"$i%05d.jsonl"))
+        }
+      scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.toList
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+      // marker LAST: a crashed staging must rebuild, not half-replay
+      java.nio.file.Files.write(o.toPath.resolve("_complete"),
+        Array.emptyByteArray)
+    }
+    out.toString
+  }
+
+  /** Replay the shared feed through one of the three state stores in
+    * admission-controlled micro-batches (~3 at any SF), returning the
+    * converged (id, rev, doc) state. `run` wires the store's
+    * foreachBatch + readState pair. */
+  private def replayThrough(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String)(
+      run: (java.nio.file.Path, String, Option[Long]) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val feed = stagedReplayFeed(s, dir)
+    val base = java.nio.file.Files.createTempDirectory(tag)
+    val nLines = new graft.streaming.FileChangesFeed(feed)
+      .latestSeq() / 3 // upper bound is fine for the admission cap
+    // admission cap scales with the corpus so the replay is always
+    // ~3 admission-controlled micro-batches, at any SF (a fixed cap
+    // would mean O(corpus) trigger overhead at bench scale)
+    run(base, feed, Some(math.max(251L, nLines / 2L)))
+  }
+
+  /** The one oracle all three replay gates share: the final state
+    * reconstructed from `documents` alone. */
+  private val replayOracle =
+    """SELECT CAST(doc_id AS VARCHAR) AS id,
+      |(CASE WHEN doc_id % 3 = 0 THEN '2-' ELSE '1-' END) || md5(text) AS rev,
+      |'{"v":' || (CASE WHEN doc_id % 3 = 0 THEN '2' ELSE '1' END) ||
+      |  ',"h":"' || md5(text) || '"}' AS doc
+      |FROM documents WHERE doc_id % 7 <> 0
+      |ORDER BY id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // ---- P1/P2/P5: ->> extraction + cast + numeric predicate
@@ -429,62 +517,76 @@ object JsonDoc {
       "j19_streaming_replay",
       (s, dir) => {
         import s.implicits._
-        val base = java.nio.file.Files.createTempDirectory("j19")
-        val staged = base.resolve("staged")
-        val d = T(s, dir, "documents")
-          .select($"doc_id".as("d"), md5($"text").as("h"))
-        val rev1 = concat(lit("1-"), $"h")
-        val loser = struct(lit("1-!loser").as("rev")) // '!' < any hex char
-        val changes =
-          when($"c.v" === 1 && $"d" % 5 === 0,
-            array(loser, struct(rev1.as("rev"))))
-          .when($"c.v" === 1 && $"d" % 5 === 1,
-            array(struct(rev1.as("rev")), loser))
-          .when($"c.v" === 2,
-            array(struct(rev1.as("rev")),
-              struct(concat(lit("2-"), $"h").as("rev"))))
-          .otherwise(array(struct(
-            concat($"c.v".cast("string"), lit("-"), $"h").as("rev"))))
-        d.select($"d", $"h", explode(array(
-            struct(($"d" * 3 - 2).as("seq"), lit(1).as("v"), lit(true).as("keep")),
-            struct(($"d" * 3 - 1).as("seq"), lit(2).as("v"), ($"d" % 3 === 0).as("keep")),
-            struct(($"d" * 3).as("seq"), lit(3).as("v"), ($"d" % 7 === 0).as("keep")))).as("c"))
-          .where($"c.keep")
-          .select(to_json(struct(
-            $"c.seq".as("seq"),
-            $"d".cast("string").as("id"),
-            changes.as("changes"),
-            when($"c.v" === 3, lit(true)).as("deleted"), // null -> omitted
-            when($"c.v" =!= 3,
-              struct($"c.v".as("v"), $"h".as("h"))).as("doc"))).as("value"))
-          .write.text(staged.toString)
-        val feed = base.resolve("feed")
-        java.nio.file.Files.createDirectories(feed)
-        staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
-          .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-            java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
-          }
-        val nLines = new graft.streaming.FileChangesFeed(feed.toString)
-          .latestSeq() / 3 // upper bound is fine for the admission cap
-        // admission cap scales with the corpus so the replay is always
-        // ~3 admission-controlled micro-batches, at any SF (a fixed cap
-        // would mean O(corpus) trigger overhead at bench scale)
-        graft.streaming.ChangesPipeline.runOnce(s, feed.toString,
-          base.resolve("store").toString, base.resolve("ckpt").toString,
-          name = s"j19-${java.util.UUID.randomUUID()}",
-          maxChangesPerTrigger = Some(math.max(251L, nLines / 2L)))
-        graft.streaming.MergeSink
-          .readState(s, base.resolve("store").toString)
-          .select($"id", $"rev", $"doc")
-          .orderBy($"id")
+        replayThrough(s, dir, "j19") { (base, feed, cap) =>
+          graft.streaming.ChangesPipeline.runOnce(s, feed,
+            base.resolve("store").toString, base.resolve("ckpt").toString,
+            name = s"j19-${java.util.UUID.randomUUID()}",
+            maxChangesPerTrigger = cap)
+          graft.streaming.MergeSink
+            .readState(s, base.resolve("store").toString)
+            .select($"id", $"rev", $"doc")
+            .orderBy($"id")
+        }
       },
-      Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
-             |(CASE WHEN doc_id % 3 = 0 THEN '2-' ELSE '1-' END) || md5(text) AS rev,
-             |'{"v":' || (CASE WHEN doc_id % 3 = 0 THEN '2' ELSE '1' END) ||
-             |  ',"h":"' || md5(text) || '"}' AS doc
-             |FROM documents WHERE doc_id % 7 <> 0
-             |ORDER BY id""".stripMargin),
+      Some(replayOracle),
       "full streaming plane: DSv2 changes source -> checkpoint -> rev-guarded merge, final store hash-matched"),
+
+    // ---- The SCALE-SAFE state stores under the same gate: the 100 TB
+    // production regime is high-rate small batches over large state —
+    // exactly where the snapshot MergeSink (full state rewrite per
+    // batch) is the documented wrong store (DeltaLogMergeSink.scala:
+    // 13-30). j24 replays j19's EXACT feed through BucketedMergeSink
+    // (O(touched buckets) write amplification, per-bucket versioned
+    // parquet + atomic manifest swap) and must converge on the SAME
+    // oracle — the write-amplification spectrum is a storage-layout
+    // trade-off, never a semantics change. Reference behavior being
+    // reproduced at scale: lib/index.js:96-181 per-change upserts.
+    QueryDef(
+      "j24_bucketed_store",
+      (s, dir) => {
+        import s.implicits._
+        replayThrough(s, dir, "j24") { (base, feed, cap) =>
+          val store = base.resolve("store").toString
+          graft.streaming.ChangesPipeline.runOnceWith(s, feed,
+            base.resolve("ckpt").toString,
+            name = s"j24-${java.util.UUID.randomUUID()}",
+            sink = graft.streaming.BucketedMergeSink.forBatch(store, buckets = 8),
+            maxChangesPerTrigger = cap)
+          graft.streaming.BucketedMergeSink.readState(s, store)
+            .select($"id", $"rev", $"doc")
+            .orderBy($"id")
+        }
+      },
+      Some(replayOracle),
+      "scale-safe CDC store #1: j19's feed through the hash-bucketed merge sink (O(touched buckets) per batch), same oracle"),
+
+    // ---- j25: the LSM-style delta-log store — O(batch) appends,
+    // merge-on-read, with a MID-STREAM compaction (compactEvery=1 folds
+    // the log into a new base after the second micro-batch, so the
+    // final read crosses base ⊕ post-compaction deltas). Same feed,
+    // same oracle.
+    QueryDef(
+      "j25_deltalog_store",
+      (s, dir) => {
+        import s.implicits._
+        replayThrough(s, dir, "j25") { (base, feed, cap) =>
+          val store = base.resolve("store").toString
+          graft.streaming.ChangesPipeline.runOnceWith(s, feed,
+            base.resolve("ckpt").toString,
+            name = s"j25-${java.util.UUID.randomUUID()}",
+            sink = graft.streaming.DeltaLogMergeSink.forBatch(store,
+              compactEvery = 1),
+            maxChangesPerTrigger = cap)
+          val log = graft.streaming.DeltaLogMergeSink.readLog(store)
+          require(log.exists(_.baseVersion >= 0),
+            s"expected a mid-stream compaction to have run, log=$log")
+          graft.streaming.DeltaLogMergeSink.readState(s, store)
+            .select($"id", $"rev", $"doc")
+            .orderBy($"id")
+        }
+      },
+      Some(replayOracle),
+      "scale-safe CDC store #2: j19's feed through the delta-log (LSM) sink with a mid-stream compaction, same oracle"),
 
     // ---- Streaming RETRIEVAL under the correctness gate: the document
     // corpus as an insert-only `_changes` feed (synthesized
@@ -726,6 +828,93 @@ object JsonDoc {
       },
       Some("""SELECT lang, COUNT(*) AS n_docs FROM documents
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      "S6 gated: stub-couch reduced view read over HTTP == direct GROUP BY (README.md:194-215 equivalence)")
+      "S6 gated: stub-couch reduced view read over HTTP == direct GROUP BY (README.md:194-215 equivalence)"),
+
+    // ---- The MULTI-FEED CONTROL PLANE under the gate (S7/S8/T7): the
+    // reference daemon's finder scans the registry, mangles each
+    // CouchDB name into a SQL-safe one ('-' -> '_', bin/daemon.js:
+    // 96-165, mangle :115), spawns one follower per ENABLED row, and
+    // the per-db doc tables are queried as a cross-db UNION
+    // (README.md:664). Here: two stub couches (db names carrying '-')
+    // each serve half the corpus as a `_changes` feed over real HTTP;
+    // `Supervisor.reconcile` is the finder pass — it must spawn exactly
+    // the two enabled feeds (a third, disabled registry row must NOT
+    // start), drive both to convergence through checkpointed
+    // micro-batches, and the entry returns the cross-db union of the
+    // two converged stores keyed by the MANGLED feed names — all of it
+    // hash-matched against an oracle over the one documents table.
+    QueryDef(
+      "j26_multi_feed_union",
+      (s, dir) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("j26")
+        // each half-corpus feed stages DISTRIBUTED; the driver-side
+        // slurp below is the stub server's own content (the external
+        // couch's storage), not a Spark plan collect. Dense per-db seqs
+        // come from arithmetic on the dense doc_id domain.
+        def stage(tag: String, parity: Int): IndexedSeq[String] = {
+          val staged = base.resolve(s"staged-$tag")
+          T(s, dir, "documents")
+            .where($"doc_id" % 2 === parity)
+            .select(to_json(struct(
+              // integer DIV: Column./ would widen to DOUBLE and render
+              // the seq as "1.0" in the JSON line
+              expr(s"(doc_id - $parity) DIV 2 + 1").as("seq"),
+              $"doc_id".cast("string").as("id"),
+              array(struct(concat(lit("1-"), md5($"text")).as("rev")))
+                .as("changes"),
+              struct(md5($"text").as("h")).as("doc"))).as("value"))
+            .write.text(staged.toString)
+          // the stub's pager is positional: order lines by their own seq
+          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+            .toSeq.flatMap(f =>
+              java.nio.file.Files.readAllLines(f.toPath).asScala)
+            .sortBy { l => // {"seq":N,... — first field by construction
+              val c = l.indexOf(',')
+              l.substring(l.indexOf(':') + 1, c).toLong
+            }
+            .toIndexedSeq
+        }
+        val stubA = new graft.streaming.CouchStubServer("graft-a", stage("a", 0))
+        val stubB = new graft.streaming.CouchStubServer("graft-b", stage("b", 1))
+        val pa = stubA.start(); val pb = stubB.start()
+        try {
+          import graft.streaming.{FeedConfig, Supervisor}
+          val sup = new Supervisor(s,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          val nDocs = T(s, dir, "documents").count()
+          val cap = Some(math.max(251L, nDocs / 4L)) // ~2-3 batches/feed
+          def cfg(db: String, port: Int, enabled: Boolean) = FeedConfig(
+            db, s"http://127.0.0.1:$port/$db",
+            base.resolve(s"store-$db").toString,
+            base.resolve(s"ckpt-$db").toString,
+            enabled = enabled, maxChangesPerTrigger = cap)
+          val registry = Seq(
+            cfg("graft-a", pa, enabled = true),
+            cfg("graft-b", pb, enabled = true),
+            cfg("graft-c", 1, enabled = false)) // finder must skip it
+          val (started, _) = sup.reconcile(registry)
+          require(started == Seq("graft_a", "graft_b"),
+            s"finder spawned $started")
+          val deadline = System.currentTimeMillis() + 300000
+          while (sup.activeFeeds.nonEmpty &&
+              System.currentTimeMillis() < deadline) Thread.sleep(50)
+          val (_, halted) = sup.watchdog() // reap the clean completions
+          require(halted.isEmpty && sup.activeFeeds.isEmpty,
+            s"feeds did not converge cleanly: halted=$halted")
+          def store(db: String) = graft.streaming.MergeSink
+            .readState(s, base.resolve(s"store-$db").toString)
+            .withColumn("src", lit(FeedConfig.mangle(db)))
+          store("graft-a").unionAll(store("graft-b"))
+            .select($"src", $"id", $"rev", $"doc")
+            .orderBy($"id".cast("long"))
+        } finally { stubA.stop(); stubB.stop() }
+      },
+      Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN 'graft_a' ELSE 'graft_b' END AS src,
+             |  CAST(doc_id AS VARCHAR) AS id,
+             |  '1-' || md5(text) AS rev,
+             |  '{"h":"' || md5(text) || '"}' AS doc
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "multi-feed finder gated: registry scan -> name-mangled spawn of enabled feeds only -> two converged stores -> cross-db union hash-matched (S7/S8/T7)")
   )
 }

@@ -52,15 +52,45 @@ object ChangesPipeline {
       since: Long = 0L,
       maxChangesPerTrigger: Option[Long] = None,
       excludeTypes: Set[String] = Set.empty,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWith(spark, feedPath, checkpoint, name,
+      MergeSink.forBatch(storeRoot, excludeTypes),
+      since, maxChangesPerTrigger, trigger)
+
+  /** The store-agnostic core of [[start]]: source + checkpoint plane
+    * wired to ANY foreachBatch sink. The three state stores share one
+    * contract — a replayed batchId is a NOOP — so the same feed drives
+    * [[MergeSink]] (snapshot), [[BucketedMergeSink]] (O(touched
+    * buckets)) or [[DeltaLogMergeSink]] (O(batch) append) unchanged;
+    * which one is right is a write-amplification trade-off
+    * (DeltaLogMergeSink.scala:13-30), not a semantics choice. */
+  def startWith(
+      spark: SparkSession,
+      feedPath: String,
+      checkpoint: String,
+      name: String,
+      sink: (DataFrame, Long) => Unit,
+      since: Long = 0L,
+      maxChangesPerTrigger: Option[Long] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     buildReader(spark, feedPath, since, maxChangesPerTrigger).load()
       .writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch(MergeSink.forBatch(storeRoot, excludeTypes))
+      .foreachBatch(sink)
       .start()
-  }
+
+  /** Run a feed through an arbitrary foreachBatch sink to completion. */
+  def runOnceWith(
+      spark: SparkSession,
+      feedPath: String,
+      checkpoint: String,
+      name: String,
+      sink: (DataFrame, Long) => Unit,
+      maxChangesPerTrigger: Option[Long] = None): Unit =
+    startWith(spark, feedPath, checkpoint, name, sink,
+      maxChangesPerTrigger = maxChangesPerTrigger).awaitTermination()
 
   /** Start following a feed into a standing BM25 inverted index — the
     * retrieval twin of [[start]]: same source and checkpoint plane,
