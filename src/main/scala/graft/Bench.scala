@@ -153,25 +153,32 @@ object Bench {
       }
     }
     val results = best.toSeq
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.size},"failed":$errs,"sf":"$sfDir"}"""
-    // The full line also lands in a sibling artifact: harness logs keep
-    // only a bounded tail, which truncates a 170-query map mid-JSON —
-    // per-query evidence must survive in a reproducible file, not a log
-    // snippet. Unset SPARK_GRAFT_BENCH_DETAIL to skip; full sweeps
-    // default into the repo.
+    // The stdout line is what the driver's log tail keeps, and a tail is
+    // BOUNDED: per-query values are rounded to milliseconds there so the
+    // whole 170+-entry map fits inside the retained window (full-precision
+    // doubles once pushed the line past it, leaving the round artifact a
+    // truncated, unparseable fragment). Full precision lives in the
+    // sibling detail artifact, which is committed to the repo.
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""errors":${failed.size},"failed":$errs,"sf":"$sfDir"}"""
+    }
+    // Unset SPARK_GRAFT_BENCH_DETAIL to skip; full sweeps default into
+    // the repo so each round's headline is reproducible from committed
+    // evidence alone.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       if (only.isEmpty) "BENCH_DETAIL.json" else "")
     if (detailPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (jsonLine(_.toString) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(line)
+    println(jsonLine(v => f"$v%.3f"))
     if (failed.nonEmpty) {
       spark.stop()
       sys.exit(1)

@@ -256,10 +256,77 @@ object Multimodal {
     }
   }
 
+  /** Parsed PCM WAV container: a real RIFF walk (chunk ids,
+    * little-endian sizes, even padding — same discipline as
+    * [[parseAvi]]), yielding the fmt fields plus the data chunk's
+    * position so stats can run over the payload IN PLACE. */
+  private[pipeline] final case class WavPcm(
+      sampleRate: Int, bitsPerSample: Int, channels: Int,
+      dataOff: Int, dataLen: Int)
+
+  private[pipeline] def parseWav(bytes: Array[Byte]): WavPcm = {
+    def id(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    require(bytes.length >= 12 && id(0) == "RIFF" && id(8) == "WAVE",
+      s"not a RIFF/WAVE payload (${bytes.take(4).map(_.toChar).mkString})")
+    var off = 12
+    var fmtCode = -1; var ch = 0; var sr = 0; var bits = 0
+    var dOff = -1; var dLen = 0
+    while (off + 8 <= bytes.length) {
+      val cid = id(off); val sz = u32(off + 4).toInt
+      if (cid == "fmt ") {
+        fmtCode = u16(off + 8); ch = u16(off + 10)
+        sr = u32(off + 12).toInt; bits = u16(off + 22)
+      } else if (cid == "data") { dOff = off + 8; dLen = sz }
+      off += 8 + sz + (sz % 2) // chunks are even-aligned
+    }
+    // same contract as wavCodec's format require: WAV PCM (format tag
+    // 1) is little-endian and signed at 16 bits BY SPEC, so the three
+    // checks below pin exactly what that require pins
+    require(fmtCode == 1 && bits == 16 && ch == 1,
+      s"expected mono PCM-16 (fmt=1), got fmt=$fmtCode bits=$bits ch=$ch")
+    require(dOff >= 0 && dOff + dLen <= bytes.length,
+      s"data chunk missing or truncated (off=$dOff len=$dLen of ${bytes.length})")
+    WavPcm(sr, bits, ch, dOff, dLen)
+  }
+
+  /** The hot-path WAV codec: [[parseWav]]'s RIFF walk + stats over the
+    * payload bytes in place. Output-identical to [[wavCodec]] (the
+    * javax.sound reference path — a spec pins the equality on every
+    * run), but skips what profiling showed dominating the sf10 decode
+    * tier: `AudioSystem.getAudioInputStream` re-discovers a provider
+    * PER PAYLOAD (each non-matching reader signals by throwing — two
+    * exception constructions per call), then `readAllBytes` copies the
+    * whole PCM body before the loop reads it. Same batch signature as
+    * every other codec. */
+  def wavRiffCodec(batch: Seq[(Long, Array[Byte])]): Seq[Row] = {
+    batch.map { case (id, bytes) =>
+      val w = parseWav(bytes)
+      val n = w.dataLen / 2
+      var peak = 0L; var sumAbs = 0L
+      var i = w.dataOff
+      val end = w.dataOff + 2 * n
+      while (i < end) {
+        val lo = bytes(i) & 0xff
+        val hi = bytes(i + 1).toInt // sign-extends
+        val s = math.abs((hi << 8) | lo).toLong
+        if (s > peak) peak = s
+        sumAbs += s
+        i += 2
+      }
+      Row(id, w.sampleRate, n.toLong, peak, sumAbs)
+    }
+  }
+
   /** Batched WAV decode over a media table — [[decodeBatched]] with the
-    * audio row shape. */
+    * audio row shape, on the [[wavRiffCodec]] hot path ([[wavCodec]] is
+    * the javax.sound reference implementation it is pinned against). */
   def decodeWavBatched(media: DataFrame, batchSize: Int = 64): DataFrame =
-    decodeBatched(media, batchSize, wavCodec, decodedAudioSchema)
+    decodeBatched(media, batchSize, wavRiffCodec, decodedAudioSchema)
 
   /** Perceptual difference-hash (dHash) codec: REAL pixel path — decode
     * with `javax.imageio`, box-average luma onto a 9x8 grid, then one

@@ -834,23 +834,40 @@ object Pipeline {
 
     // ---- kNN label propagation: majority label of the 5 nearest
     // labeled neighbors (exact quantized cosine; queries broadcast, the
-    // labeled corpus never shuffles for scoring).
+    // labeled corpus never shuffles for scoring). The gated exact truth
+    // runs over a BOUNDED deterministic query sample (~128 at any SF):
+    // exact scoring is O(|queries| x |corpus|) by semantics, so the
+    // query set must not scale with the corpus — an unbounded %10 slice
+    // made this the largest line of the sf10 curve (88 s) and would not
+    // survive another 10x. The md5 keep-rate mirrors p26's
+    // quantized-threshold pattern; at the sf0.01 gate the threshold
+    // saturates and every %10 query is kept, so the sample changes
+    // nothing where the corpus is small. |q| is a one-row driver scalar
+    // (admission math, not data movement).
     QueryDef(
       "p28_knn_label",
       (s, dir) => {
         import s.implicits._
         val em = T(s, dir, "embeddings")
-        Similarity.knnClassify(
-          em.filter($"vec_id" % 10 === 0), em.filter($"vec_id" % 10 =!= 0), 5)
+        val qAll = em.filter($"vec_id" % 10 === 0)
+        val nq = qAll.count()
+        val th = math.min(1000000L, 128L * 1000000L / math.max(1L, nq))
+        val q = qAll.filter(
+          conv(substring(md5(concat(lit("knn:"), $"vec_id".cast("string"))),
+            1, 8), 16, 10).cast("long") % 1000000L < th)
+        Similarity.knnClassify(q, em.filter($"vec_id" % 10 =!= 0), 5)
           .orderBy($"query_id")
       },
       Some("""WITH q AS (SELECT vec_id, label,
              |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |th AS (SELECT least(CAST(1000000 AS BIGINT), 128000000 // COUNT(*)) AS t
+             |  FROM embeddings WHERE vec_id % 10 = 0),
              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nbr_label,
              |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
              |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
              |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
-             |  FROM q a JOIN q b ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0),
+             |  FROM q a JOIN q b ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+             |  WHERE CAST('0x'||substr(md5('knn:'||CAST(a.vec_id AS VARCHAR)),1,8) AS BIGINT) % 1000000 < (SELECT t FROM th)),
              |ranked AS (SELECT query_id, neighbor_id, nbr_label,
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored),
              |votes AS (SELECT query_id, nbr_label, COUNT(*) AS votes FROM ranked
@@ -859,7 +876,7 @@ object Pipeline {
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS rk FROM votes)
              |SELECT query_id, nbr_label AS pred_label, votes FROM best WHERE rk = 1
              |ORDER BY query_id""".stripMargin),
-      "kNN label propagation: majority vote of 5 nearest labeled neighbors, smaller-label tiebreak"),
+      "kNN label propagation: majority vote of 5 nearest labeled neighbors over a bounded deterministic query sample, smaller-label tiebreak"),
 
     // ---- BPE tokenizer-training statistics: top adjacent character
     // pairs by tf-weighted frequency. Pairs explode from the DISTINCT

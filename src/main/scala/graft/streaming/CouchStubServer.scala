@@ -71,7 +71,37 @@ final class CouchStubServer(
     val store = new java.util.LinkedHashMap[String, (Long, String, String)]
     val feed = scala.collection.mutable.ArrayBuffer.empty[String]
     feed ++= lines
+    // RESTART SEMANTICS: a real CouchDB that dies and comes back still
+    // has its database. Seeding a stateful stub with a previous stub's
+    // [[feedSnapshot]] rebuilds the doc store by folding the lines
+    // latest-per-id (they are in seq order), so rev guards and rev-chain
+    // ordinals continue EXACTLY where the "crashed" server left off —
+    // the chaos soak's couch-death walk depends on this.
+    if (stateful && lines.nonEmpty) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      lines.foreach { l =>
+        val n = mapper.readTree(l)
+        val id = n.path("id").asText("")
+        if (id.nonEmpty) {
+          val rev = n.path("changes").get(0).path("rev").asText("")
+          val ord = rev.substring(0, rev.indexOf('-')).toLong
+          if (n.path("deleted").asBoolean(false) || !n.hasNonNull("doc"))
+            store.put(id, (ord, rev, null))
+          else {
+            val doc = n.get("doc")
+              .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+            doc.remove("_id"); doc.remove("_rev"); doc.remove("_deleted")
+            store.put(id, (ord, rev, mapper.writeValueAsString(doc)))
+          }
+        }
+      }
+    }
   }
+
+  /** Snapshot of the current change list — what a restarted stateful
+    * stub should be seeded with to emulate a couch that persisted its
+    * database across the crash. */
+  def feedSnapshot: IndexedSeq[String] = allLines
 
   private def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")

@@ -420,6 +420,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getLong(4) == samples.map(math.abs).sum)
   }
 
+  test("wavRiffCodec == wavCodec (javax.sound reference) on varied fixtures") {
+    import spark.implicits._
+    // varied lengths (odd data sizes exercise even-chunk padding) and
+    // seeds; both codecs must agree byte-for-byte on every stat
+    val spec = (1L to 40L).map(i => (i, 1 + (i * 7 % 97).toInt))
+      .toDF("media_id", "n_samples")
+    val media = Multimodal.encodeWav(spec, "media_id", "n_samples")
+    def rows(codec: Seq[(Long, Array[Byte])] => Seq[org.apache.spark.sql.Row]) =
+      Multimodal.decodeBatched(media, 16, codec, Multimodal.decodedAudioSchema)
+        .orderBy("media_id").collect().map(_.toString).toSeq
+    assert(rows(Multimodal.wavRiffCodec) == rows(Multimodal.wavCodec))
+  }
+
+  test("wavRiffCodec rejects non-WAV and non-PCM16 payloads loudly") {
+    val notRiff = "JUNKJUNKJUNKJUNK".getBytes("US-ASCII")
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.wavRiffCodec(Seq((1L, notRiff))))
+    assert(e1.getMessage.contains("RIFF"))
+  }
+
   test("decodeWavBatched is batch-size invariant") {
     import spark.implicits._
     val spec = (1L to 20L).map(i => (i, 8 + (i % 13).toInt))
