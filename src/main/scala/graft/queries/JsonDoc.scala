@@ -93,7 +93,8 @@ object JsonDoc {
     * converged (id, rev, doc) state. `run` wires the store's
     * foreachBatch + readState pair. */
   private def replayThrough(
-      s: org.apache.spark.sql.SparkSession, dir: String, tag: String)(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      minCap: Long = 251L)(
       run: (java.nio.file.Path, String, Option[Long]) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val feed = stagedReplayFeed(s, dir)
@@ -102,8 +103,10 @@ object JsonDoc {
       .latestSeq() / 3 // upper bound is fine for the admission cap
     // admission cap scales with the corpus so the replay is always
     // ~3 admission-controlled micro-batches, at any SF (a fixed cap
-    // would mean O(corpus) trigger overhead at bench scale)
-    run(base, feed, Some(math.max(251L, nLines / 2L)))
+    // would mean O(corpus) trigger overhead at bench scale). minCap
+    // bounds trigger overhead at tiny SF; a caller that NEEDS multiple
+    // batches even there (j25's mid-stream compaction) lowers it.
+    run(base, feed, Some(math.max(minCap, nLines / 2L)))
   }
 
   /** The one oracle all three replay gates share: the final state
@@ -564,12 +567,14 @@ object JsonDoc {
     // merge-on-read, with a MID-STREAM compaction (compactEvery=1 folds
     // the log into a new base after the second micro-batch, so the
     // final read crosses base ⊕ post-compaction deltas). Same feed,
-    // same oracle.
+    // same oracle. minCap=50 guarantees >=2 non-empty batches even at
+    // the smallest SF — the compaction `require` below must never
+    // depend on Spark happening to emit a trailing empty batch.
     QueryDef(
       "j25_deltalog_store",
       (s, dir) => {
         import s.implicits._
-        replayThrough(s, dir, "j25") { (base, feed, cap) =>
+        replayThrough(s, dir, "j25", minCap = 50L) { (base, feed, cap) =>
           val store = base.resolve("store").toString
           graft.streaming.ChangesPipeline.runOnceWith(s, feed,
             base.resolve("ckpt").toString,
