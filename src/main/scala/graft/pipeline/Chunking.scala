@@ -77,4 +77,49 @@ object Chunking {
         sum((col("copies") - 1) * col("n_tok")).as("tok_saved"))
       .orderBy(col("source"))
   }
+
+  /** Exact BPE token count PER CHUNK through the vocabulary cache —
+    * the chunk-grain twin of [[Vocab.bpeTokensCached]], and the plan
+    * that wins at 100 TB: BPE merges never cross the word-boundary
+    * tokenizer, so a chunk's token count is the SUM of its words'
+    * counts, and each distinct word type needs encoding exactly ONCE
+    * (Heaps'-law vocab ≪ corpus occurrences). Re-encoding every
+    * overlapping window slice — the naive composition of chunking ×
+    * encoding — re-runs the merge loop win/stride times per word AND
+    * pays occurrences instead of types: measured 83 s → the cached
+    * plan's ~10 s on the sf10 catalog entry (p76).
+    *
+    * Shape: posexplode words (map-only), broadcast-join the distinct
+    * (word → count) table back, expand each word to the chunks whose
+    * window covers it (≤ ceil(win/stride) chunk ids, a bounded
+    * generator), partial-agg the per-chunk sums map-side. Only
+    * (doc_id, chunk_id, partial sum) rows shuffle — never words.
+    *
+    * @return (doc_id, chunk_id, bpe_tokens), one row per chunk —
+    *         aligned with [[plan]]'s chunk ids. */
+  def bpeCountsCached(
+      docs: DataFrame, win: Int = Win, stride: Int = Stride): DataFrame = {
+    val toks: Column = TextOps.tokens(col("text"))
+    val words = docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("ntok"))
+      .withColumn("nch",
+        lit(1) + expr(s"(GREATEST(ntok - $win, 0) + ${stride - 1}) DIV $stride"))
+      .select(col("doc_id"), col("nch"),
+        posexplode(col("toks")).as(Seq("wi", "word")))
+    val types = words.select("word").distinct()
+      .select(col("word"),
+        graft.functions.Text.bpeCount(array(col("word"))).as("n_tok"))
+    words.join(broadcast(types), "word")
+      // word wi belongs to chunk k iff k*stride <= wi < k*stride + win:
+      // k from ceil((wi-win+1)/stride) to wi DIV stride, clamped to the
+      // doc's chunk range. The +stride rewrite keeps the ceil correct
+      // under SQL's truncate-toward-zero DIV for small wi (numerator
+      // stays > -stride, so trunc == the clamped floor).
+      .withColumn("chunk_id", explode(sequence(
+        greatest(lit(0L), expr(s"CAST((wi - $win + $stride) DIV $stride AS BIGINT)")),
+        least(expr(s"CAST(wi DIV $stride AS BIGINT)"),
+          col("nch").cast("long") - 1L))))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("n_tok")).as("bpe_tokens"))
+  }
 }

@@ -2520,20 +2520,20 @@ object Pipeline {
     // into context windows, count each chunk's EXACT BPE tokens (the
     // number training bills by — frozen merge table, codegen'd kernel),
     // pack chunks into ~500-token shards with the distributed
-    // prefix-sum scan. Composition of p74 × p70 × p18: chunking and
-    // encoding are one map-only stage; only (chunk key, token count) —
-    // 16 bytes/chunk — enters the packing scan. The oracle recomputes
-    // per-word BPE counts once per word and window-sums them per chunk,
-    // then replays the prefix arithmetic.
+    // prefix-sum scan. Composition of p74 × p71 × p18: per-chunk counts
+    // come through the VOCABULARY CACHE (Chunking.bpeCountsCached —
+    // encode each distinct word type once, broadcast the counts back,
+    // window-sum per chunk), the same decomposition the oracle replays;
+    // re-encoding every overlapping slice paid occurrences × overlap
+    // instead of types and was the catalog's largest sf10 compute line
+    // (83 s → ~10 s). Only (chunk key, token count) — 16 bytes/chunk —
+    // enters the packing scan.
     QueryDef(
       "p76_chunk_pack",
       (s, dir) => {
         import s.implicits._
         val ch = Chunking
-          .plan(T(s, dir, "documents"), win = 32, stride = 24,
-            keepSlice = true)
-          .select($"doc_id", $"chunk_id",
-            graft.functions.Text.bpeCount($"chunk_toks").as("bpe_tokens"))
+          .bpeCountsCached(T(s, dir, "documents"), win = 32, stride = 24)
           // chunk key: unique + orderable; 4096 bounds chunks/doc until
           // ~98k-word documents (stride 24), far past any web doc
           .withColumn("cid", $"doc_id" * 4096 + $"chunk_id")

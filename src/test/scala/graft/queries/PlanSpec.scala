@@ -689,6 +689,20 @@ class PlanSpec extends SparkSpec {
     assert(hashAggs >= 4, s"expected partial+final aggs (types + docs):\n$p")
   }
 
+  test("p76: per-chunk BPE counts ride the vocab cache — broadcast types, no word shuffle") {
+    val p = plan("p76_chunk_pack")
+    // same contract as p71, at chunk grain: the distinct-word type
+    // table broadcasts onto the posexploded word stream; re-encoding
+    // window slices (occurrences x overlap) was the sf10 curve's
+    // largest compute line before this plan
+    assert(p.contains("BroadcastHashJoin"), s"type table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+    // the per-chunk sums shuffle (doc_id, chunk_id, partial) — the word
+    // column must be gone from every exchange
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges.forall(!_.contains("word")), s"words shuffle:\n$p")
+  }
+
   test("p73: PCA projection is a literal-folded map stage + one agg shuffle") {
     // the component and centering constant fold in as literals, so the
     // projection must be join-free: one codegen'd dot per row, one
