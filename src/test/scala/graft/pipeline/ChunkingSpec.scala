@@ -71,4 +71,30 @@ class ChunkingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"chunk plan must not shuffle:\n$p")
   }
+
+  test("bpeCountsCached == naive per-slice encode on every window edge") {
+    // the vocab-cache plan must reproduce the naive composition
+    // (re-encode each chunk's token slice) chunk-for-chunk: exercise
+    // short docs, the exact-fit boundary, one-past boundaries, long
+    // docs, repeated words (type-cache hits) and merge-active words
+    // (multi-char tokens the BPE table actually rewrites)
+    val win = 32; val stride = 24
+    val texts = Seq(
+      "hello",                                     // single word
+      words(7),                                    // short
+      words(win),                                  // exact fit
+      words(win + 1),                              // one past
+      words(stride * 3 + win),                     // boundary-aligned
+      words(101, "the"),                           // heavy type reuse
+      (0 until 90).map(i => s"inter${i % 5}national").mkString(" "))
+    val d = docs(texts.zipWithIndex.map {
+      case (t, i) => ((i + 1).toLong, t, "s") }: _*)
+    val naive = Chunking.plan(d, win, stride, keepSlice = true)
+      .select(col("doc_id"), col("chunk_id"),
+        graft.functions.Text.bpeCount(col("chunk_toks")).as("bpe_tokens"))
+      .orderBy("doc_id", "chunk_id").collect().map(_.toString).toSeq
+    val cached = Chunking.bpeCountsCached(d, win, stride)
+      .orderBy("doc_id", "chunk_id").collect().map(_.toString).toSeq
+    assert(cached === naive)
+  }
 }
