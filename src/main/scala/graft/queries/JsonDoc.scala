@@ -613,7 +613,7 @@ object JsonDoc {
         // executions probe it, and the feed/checkpoint scaffolding is
         // deleted after the build (a fresh multi-GB tmp tree per bench
         // round otherwise accumulates until the disk fills)
-        val idx = Pipeline.cachedArtifact(dir, "documents", "j20idx-b16",
+        val idx = Pipeline.cachedArtifact(dir, "documents", "j20idx-c1",
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j20")
           val staged = base.resolve("staged")
@@ -640,6 +640,12 @@ object JsonDoc {
             o.toString, base.resolve("ckpt").toString,
             name = s"j20-${java.util.UUID.randomUUID()}", nBuckets = 16,
             maxChangesPerTrigger = Some(math.max(251L, nDocs / 2L + 1L)))
+          // LSM maintenance under the same gate: fold the per-batch
+          // segments into one file per bucket (Retrieval.compact) and
+          // require the COMPACTED index to keep answering bit-identically
+          // — build -> compact -> probe is the full maintenance cycle a
+          // standing 100 TB index lives through, not just the build
+          graft.pipeline.Retrieval.compact(s, o.toString)
           // marker AFTER a fully-committed build (the sink's staged
           // moves never write a parquet _SUCCESS at the root)
           java.nio.file.Files.write(o.toPath.resolve("_complete"),
@@ -654,7 +660,7 @@ object JsonDoc {
           .orderBy($"query_id", $"rank")
       },
       Some(Pipeline.bm25OracleShared),
-      "streaming retrieval: feed -> checkpointed micro-batches -> segmented inverted index, probe hash-matched against the ad-hoc oracle"),
+      "streaming retrieval: feed -> checkpointed micro-batches -> segmented inverted index -> LSM compaction, probe hash-matched against the ad-hoc oracle"),
 
     // ---- The WRITE-BACK ROUND-TRIP under the correctness gate — the
     // reference's signature loop (README.md:29-62: write rows from the
