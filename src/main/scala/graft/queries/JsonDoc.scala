@@ -926,6 +926,74 @@ object JsonDoc {
              |  '1-' || md5(text) AS rev,
              |  '{"h":"' || md5(text) || '"}' AS doc
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "multi-feed finder gated: registry scan -> name-mangled spawn of enabled feeds only -> two converged stores -> cross-db union hash-matched (S7/S8/T7)")
+      "multi-feed finder gated: registry scan -> name-mangled spawn of enabled feeds only -> two converged stores -> cross-db union hash-matched (S7/S8/T7)"),
+
+    // ---- STREAM-MAINTAINED ANN INDEX under the gate: the embeddings
+    // corpus as an insert-only `_changes` feed (each doc carries its
+    // float vector as a JSON array), replayed through the DSv2 source →
+    // checkpoint → AnnIndexSink in admission-controlled micro-batches —
+    // each batch lands ONLY in the bucket partitions its keys sign-hash
+    // into, every other directory untouched (the BucketedMergeSink idea
+    // applied to the vector store). The probe then runs p8b's EXACT
+    // query against the stream-built layout and must hash-match p8b's
+    // unchanged oracle: a probe cannot tell which writer (batch or
+    // stream) produced the index. Float fidelity note: JSON float text
+    // round-trips exactly (shortest-repr serialization), so the
+    // re-parsed ARRAY<FLOAT> quantizes identically to the parquet
+    // column. Closes the last scalatest-only index sink the way j20
+    // closed the BM25 one.
+    QueryDef(
+      "j27_streaming_ann_index",
+      (s, dir) => {
+        import s.implicits._
+        val em = Tables.load(s, dir, "embeddings")
+        val planes = 4
+        val idx = Pipeline.cachedArtifact(dir, "embeddings",
+            s"j27annidx-p$planes", ready = "_complete") { o =>
+          val base = java.nio.file.Files.createTempDirectory("j27")
+          val staged = base.resolve("staged")
+          em.select(to_json(struct(
+              ($"vec_id" + 1L).as("seq"),
+              $"vec_id".cast("string").as("id"),
+              array(struct(lit("1-a").as("rev"))).as("changes"),
+              struct($"embedding".as("emb")).as("doc"))).as("value"))
+            .write.text(staged.toString)
+          val feed = base.resolve("feed")
+          java.nio.file.Files.createDirectories(feed)
+          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+            .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
+            }
+          val n = em.count()
+          graft.streaming.ChangesPipeline.runOnceWith(s, feed.toString,
+            base.resolve("ckpt").toString,
+            name = s"j27-${java.util.UUID.randomUUID()}",
+            sink = (batch, id) => {
+              val vecs = batch.where(!col("deleted"))
+                .select(col("id").cast("long").as("vec_id"),
+                  from_json(get_json_object(col("doc"), "$.emb"),
+                    org.apache.spark.sql.types.ArrayType(
+                      org.apache.spark.sql.types.FloatType))
+                    .as("embedding"))
+                .where(col("embedding").isNotNull)
+              graft.streaming.AnnIndexSink.mergeBatch(
+                vecs, o.toString, id, planes = planes)
+              ()
+            },
+            maxChangesPerTrigger = Some(math.max(251L, n / 2L)))
+          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList
+          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          java.nio.file.Files.write(o.toPath.resolve("_complete"),
+            Array.emptyByteArray)
+        }
+        graft.pipeline.Similarity.probeBucketedTopK(s,
+          em.filter($"vec_id" < 10), idx.toString, 3,
+          planes = planes, multiProbe = 1)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(Pipeline.annPrebucketOracle),
+      "stream-maintained ANN index: embeddings as a _changes feed -> checkpointed micro-batches -> bucket-partitioned vector store, probe hash-matched against p8b's oracle")
   )
 }

@@ -22,6 +22,29 @@ object Pipeline {
   /** Shared DuckDB CTE: tokenized documents. */
   private val W = "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)"
 
+  /** The sign-bucket ANN probe oracle shared by p8b (batch-written
+    * index) and j27 (stream-maintained index): same probe, same answer,
+    * regardless of which writer produced the bucket layout. */
+  private[queries] val annPrebucketOracle =
+    """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+      |bk AS (SELECT vec_id, qv,
+      |  (CASE WHEN qv[1]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[2]>=0 THEN '1' ELSE '0' END)||
+      |  (CASE WHEN qv[3]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[4]>=0 THEN '1' ELSE '0' END) AS bucket FROM q),
+      |qp AS (SELECT vec_id, qv, [bucket,
+      |  (CASE WHEN qv[1]>=0 THEN '0' ELSE '1' END)||substr(bucket, 2)] AS probes
+      |  FROM bk WHERE vec_id < 10),
+      |cand AS (SELECT a.vec_id AS query_id, a.qv AS aqv, u.pb AS pb
+      |  FROM qp a, UNNEST(a.probes) AS u(pb)),
+      |scored AS (SELECT c.query_id, b.vec_id AS neighbor_id,
+      |  CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*b.qv[i])) AS DOUBLE) /
+      |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*c.aqv[i])) AS DOUBLE) *
+      |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+      |  FROM cand c JOIN bk b ON b.bucket = c.pb AND b.vec_id <> c.query_id AND b.qv <> c.aqv),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Tmp-cached derived artifact (media fixtures, ANN/BM25 indexes):
     * the cache key is a CONTENT fingerprint of the source table's
     * parquet part files (name + length + head/middle/tail byte sample,
@@ -543,24 +566,7 @@ object Pipeline {
           idx.toString, 3, planes = planes, multiProbe = 1)
           .orderBy($"query_id", $"rank")
       },
-      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
-             |bk AS (SELECT vec_id, qv,
-             |  (CASE WHEN qv[1]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[2]>=0 THEN '1' ELSE '0' END)||
-             |  (CASE WHEN qv[3]>=0 THEN '1' ELSE '0' END)||(CASE WHEN qv[4]>=0 THEN '1' ELSE '0' END) AS bucket FROM q),
-             |qp AS (SELECT vec_id, qv, [bucket,
-             |  (CASE WHEN qv[1]>=0 THEN '0' ELSE '1' END)||substr(bucket, 2)] AS probes
-             |  FROM bk WHERE vec_id < 10),
-             |cand AS (SELECT a.vec_id AS query_id, a.qv AS aqv, u.pb AS pb
-             |  FROM qp a, UNNEST(a.probes) AS u(pb)),
-             |scored AS (SELECT c.query_id, b.vec_id AS neighbor_id,
-             |  CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*b.qv[i])) AS DOUBLE) /
-             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> c.aqv[i]*c.aqv[i])) AS DOUBLE) *
-             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
-             |  FROM cand c JOIN bk b ON b.bucket = c.pb AND b.vec_id <> c.query_id AND b.qv <> c.aqv),
-             |ranked AS (SELECT query_id, neighbor_id, cos,
-             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
-             |ORDER BY query_id, rank""".stripMargin),
+      Some(annPrebucketOracle),
       "persisted sign-bucket ANN index: partition-pruned probe + Hamming-1 multi-probe"),
 
     // ---- Token statistics.
