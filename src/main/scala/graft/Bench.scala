@@ -178,7 +178,20 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(jsonLine(v => f"$v%.3f"))
+    // Locale-pinned formatting: the f-interpolator uses the JVM default
+    // locale, and a comma-decimal locale (de_DE) would emit 0,076 and
+    // break the JSON this line exists to provide.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(jsonLine(ms))
+    // The driver's log tail is BOUNDED and clips from the HEAD — at 170+
+    // entries the map line alone can overflow it, leaving the round
+    // artifact a truncated fragment. A short summary line printed LAST
+    // is always fully retained, so every round has one complete,
+    // self-parseable JSON object regardless of catalog size.
+    println(s"""{"metric":"total_summary","value":${ms(total)},""" +
+      s""""unit":"sec","n_queries":${results.size},""" +
+      s""""errors":${failed.size},"failed":$errs,"sf":"$sfDir"}""")
     if (failed.nonEmpty) {
       spark.stop()
       sys.exit(1)

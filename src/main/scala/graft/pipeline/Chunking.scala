@@ -99,6 +99,13 @@ object Chunking {
     *         aligned with [[plan]]'s chunk ids. */
   def bpeCountsCached(
       docs: DataFrame, win: Int = Win, stride: Int = Stride): DataFrame = {
+    // the chunk-id generator below assumes overlapping-or-adjacent
+    // windows: with stride > win the lower bound can EXCEED the upper
+    // bound, and Spark's sequence(start, stop) silently produces a
+    // DESCENDING range instead of an empty one — attributing a word's
+    // count to chunks whose window does not contain it
+    require(win >= stride,
+      s"bpeCountsCached needs win >= stride (got win=$win stride=$stride)")
     val toks: Column = TextOps.tokens(col("text"))
     val words = docs
       .select(col("doc_id"), toks.as("toks"), size(toks).as("ntok"))

@@ -278,7 +278,14 @@ object Multimodal {
     var dOff = -1; var dLen = 0
     while (off + 8 <= bytes.length) {
       val cid = id(off); val sz = u32(off + 4).toInt
+      // a corrupt/crafted u32 size can truncate to a negative Int (e.g.
+      // 0xFFFFFFF8 -> -8), which would leave `off` stationary or moving
+      // backwards — fail loudly like the container requires instead of
+      // hanging the task in an infinite walk
+      require(sz >= 0 && off + 8 + sz <= bytes.length,
+        s"corrupt RIFF chunk '$cid' at $off: size=$sz of ${bytes.length}")
       if (cid == "fmt ") {
+        require(sz >= 16, s"fmt chunk too short: $sz bytes (need >= 16)")
         fmtCode = u16(off + 8); ch = u16(off + 10)
         sr = u32(off + 12).toInt; bits = u16(off + 22)
       } else if (cid == "data") { dOff = off + 8; dLen = sz }

@@ -106,7 +106,19 @@ object JsonDoc {
     // would mean O(corpus) trigger overhead at bench scale). minCap
     // bounds trigger overhead at tiny SF; a caller that NEEDS multiple
     // batches even there (j25's mid-stream compaction) lowers it.
-    run(base, feed, Some(math.max(minCap, nLines / 2L)))
+    val state = run(base, feed, Some(math.max(minCap, nLines / 2L)))
+    // Pin the converged state (one evaluation into storage blocks),
+    // then delete the per-run store+checkpoint tree: each bench round
+    // otherwise leaves three O(corpus) MergeSink/delta-log trees in
+    // /tmp — the accumulation the j20 entry's comment calls a
+    // disk-fill risk. The returned plan reads the pinned blocks, not
+    // the deleted files.
+    val pinned = state.localCheckpoint(true)
+    scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList
+    }.foreach(java.nio.file.Files.deleteIfExists(_))
+    pinned
   }
 
   /** The one oracle all three replay gates share: the final state

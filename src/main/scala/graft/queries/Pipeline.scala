@@ -866,7 +866,7 @@ object Pipeline {
       },
       Some("""WITH q AS (SELECT vec_id, label,
              |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
-             |th AS (SELECT least(CAST(1000000 AS BIGINT), 128000000 // COUNT(*)) AS t
+             |th AS (SELECT least(CAST(1000000 AS BIGINT), 128000000 // GREATEST(COUNT(*), 1)) AS t
              |  FROM embeddings WHERE vec_id % 10 = 0),
              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nbr_label,
              |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
@@ -883,6 +883,47 @@ object Pipeline {
              |SELECT query_id, nbr_label AS pred_label, votes FROM best WHERE rk = 1
              |ORDER BY query_id""".stripMargin),
       "kNN label propagation: majority vote of 5 nearest labeled neighbors over a bounded deterministic query sample, smaller-label tiebreak"),
+
+    // ---- p28's sampling branch FORCED sub-saturation: at the
+    // correctness-gate SF p28's ~128-query threshold saturates (every
+    // %10 query kept), so the Spark conv(md5)/DuckDB CAST('0x'||…)
+    // hash-sampling equivalence was only exercised where it filtered
+    // nothing. This entry targets ~8 queries, so the threshold BITES at
+    // every SF and the two sampling expressions are pinned against each
+    // other exactly where they disagree if wrong. Same kNN semantics.
+    QueryDef(
+      "p28b_knn_sampled",
+      (s, dir) => {
+        import s.implicits._
+        val em = T(s, dir, "embeddings")
+        val qAll = em.filter($"vec_id" % 10 === 0)
+        val nq = qAll.count()
+        val th = math.min(1000000L, 8L * 1000000L / math.max(1L, nq))
+        val q = qAll.filter(
+          conv(substring(md5(concat(lit("knn:"), $"vec_id".cast("string"))),
+            1, 8), 16, 10).cast("long") % 1000000L < th)
+        Similarity.knnClassify(q, em.filter($"vec_id" % 10 =!= 0), 5)
+          .orderBy($"query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv FROM embeddings),
+             |th AS (SELECT least(CAST(1000000 AS BIGINT), 8000000 // GREATEST(COUNT(*), 1)) AS t
+             |  FROM embeddings WHERE vec_id % 10 = 0),
+             |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nbr_label,
+             |  CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+             |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*a.qv[i])) AS DOUBLE) *
+             |       CAST(list_sum(list_transform(range(1,65), i -> b.qv[i]*b.qv[i])) AS DOUBLE)) AS cos
+             |  FROM q a JOIN q b ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+             |  WHERE CAST('0x'||substr(md5('knn:'||CAST(a.vec_id AS VARCHAR)),1,8) AS BIGINT) % 1000000 < (SELECT t FROM th)),
+             |ranked AS (SELECT query_id, neighbor_id, nbr_label,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored),
+             |votes AS (SELECT query_id, nbr_label, COUNT(*) AS votes FROM ranked
+             |  WHERE rank <= 5 GROUP BY query_id, nbr_label),
+             |best AS (SELECT query_id, nbr_label, votes,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS rk FROM votes)
+             |SELECT query_id, nbr_label AS pred_label, votes FROM best WHERE rk = 1
+             |ORDER BY query_id""".stripMargin),
+      "p28's md5 query sampler forced sub-saturation (~8 queries): Spark conv(md5) == DuckDB CAST('0x'||…) pinned where the filter bites"),
 
     // ---- BPE tokenizer-training statistics: top adjacent character
     // pairs by tf-weighted frequency. Pairs explode from the DISTINCT
