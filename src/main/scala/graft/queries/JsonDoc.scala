@@ -1006,6 +1006,118 @@ object JsonDoc {
           .orderBy($"query_id", $"rank")
       },
       Some(Pipeline.annPrebucketOracle),
-      "stream-maintained ANN index: embeddings as a _changes feed -> checkpointed micro-batches -> bucket-partitioned vector store, probe hash-matched against p8b's oracle")
+      "stream-maintained ANN index: embeddings as a _changes feed -> checkpointed micro-batches -> bucket-partitioned vector store, probe hash-matched against p8b's oracle"),
+
+    // ---- STREAMING NEAR-DUP ADMISSION under the gate: the documents
+    // corpus as an insert-only `_changes` feed replayed through the
+    // DSv2 source → checkpoint → LshDedupSink in EXACTLY THREE
+    // admission-controlled micro-batches (cap = ceil(n/3); the source
+    // admits the next `cap` changes by seq, so batch membership is a
+    // pure function of the corpus: batch = (rank_by_seq - 1) DIV cap).
+    // The sink's FIRST-ADMITTED-WINS admission (LshDedupSink.scala:
+    // 25-39) — a doc is flagged iff it has a banded near-dup among
+    // already-ADMITTED docs of earlier batches, or a LOWER-id mate
+    // inside its own batch; only novel docs enter the index — then
+    // unrolls into a non-recursive oracle: level k's admitted set is
+    // level k's batch minus level k's flagged set, and three levels
+    // cover the whole feed. The oracle reproduces the MinHash banding
+    // bit-for-bit (p2's signature SQL), the batch arithmetic, and the
+    // three-level unrolling; the verdict rows (batch_id, new_doc,
+    // lowest qualifying dup_of, jaccard) must hash-match. Closes the
+    // last index-maintaining streaming sink that rested on
+    // scalatest-only coverage (j20 gated BM25, j27 gated ANN).
+    // Nearest reference semantics: the rev-guard NOOP idempotence of
+    // lib/index.js:110-128 applied to an index instead of a store.
+    QueryDef(
+      "j28_streaming_lsh_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+        // the stream-built index+verdicts are a pure function of the
+        // corpus, so they live in the fingerprint-keyed artifact cache
+        // (the j20/j27 pattern); feed/checkpoint scaffolding is deleted
+        // after the build
+        val idx = Pipeline.cachedArtifact(dir, "documents", "j28lsh-v1",
+            ready = "_complete") { o =>
+          val base = java.nio.file.Files.createTempDirectory("j28")
+          val staged = base.resolve("staged")
+          d.select(to_json(struct(
+              ($"doc_id" + 1L).as("seq"),
+              $"doc_id".cast("string").as("id"),
+              array(struct(lit("1-a").as("rev"))).as("changes"),
+              struct($"text").as("doc"))).as("value"))
+            .write.mode("overwrite").text(staged.toString)
+          val feed = base.resolve("feed")
+          java.nio.file.Files.createDirectories(feed)
+          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+            .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
+            }
+          // exactly 3 batches at ANY SF: ceil(n/3) changes admitted per
+          // trigger — the oracle computes the same cap from COUNT(*)
+          val cap = (d.count() + 2L) / 3L
+          graft.streaming.ChangesPipeline.runOnceWith(s, feed.toString,
+            base.resolve("ckpt").toString,
+            name = s"j28-${java.util.UUID.randomUUID()}",
+            sink = (batch, id) => {
+              val docs = batch.where(!col("deleted"))
+                .select(col("id").cast("long").as("doc_id"),
+                  get_json_object(col("doc"), "$.text").as("text"))
+                .where(col("text").isNotNull)
+              graft.streaming.LshDedupSink.mergeBatch(docs, o.toString, id,
+                nGram = 3, k = 6, bands = 3, threshold = 0.2)
+              ()
+            },
+            maxChangesPerTrigger = Some(math.max(1L, cap)))
+          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList
+          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          java.nio.file.Files.write(o.toPath.resolve("_complete"),
+            Array.emptyByteArray)
+        }
+        graft.streaming.LshDedupSink.verdicts(s, idx.toString)
+          .orderBy($"new_doc")
+      },
+      Some("""WITH c AS (SELECT (COUNT(*) + 2) // 3 AS cap FROM documents),
+             |bt AS (SELECT doc_id,
+             |  (row_number() OVER (ORDER BY doc_id) - 1) // c.cap AS b
+             |  FROM documents, c),
+             |w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w),
+             |sig AS (SELECT doc_id, ss,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM sh WHERE len(ss) > 0),
+             |bands AS (SELECT doc_id, ss, u.b AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b)),
+             |sim AS (SELECT d, o, jaccard FROM (
+             |  SELECT DISTINCT a.doc_id AS d, b.doc_id AS o,
+             |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+             |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id <> b.doc_id)
+             |  WHERE jaccard >= 0.2),
+             |pb AS (SELECT s.d, s.o, s.jaccard, bd.b AS db, bo.b AS ob
+             |  FROM sim s JOIN bt bd ON bd.doc_id = s.d JOIN bt bo ON bo.doc_id = s.o),
+             |v0 AS (SELECT d, o, jaccard FROM pb WHERE db = 0 AND ob = 0 AND o < d),
+             |f0 AS (SELECT DISTINCT d FROM v0),
+             |v1 AS (SELECT d, o, jaccard FROM pb WHERE db = 1 AND (
+             |  (ob = 0 AND o NOT IN (SELECT d FROM f0)) OR (ob = 1 AND o < d))),
+             |f1 AS (SELECT DISTINCT d FROM v1),
+             |v2 AS (SELECT d, o, jaccard FROM pb WHERE db = 2 AND (
+             |  (ob = 0 AND o NOT IN (SELECT d FROM f0)) OR
+             |  (ob = 1 AND o NOT IN (SELECT d FROM f1)) OR
+             |  (ob = 2 AND o < d))),
+             |verd AS (SELECT 0 AS bid, d, o, jaccard FROM v0
+             |  UNION ALL SELECT 1, d, o, jaccard FROM v1
+             |  UNION ALL SELECT 2, d, o, jaccard FROM v2),
+             |rk AS (SELECT bid, d, o, jaccard,
+             |  row_number() OVER (PARTITION BY d ORDER BY o) AS rn FROM verd)
+             |SELECT CAST(bid AS BIGINT) AS batch_id, d AS new_doc,
+             |  o AS dup_of, jaccard
+             |FROM rk WHERE rn = 1 ORDER BY new_doc""".stripMargin),
+      "streaming near-dup admission gated: first-admitted-wins over 3 deterministic batches unrolled into a non-recursive oracle — the last index-maintaining sink moves from scalatest to the hash gate")
   )
 }
