@@ -37,9 +37,14 @@ object JsonDoc {
     * documents table, and all three gated state stores must replay the
     * SAME bytes against the SAME oracle — that sameness IS the gate. */
   private def stagedReplayFeed(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      typed: Boolean = false): String = {
     import s.implicits._
-    val out = Pipeline.cachedArtifact(dir, "documents", "j19feed-v1",
+    // `typed` adds a "type" field to every doc payload (log for
+    // doc_id%4==1, doc otherwise) so the j29 ingest-filter gate has
+    // something to exclude on; different payloads -> different cache key
+    val out = Pipeline.cachedArtifact(dir, "documents",
+        if (typed) "j29feed-v1" else "j19feed-v1",
         ready = "_complete") { o =>
       val base = java.nio.file.Files.createTempDirectory("j19stage")
       val staged = base.resolve("staged")
@@ -68,7 +73,11 @@ object JsonDoc {
           changes.as("changes"),
           when($"c.v" === 3, lit(true)).as("deleted"), // null -> omitted
           when($"c.v" =!= 3,
-            struct($"c.v".as("v"), $"h".as("h"))).as("doc"))).as("value"))
+            if (typed)
+              struct($"c.v".as("v"), $"h".as("h"),
+                when($"d" % 4 === 1, lit("log")).otherwise(lit("doc"))
+                  .as("type"))
+            else struct($"c.v".as("v"), $"h".as("h"))).as("doc"))).as("value"))
         .write.text(staged.toString)
       // adopt ALL staged part files (the file feed orders by each
       // line's own seq, so a single-writer funnel would buy nothing)
@@ -94,10 +103,10 @@ object JsonDoc {
     * foreachBatch + readState pair. */
   private def replayThrough(
       s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
-      minCap: Long = 251L)(
+      minCap: Long = 251L, typed: Boolean = false)(
       run: (java.nio.file.Path, String, Option[Long]) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val feed = stagedReplayFeed(s, dir)
+    val feed = stagedReplayFeed(s, dir, typed)
     val base = java.nio.file.Files.createTempDirectory(tag)
     val nLines = new graft.streaming.FileChangesFeed(feed)
       .latestSeq() / 3 // upper bound is fine for the admission cap
@@ -604,6 +613,46 @@ object JsonDoc {
       },
       Some(replayOracle),
       "scale-safe CDC store #2: j19's feed through the delta-log (LSM) sink with a mid-stream compaction, same oracle"),
+
+    // ---- P8 + P9 under the gate: the j19 replay with the reference's
+    // two ingest-side hooks active. excludeTypes (lib/index.js:131-146):
+    // docs whose $.type is excluded never INSERT — and because the
+    // check guards only the insert branch, their later updates (arriving
+    // against absent state) and deletes are NOOPs too, so an excluded
+    // type never enters the store. mapDoc (opts.map(doc),
+    // lib/index.js:188-190): every surviving doc is transformed before
+    // the merge — here re-serialized through the string map with an
+    // appended marker field (the j8 json_object_set_key machinery), so
+    // the oracle can rebuild the mapped payload exactly: values come
+    // out re-quoted ({"v":"2",...}) and key order is insertion order.
+    // The feed is j19's with a "type" field (log for doc_id%4==1);
+    // winning-rev conflict lines ride along unchanged.
+    QueryDef(
+      "j29_ingest_filter_map",
+      (s, dir) => {
+        import s.implicits._
+        replayThrough(s, dir, "j29", typed = true) { (base, feed, cap) =>
+          val store = base.resolve("store").toString
+          graft.streaming.ChangesPipeline.runOnceWith(s, feed,
+            base.resolve("ckpt").toString,
+            name = s"j29-${java.util.UUID.randomUUID()}",
+            sink = graft.streaming.MergeSink.forBatch(store,
+              excludeTypes = Set("log"),
+              mapDoc = Some(d => Json.mapToJson(map_concat(
+                Json.toStrMap(d), map(lit("ingested"), lit("y")))))),
+            maxChangesPerTrigger = cap)
+          graft.streaming.MergeSink.readState(s, store)
+            .select($"id", $"rev", $"doc")
+            .orderBy($"id")
+        }
+      },
+      Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
+             |(CASE WHEN doc_id % 3 = 0 THEN '2-' ELSE '1-' END) || md5(text) AS rev,
+             |'{"v":"' || (CASE WHEN doc_id % 3 = 0 THEN '2' ELSE '1' END) ||
+             |  '","h":"' || md5(text) || '","type":"doc","ingested":"y"}' AS doc
+             |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 4 <> 1
+             |ORDER BY id""".stripMargin),
+      "P8+P9 gated: type-excluded docs never enter the store, every survivor passes the per-doc map hook — j19's replay plane, filtered+mapped oracle"),
 
     // ---- Streaming RETRIEVAL under the correctness gate: the document
     // corpus as an insert-only `_changes` feed (synthesized

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.cdc.ChangeApply
 
@@ -62,22 +62,28 @@ object MergeSink {
 
   /** Apply one micro-batch of change events to the store. Safe to call
     * with the same batchId twice (replay after failure): second call is
-    * a NOOP. Returns true if the batch was applied. */
+    * a NOOP. Returns true if the batch was applied.
+    *
+    * `mapDoc` is the reference's per-doc transform hook (`opts.map(doc)`,
+    * lib/index.js:188-190, P9), applied to every non-deleted incoming
+    * doc before the merge — threaded to [[ChangeApply]] so the gate
+    * (j29) can exercise it through the full streaming plane. */
   def applyBatch(
       root: String,
       batch: DataFrame,
       batchId: Long,
       excludeTypes: Set[String] = Set.empty,
-      numPartitions: Int = 0): Boolean = {
+      numPartitions: Int = 0,
+      mapDoc: Option[Column => Column] = None): Boolean = {
     val spark = batch.sparkSession
     val cur = currentVersion(root)
     if (cur.exists(_._2 >= batchId)) return false // replayed batch: NOOP
     val v = cur.map(_._1).getOrElse(-1L) + 1
     // first batch: no state exists — O(batch) insert path, no join
     val merged0 =
-      if (cur.isEmpty) ChangeApply.initialState(batch, excludeTypes)
+      if (cur.isEmpty) ChangeApply.initialState(batch, excludeTypes, mapDoc)
       else ChangeApply.applyChanges(
-        readState(spark, root), batch, excludeTypes)
+        readState(spark, root), batch, excludeTypes, mapDoc)
     val merged =
       if (numPartitions > 0) merged0.repartition(numPartitions, merged0("id"))
       else merged0
@@ -95,9 +101,10 @@ object MergeSink {
   }
 
   /** foreachBatch hook: writeStream.foreachBatch(MergeSink.forBatch(root)). */
-  def forBatch(root: String, excludeTypes: Set[String] = Set.empty)
+  def forBatch(root: String, excludeTypes: Set[String] = Set.empty,
+      mapDoc: Option[Column => Column] = None)
       : (DataFrame, Long) => Unit =
-    (df, id) => { applyBatch(root, df, id, excludeTypes); () }
+    (df, id) => { applyBatch(root, df, id, excludeTypes, mapDoc = mapDoc); () }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
