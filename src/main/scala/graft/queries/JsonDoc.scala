@@ -801,9 +801,18 @@ object JsonDoc {
               lit(true).as("_deleted"))).as("doc"))
           post(updates.unionAll(deletes))
           ingest() // same checkpoint: resumes past gen-1 echoes
-          graft.streaming.MergeSink.readState(s, store)
+          // pin the converged state so the per-run store+checkpoint
+          // tree can be deleted before returning (same /tmp-accumulation
+          // fix as replayThrough)
+          val fin = graft.streaming.MergeSink.readState(s, store)
             .select($"id", $"rev", $"doc")
             .orderBy($"id")
+            .localCheckpoint(true)
+          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList
+          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          fin
         } finally stub.stop()
       },
       Some("""SELECT id,
@@ -882,11 +891,12 @@ object JsonDoc {
             array(struct(lit("1-a").as("rev"))).as("changes"),
             struct($"lang").as("doc"))).as("value"))
           .write.text(staged.toString)
-        val lines = staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
-          .toSeq.sortBy(_.getName)
-          .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
-        val stub = new graft.streaming.CouchStubServer(
-          "graftdb", lines.toIndexedSeq)
+        // the stub's storage is a lazy offset-indexed view over the
+        // staged part files — the driver never holds the corpus's change
+        // lines (the view fold is order-independent, so no seq sort
+        // needed here)
+        val lines = new graft.streaming.FileBackedLines(staged)
+        val stub = new graft.streaming.CouchStubServer("graftdb", lines)
         val port = stub.start()
         try {
           // readView fetches eagerly (one small reduced payload — the
@@ -896,7 +906,14 @@ object JsonDoc {
             s"http://127.0.0.1:$port/graftdb/_design/graft/_view/count_by_lang?group=true")
             .select($"key".as("lang"), $"value".cast("long").as("n_docs"))
             .orderBy($"lang")
-        } finally stub.stop()
+        } finally {
+          stub.stop()
+          // readView was eager, so the staged tree is dead weight now
+          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList
+          }.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       },
       Some("""SELECT lang, COUNT(*) AS n_docs FROM documents
              |GROUP BY lang ORDER BY lang""".stripMargin),
@@ -920,32 +937,29 @@ object JsonDoc {
       (s, dir) => {
         import s.implicits._
         val base = java.nio.file.Files.createTempDirectory("j26")
-        // each half-corpus feed stages DISTRIBUTED; the driver-side
-        // slurp below is the stub server's own content (the external
-        // couch's storage), not a Spark plan collect. Dense per-db seqs
-        // come from arithmetic on the dense doc_id domain.
+        // each half-corpus feed stages DISTRIBUTED and SORTED (the
+        // stub's `_changes` pager is positional, so line i must carry
+        // seq i+1 — a global orderBy on the dense per-db seq puts the
+        // range-partitioned part files in exactly that order); the stub
+        // then reads its storage through a lazy offset-indexed view —
+        // the driver never slurps the corpus's change lines. Dense
+        // per-db seqs come from arithmetic on the dense doc_id domain.
         def stage(tag: String, parity: Int): IndexedSeq[String] = {
           val staged = base.resolve(s"staged-$tag")
           T(s, dir, "documents")
             .where($"doc_id" % 2 === parity)
-            .select(to_json(struct(
+            .select(struct(
               // integer DIV: Column./ would widen to DOUBLE and render
               // the seq as "1.0" in the JSON line
               expr(s"(doc_id - $parity) DIV 2 + 1").as("seq"),
               $"doc_id".cast("string").as("id"),
               array(struct(concat(lit("1-"), md5($"text")).as("rev")))
                 .as("changes"),
-              struct(md5($"text").as("h")).as("doc"))).as("value"))
+              struct(md5($"text").as("h")).as("doc")).as("c"))
+            .orderBy($"c.seq")
+            .select(to_json($"c").as("value"))
             .write.text(staged.toString)
-          // the stub's pager is positional: order lines by their own seq
-          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
-            .toSeq.flatMap(f =>
-              java.nio.file.Files.readAllLines(f.toPath).asScala)
-            .sortBy { l => // {"seq":N,... — first field by construction
-              val c = l.indexOf(',')
-              l.substring(l.indexOf(':') + 1, c).toLong
-            }
-            .toIndexedSeq
+          new graft.streaming.FileBackedLines(staged)
         }
         val stubA = new graft.streaming.CouchStubServer("graft-a", stage("a", 0))
         val stubB = new graft.streaming.CouchStubServer("graft-b", stage("b", 1))
@@ -977,10 +991,19 @@ object JsonDoc {
           def store(db: String) = graft.streaming.MergeSink
             .readState(s, base.resolve(s"store-$db").toString)
             .withColumn("src", lit(FeedConfig.mangle(db)))
+          // pin the union (one evaluation), then the whole per-run tree
+          // — staged feeds, checkpoints, stores — can be deleted below
           store("graft-a").unionAll(store("graft-b"))
             .select($"src", $"id", $"rev", $"doc")
             .orderBy($"id".cast("long"))
-        } finally { stubA.stop(); stubB.stop() }
+            .localCheckpoint(true)
+        } finally {
+          stubA.stop(); stubB.stop()
+          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList
+          }.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       },
       Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN 'graft_a' ELSE 'graft_b' END AS src,
              |  CAST(doc_id AS VARCHAR) AS id,
