@@ -370,21 +370,25 @@ object Multimodal {
       decoded: DataFrame, maxHamming: Int, bandHex: Int = 4): DataFrame = {
     // pin the fingerprints before the self-join: `decoded` is usually
     // the codec pass, and without this both join sides would re-run
-    // the full decode lineage — the catalog's heaviest stage, twice
-    val fp = decoded.select(col("media_id"), col("feature_hash"))
+    // the full decode lineage — the catalog's heaviest stage, twice.
+    // The 64-bit hash is packed into TWO longs per DOC here (8 hex
+    // chars each — fits a signed long; all 16 would not), so the
+    // verify is 2 xor+bit_count per CANDIDATE PAIR instead of 16
+    // conv(substring(...)) string ops, and the join shuffles fixed
+    // 2x8-byte keys instead of 16-char strings.
+    val fp = decoded.select(col("media_id"),
+        conv(substring(col("feature_hash"), 1, 8), 16, 10)
+          .cast("long").as("hi"),
+        conv(substring(col("feature_hash"), 9, 8), 16, 10)
+          .cast("long").as("lo"),
+        substring(col("feature_hash"), 1, bandHex).as("band"))
       .localCheckpoint()
     val a = fp.select(col("media_id").as("doc_a"),
-      col("feature_hash").as("ph_a"),
-      substring(col("feature_hash"), 1, bandHex).as("band"))
+      col("hi").as("ha"), col("lo").as("la"), col("band"))
     val b = fp.select(col("media_id").as("doc_b"),
-      col("feature_hash").as("ph_b"),
-      substring(col("feature_hash"), 1, bandHex).as("band"))
-    val ham = (0 until 8).map { i =>
-      bit_count(
-        conv(substring(col("ph_a"), 2 * i + 1, 2), 16, 10).cast("long")
-          .bitwiseXOR(
-            conv(substring(col("ph_b"), 2 * i + 1, 2), 16, 10).cast("long")))
-    }.reduce(_ + _)
+      col("hi").as("hb"), col("lo").as("lb"), col("band"))
+    val ham = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+      bit_count(col("la").bitwiseXOR(col("lb")))
     a.join(b, Seq("band")).where(col("doc_a") < col("doc_b"))
       .withColumn("hamming", ham.cast("long"))
       .where(col("hamming") <= maxHamming)
