@@ -1190,6 +1190,92 @@ object JsonDoc {
              |SELECT CAST(bid AS BIGINT) AS batch_id, d AS new_doc,
              |  o AS dup_of, jaccard
              |FROM rk WHERE rn = 1 ORDER BY new_doc""".stripMargin),
-      "streaming near-dup admission gated: first-admitted-wins over 3 deterministic batches unrolled into a non-recursive oracle — the last index-maintaining sink moves from scalatest to the hash gate")
+      "streaming near-dup admission gated: first-admitted-wins over 3 deterministic batches unrolled into a non-recursive oracle — the last index-maintaining sink moves from scalatest to the hash gate"),
+
+    // ---- RETRY/BACKOFF (T6) under the hash gate: the full supervised
+    // ingest against a MISBEHAVING couch. The stub answers its first
+    // requests 429 + Retry-After (CouchDB behind a throttling proxy —
+    // the in-client retry class, HttpChangesFeed.get) and cuts one
+    // `_changes` response mid-body (socket drop mid-batch — the
+    // query-death class the Supervisor's reconcile/watchdog restarts
+    // with backoff from the checkpoint). The final store must still be
+    // BYTE-IDENTICAL to a fault-free ingest: rev-guarded merges +
+    // batch-id replay NOOPs make redelivered pages converge, and the
+    // oracle is the plain no-fault reconstruction. ChaosSoakSpec walks
+    // these faults as invariants; this entry pins the surviving STATE
+    // to a hash. Reference behavior: follow's retry/backoff classes,
+    // lib/index.js:219-241 + bin/daemon.js watchdog.
+    QueryDef(
+      "j30_faulted_feed_convergence",
+      (s, dir) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("j30")
+        val staged = base.resolve("staged")
+        // full corpus as one dense seq-sorted feed (the j26 staging:
+        // global orderBy -> part files in positional pager order),
+        // served to the stub through the lazy offset-indexed view
+        T(s, dir, "documents")
+          .select(struct(
+            ($"doc_id" + 1L).as("seq"),
+            $"doc_id".cast("string").as("id"),
+            array(struct(concat(lit("1-"), md5($"text")).as("rev")))
+              .as("changes"),
+            struct(md5($"text").as("h")).as("doc")).as("c"))
+          .orderBy($"c.seq")
+          .select(to_json($"c").as("value"))
+          .write.text(staged.toString)
+        val stub = new graft.streaming.CouchStubServer(
+          "graft-x", new graft.streaming.FileBackedLines(staged))
+        val port = stub.start()
+        try {
+          stub.rateLimitFirst = 3 // first requests -> 429 + Retry-After
+          stub.dropChangesRequest = 2 // one _changes body cut in half
+          import graft.streaming.{FeedConfig, RestartBackoff, Supervisor}
+          val sup = new Supervisor(s,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            backoff = RestartBackoff(1L, 50L)) // fast restarts in-gate
+          val n = T(s, dir, "documents").count()
+          val cfg = FeedConfig("graft-x",
+            s"http://127.0.0.1:$port/graft-x",
+            base.resolve("store").toString,
+            base.resolve("ckpt").toString,
+            maxChangesPerTrigger = Some(math.max(251L, n / 2L)))
+          val deadline = System.currentTimeMillis() + 300000
+          var converged = false
+          while (!converged && System.currentTimeMillis() < deadline) {
+            sup.reconcile(Seq(cfg)) // (re)spawn after the fault kills it
+            Thread.sleep(50)
+            sup.watchdog() // reap clean completions
+            converged = sup.activeFeeds.isEmpty &&
+              graft.streaming.SinceCheckpoints
+                .lastSince(cfg.checkpoint).contains(n)
+          }
+          require(converged, s"faulted feed never converged: " +
+            s"active=${sup.activeFeeds} halted=${sup.haltedFeeds}")
+          require(sup.haltedFeeds.isEmpty,
+            s"faults must stay retryable, never fatal: ${sup.haltedFeeds}")
+          // both faults must actually have FIRED — a quiet stub would
+          // make this a plain j19-shaped replay, not a T6 gate
+          require(stub.rateLimitedCount >= 3L,
+            s"429 fault never fired (${stub.rateLimitedCount})")
+          require(stub.dropChangesRequest == 0,
+            "mid-body cut never fired (fault is one-shot and still armed)")
+          val fin = graft.streaming.MergeSink
+            .readState(s, base.resolve("store").toString)
+            .select($"id", $"rev", $"doc")
+            .orderBy($"id".cast("long"))
+            .localCheckpoint(true)
+          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList
+          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          fin
+        } finally stub.stop()
+      },
+      Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
+             |  '1-' || md5(text) AS rev,
+             |  '{"h":"' || md5(text) || '"}' AS doc
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "T6 gated: 429 throttling + a mid-body _changes cut against the supervised ingest — restarts/backoff/replay NOOPs converge on the fault-free oracle, byte-identical")
   )
 }
