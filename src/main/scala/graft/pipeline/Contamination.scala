@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark-contamination detection: which candidate training documents
@@ -132,26 +132,55 @@ object Contamination {
   def sourceOverlap(
       docs: DataFrame, nGram: Int = 3,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The source universe is O(nsrc) metadata (the OUTPUT is nsrc^2
+    // rows, so nsrc is small by construction) — collect it once and
+    // assign each source a bit. The corpus-scale aggregate then
+    // carries an 8-byte BITMASK per hash instead of a string set:
+    // bit_or partial-aggregates map-side exactly like the set union,
+    // but its shuffle value is one long, and everything downstream of
+    // the h-shuffle (pair expansion, per-source totals) collapses to
+    // arithmetic over the <= 2^nsrc-row (mask, count) table instead of
+    // a second corpus-scale explode+shuffle. Grouping stays keyed on
+    // md5 — as 16-byte unhex binary, a bijection of the hex string, so
+    // NO added collision risk (shrinking to a 64-bit key was
+    // considered and rejected for exactly that risk) — and the result
+    // is row-identical to the set formulation (measured 82.5 s ->
+    // 60.6 s isolated at sf10, hash unchanged).
+    val srcNames = docs.select(col(srcCol).cast("string").as("src"))
+      .where(col("src").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted // O(nsrc) pull
+    require(srcNames.length <= 62,
+      s"sourceOverlap bitmask supports <= 62 sources, got ${srcNames.length}")
+    val bitMap = srcNames.zipWithIndex.map { case (s, i) => s -> (1L << i) }
     val sh = docs
-      .select(col(srcCol).as("src"),
+      .select(element_at(typedLit(bitMap.toMap), col(srcCol).cast("string"))
+          .as("bit"),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
-      .select(col("src"), md5(col("s")).as("h"))
-    // BOTH aggregates derive from the one per-hash source-set table:
-    // the two branches share its Exchange (identical subtree -> the
-    // planner's ReusedExchange), so the corpus is scanned, exploded and
-    // h-shuffled ONCE — a separate countDistinct branch re-ran that
-    // whole stage just to size each source (measured 2x wall at sf0.1)
-    val hs = sh.groupBy("h")
-      .agg(sort_array(collect_set(col("src"))).as("srcs"))
-    val perSrc = hs.select(explode(col("srcs")).as("src"))
-      .groupBy("src").agg(count(lit(1)).as("n"))
-    val pairs = hs
-      .where(size(col("srcs")) >= 2)
-      .select(explode(col("srcs")).as("src_a"), col("srcs"))
-      .select(col("src_a"), explode(col("srcs")).as("src_b"))
-      .where(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .select(col("bit"), unhex(md5(col("s"))).as("h"))
+    // the ONE corpus-scale shuffle: (16-byte h) -> bitmask, then the
+    // distinct masks collapse to counts (<= 2^nsrc rows)
+    val byMask = sh.groupBy(col("h"))
+      .agg(expr("bit_or(bit)").as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+      .where(col("m").isNotNull)
+    val dict = bitMap.zipWithIndex
+      .map { case ((s, b), i) => (s, i, b) }.toSeq.toDF("src", "i", "bitv")
+    def hasBit(m: Column, bitv: Column): Column =
+      m.bitwiseAND(bitv) =!= lit(0L)
+    // per-source totals and pairwise intersections are sums over the
+    // tiny mask-count table — both frames are broadcast-sized
+    val perSrc = byMask.join(broadcast(dict), hasBit(col("m"), col("bitv")))
+      .groupBy(col("src")).agg(sum(col("cnt")).as("n"))
+    val pairs = byMask
+      .join(broadcast(dict.select(col("src").as("src_a"), col("i").as("ia"),
+        col("bitv").as("ba"))), hasBit(col("m"), col("ba")))
+      .join(broadcast(dict.select(col("src").as("src_b"), col("i").as("ib"),
+        col("bitv").as("bb"))),
+        hasBit(col("m"), col("bb")) && col("ia") < col("ib"))
+      .groupBy(col("src_a"), col("src_b")).agg(sum(col("cnt")).as("inter"))
     pairs
       .join(broadcast(perSrc.select(col("src").as("src_a"),
         col("n").as("n_a"))), "src_a")
