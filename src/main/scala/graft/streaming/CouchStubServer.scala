@@ -230,6 +230,35 @@ final class CouchStubServer(
   @volatile var dropChangesRequest: Int = 0
   /** Doc _ids that `_bulk_docs` reports as update conflicts. */
   @volatile var conflictIds: Set[String] = Set.empty
+  /** When set, EVERY request must carry `Authorization: Basic
+    * base64(user:password)` or it is answered 401 — a CouchDB with
+    * `require_valid_user = true` (the deployment the reference's
+    * credentials-in-URL config exists for, lib/index.js:50). */
+  @volatile var requireAuth: Option[(String, String)] = None
+  private val unauthorized = new java.util.concurrent.atomic.LongAdder
+  /** How many requests bounced 401. */
+  def unauthorizedCount: Long = unauthorized.sum()
+
+  private def authorized(ex: HttpExchange): Boolean = requireAuth.forall {
+    case (u, p) =>
+      val expect = "Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes("UTF-8"))
+      Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expect)
+  }
+
+  /** 401 short-circuit shared by the buffered and continuous paths. */
+  private def maybeReject(ex: HttpExchange): Boolean = {
+    if (authorized(ex)) return false
+    unauthorized.increment()
+    ex.getRequestBody.readAllBytes()
+    val b = """{"error":"unauthorized","reason":"You are not authorized to access this db."}"""
+      .getBytes("UTF-8")
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(401, b.length)
+    ex.getResponseBody.write(b)
+    ex.close()
+    true
+  }
   /** CouchDB 2/3 emulation: emit seqs as opaque `"N-<blob>"` strings
     * (and `update_seq`/`last_seq` likewise), and require `since=` to be
     * either 0 or a full token — a bare interior ordinal is REJECTED
@@ -282,7 +311,8 @@ final class CouchStubServer(
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
       val method = ex.getRequestMethod
       if (slowMs > 0L) Thread.sleep(slowMs)
-      if (maybeServeContinuous(ex, path, params)) ()
+      if (maybeReject(ex)) ()
+      else if (maybeServeContinuous(ex, path, params)) ()
       else serveBuffered(ex, path, params, method)
     })
     server.start()

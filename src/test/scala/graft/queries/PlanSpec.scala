@@ -569,6 +569,14 @@ class PlanSpec extends SparkSpec {
     // source names shuffle
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"))
+    // the per-hash source state is an 8-byte bit_or mask, never a
+    // collect_set of strings — and downstream of the h-shuffle every
+    // frame is mask-count-sized, so no second corpus-scale exchange
+    assert(p.contains("bit_or"), s"per-hash state must be a bitmask:\n$p")
+    assert(!p.contains("collect_set"),
+      s"no string-set aggregate may survive:\n$p")
+    // the corpus-scale groupBy key is the 16-byte unhex(md5) binary
+    assert(p.contains("unhex"), s"h must ship as binary, not hex text:\n$p")
   }
 
   test("p56: tf-idf df table and corpus count broadcast onto term counts") {
