@@ -38,17 +38,21 @@ object JsonDoc {
     * SAME bytes against the SAME oracle — that sameness IS the gate. */
   private def stagedReplayFeed(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      typed: Boolean = false): String = {
+      typed: Boolean = false, limitDocs: Option[Long] = None): String = {
     import s.implicits._
     // `typed` adds a "type" field to every doc payload (log for
     // doc_id%4==1, doc otherwise) so the j29 ingest-filter gate has
-    // something to exclude on; different payloads -> different cache key
+    // something to exclude on; `limitDocs` caps the corpus slice (the
+    // j32 checkpoint-view gate needs a feed whose replay cost is
+    // SF-independent). Different payloads -> different cache keys.
     val out = Pipeline.cachedArtifact(dir, "documents",
-        if (typed) "j29feed-v1" else "j19feed-v1",
+        (if (typed) "j29feed-v1" else "j19feed-v1") +
+          limitDocs.fold("")(n => s"-lim$n"),
         ready = "_complete") { o =>
       val base = java.nio.file.Files.createTempDirectory("j19stage")
       val staged = base.resolve("staged")
       val d = T(s, dir, "documents")
+        .where(limitDocs.fold(lit(true))($"doc_id" < _))
         .select($"doc_id".as("d"), md5($"text").as("h"))
       val rev1 = concat(lit("1-"), $"h")
       val loser = struct(lit("1-!loser").as("rev")) // '!' < any hex char
@@ -103,10 +107,11 @@ object JsonDoc {
     * foreachBatch + readState pair. */
   private def replayThrough(
       s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
-      minCap: Long = 251L, typed: Boolean = false)(
+      minCap: Long = 251L, typed: Boolean = false,
+      limitDocs: Option[Long] = None)(
       run: (java.nio.file.Path, String, Option[Long]) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val feed = stagedReplayFeed(s, dir, typed)
+    val feed = stagedReplayFeed(s, dir, typed, limitDocs)
     val base = java.nio.file.Files.createTempDirectory(tag)
     val nLines = new graft.streaming.FileChangesFeed(feed)
       .latestSeq() / 3 // upper bound is fine for the admission cap
@@ -1342,6 +1347,40 @@ object JsonDoc {
         } finally stub.stop()
       },
       Some(corpusFeedOracle),
-      "F9 gated: credentials-in-URL basic auth against a require_valid_user stub — unauthenticated probe bounces 401, credentialed ingest converges on the oracle")
+      "F9 gated: credentials-in-URL basic auth against a require_valid_user stub — unauthenticated probe bounces 401, credentialed ingest converges on the oracle"),
+
+    // ---- T8/S3's QUERYABLE face under the gate: the reference keeps
+    // replication progress in a `since_checkpoints` table
+    // (README.md:273-281, `(pgtable, since, enabled)`); here Spark's
+    // checkpoint offset log is the source of truth and
+    // SinceCheckpoints.view derives the compat rows from it. After an
+    // AvailableNow replay of a doc-bounded feed slice (doc_id < 251 —
+    // replay cost is SF-independent, the gate tests the VIEW, not
+    // ingest throughput), the view's `since` must equal the feed's
+    // final seq, which the oracle reconstructs from the change-
+    // generation arithmetic alone: the highest KEPT seq of the largest
+    // doc (3d if d%7==0 — its delete line; 3d-1 if d%3==0 — its update;
+    // 3d-2 otherwise — its insert).
+    QueryDef(
+      "j32_since_checkpoints_view",
+      (s, dir) => {
+        import s.implicits._
+        replayThrough(s, dir, "j32", limitDocs = Some(251L)) {
+          (base, feed, cap) =>
+            val ckpt = base.resolve("ckpt").toString
+            graft.streaming.ChangesPipeline.runOnce(s, feed,
+              base.resolve("store").toString, ckpt,
+              name = s"j32-${java.util.UUID.randomUUID()}",
+              maxChangesPerTrigger = cap)
+            graft.streaming.SinceCheckpoints.view(s, Map("replay" -> ckpt))
+        }
+      },
+      Some("""SELECT 'replay' AS pgtable,
+             |  CAST(CASE WHEN m % 7 = 0 THEN 3*m
+             |            WHEN m % 3 = 0 THEN 3*m - 1
+             |            ELSE 3*m - 2 END AS BIGINT) AS since,
+             |  true AS enabled
+             |FROM (SELECT MAX(doc_id) AS m FROM documents WHERE doc_id < 251) t""".stripMargin),
+      "T8 gated: the since_checkpoints compat view derived from Spark's offset log — `since` hash-matched against the feed's reconstructed final seq (README.md:273-281)")
   )
 }
