@@ -277,13 +277,15 @@ object Multimodal {
     var fmtCode = -1; var ch = 0; var sr = 0; var bits = 0
     var dOff = -1; var dLen = 0
     while (off + 8 <= bytes.length) {
-      val cid = id(off); val sz = u32(off + 4).toInt
-      // a corrupt/crafted u32 size can truncate to a negative Int (e.g.
-      // 0xFFFFFFF8 -> -8), which would leave `off` stationary or moving
-      // backwards — fail loudly like the container requires instead of
-      // hanging the task in an infinite walk
-      require(sz >= 0 && off + 8 + sz <= bytes.length,
-        s"corrupt RIFF chunk '$cid' at $off: size=$sz of ${bytes.length}")
+      val cid = id(off); val szL = u32(off + 4)
+      // a corrupt/crafted u32 size must be bounds-checked in LONG
+      // arithmetic: truncating to Int first can wrap `off + 8 + sz`
+      // negative (size near 2^31), sneaking past the guard and turning
+      // the intended diagnostic into an ArrayIndexOutOfBounds — fail
+      // loudly like the container requires instead
+      require(szL <= bytes.length.toLong - off - 8L,
+        s"corrupt RIFF chunk '$cid' at $off: size=$szL of ${bytes.length}")
+      val sz = szL.toInt
       if (cid == "fmt ") {
         require(sz >= 16, s"fmt chunk too short: $sz bytes (need >= 16)")
         fmtCode = u16(off + 8); ch = u16(off + 10)
@@ -514,9 +516,15 @@ object Multimodal {
     def walk(from: Int, to: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
-        val cid = id(off); val sz = u32(off + 4).toInt
+        val cid = id(off); val szL = u32(off + 4)
+        // Long-arithmetic bounds guard, same reasoning as parseWav's:
+        // an Int-truncated size near 2^31 would wrap the bound check
+        require(szL <= to.toLong - off - 8L,
+          s"corrupt RIFF chunk '$cid' at $off: size=$szL of $to")
+        val sz = szL.toInt
         if (cid == "LIST") walk(off + 12, off + 8 + sz)
         else if (cid == "avih") {
+          require(sz >= 40, s"avih chunk too short: $sz bytes (need >= 40)")
           total = u32(off + 8 + 16).toInt
           width = u32(off + 8 + 32).toInt
           height = u32(off + 8 + 36).toInt

@@ -28,6 +28,30 @@ object JsonDoc {
   private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** Recursively delete a per-run scaffolding tree (feeds, checkpoints,
+    * stores) — each bench round otherwise leaves O(corpus) trees in
+    * /tmp until the disk fills. */
+  private def deleteTree(base: java.nio.file.Path): Unit =
+    scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList
+    }.foreach(java.nio.file.Files.deleteIfExists(_))
+
+  /** Pin `df`'s rows into storage blocks (ONE evaluation of its plan),
+    * then delete the scaffolding under `base`; the returned plan reads
+    * the pinned blocks, not the deleted files. LOCAL-MODE DURABILITY
+    * NOTE: localCheckpoint blocks are not recomputable once `base` is
+    * gone — fine for this single-JVM bench/verify harness (no executor
+    * loss); a cluster run that can lose executors needs a durable
+    * `checkpoint()` (or must keep `base`) instead. */
+  private def pinAndDelete(
+      df: org.apache.spark.sql.DataFrame,
+      base: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    deleteTree(base)
+    pinned
+  }
+
   /** The replay `_changes` feed j19/j24/j25 share: per doc an insert,
     * an update for doc_id%3==0, a delete for doc_id%7==0 — with
     * multi-rev conflict-branch lines (style=all_docs winning-rev
@@ -90,10 +114,7 @@ object JsonDoc {
         .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
           java.nio.file.Files.move(f.toPath, o.toPath.resolve(f"$i%05d.jsonl"))
         }
-      scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.toList
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
+      deleteTree(base)
       // marker LAST: a crashed staging must rebuild, not half-replay
       java.nio.file.Files.write(o.toPath.resolve("_complete"),
         Array.emptyByteArray)
@@ -121,18 +142,7 @@ object JsonDoc {
     // bounds trigger overhead at tiny SF; a caller that NEEDS multiple
     // batches even there (j25's mid-stream compaction) lowers it.
     val state = run(base, feed, Some(math.max(minCap, nLines / 2L)))
-    // Pin the converged state (one evaluation into storage blocks),
-    // then delete the per-run store+checkpoint tree: each bench round
-    // otherwise leaves three O(corpus) MergeSink/delta-log trees in
-    // /tmp — the accumulation the j20 entry's comment calls a
-    // disk-fill risk. The returned plan reads the pinned blocks, not
-    // the deleted files.
-    val pinned = state.localCheckpoint(true)
-    scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-      st.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.toList
-    }.foreach(java.nio.file.Files.deleteIfExists(_))
-    pinned
+    pinAndDelete(state, base)
   }
 
   /** The insert-only whole-corpus feed oracle j30/j31 share: one doc
@@ -745,10 +755,7 @@ object JsonDoc {
           // moves never write a parquet _SUCCESS at the root)
           java.nio.file.Files.write(o.toPath.resolve("_complete"),
             Array.emptyByteArray)
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          deleteTree(base)
         }
         graft.pipeline.Retrieval.probeTopK(s, idx.toString,
           Pipeline.bm25QueriesShared, k = 5, nBuckets = 16)
@@ -838,15 +845,9 @@ object JsonDoc {
           // pin the converged state so the per-run store+checkpoint
           // tree can be deleted before returning (same /tmp-accumulation
           // fix as replayThrough)
-          val fin = graft.streaming.MergeSink.readState(s, store)
+          pinAndDelete(graft.streaming.MergeSink.readState(s, store)
             .select($"id", $"rev", $"doc")
-            .orderBy($"id")
-            .localCheckpoint(true)
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
-          fin
+            .orderBy($"id"), base)
         } finally stub.stop()
       },
       Some("""SELECT id,
@@ -943,10 +944,7 @@ object JsonDoc {
         } finally {
           stub.stop()
           // readView was eager, so the staged tree is dead weight now
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          deleteTree(base)
         }
       },
       Some("""SELECT lang, COUNT(*) AS n_docs FROM documents
@@ -1033,10 +1031,7 @@ object JsonDoc {
             .localCheckpoint(true)
         } finally {
           stubA.stop(); stubB.stop()
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          deleteTree(base)
         }
       },
       Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN 'graft_a' ELSE 'graft_b' END AS src,
@@ -1099,10 +1094,7 @@ object JsonDoc {
               ()
             },
             maxChangesPerTrigger = Some(math.max(251L, n / 2L)))
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          deleteTree(base)
           java.nio.file.Files.write(o.toPath.resolve("_complete"),
             Array.emptyByteArray)
         }
@@ -1175,10 +1167,7 @@ object JsonDoc {
               ()
             },
             maxChangesPerTrigger = Some(math.max(1L, cap)))
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
+          deleteTree(base)
           java.nio.file.Files.write(o.toPath.resolve("_complete"),
             Array.emptyByteArray)
         }
@@ -1280,16 +1269,10 @@ object JsonDoc {
             s"429 fault never fired (${stub.rateLimitedCount})")
           require(stub.dropChangesRequest == 0,
             "mid-body cut never fired (fault is one-shot and still armed)")
-          val fin = graft.streaming.MergeSink
+          pinAndDelete(graft.streaming.MergeSink
             .readState(s, base.resolve("store").toString)
             .select($"id", $"rev", $"doc")
-            .orderBy($"id".cast("long"))
-            .localCheckpoint(true)
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
-          fin
+            .orderBy($"id".cast("long")), base)
         } finally stub.stop()
       },
       Some(corpusFeedOracle),
@@ -1334,16 +1317,10 @@ object JsonDoc {
             maxChangesPerTrigger = Some(math.max(251L, n / 2L)))
           require(stub.unauthorizedCount == 1L,
             s"expected exactly the probe to bounce, got ${stub.unauthorizedCount}")
-          val fin = graft.streaming.MergeSink
+          pinAndDelete(graft.streaming.MergeSink
             .readState(s, base.resolve("store").toString)
             .select($"id", $"rev", $"doc")
-            .orderBy($"id".cast("long"))
-            .localCheckpoint(true)
-          scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.toList
-          }.foreach(java.nio.file.Files.deleteIfExists(_))
-          fin
+            .orderBy($"id".cast("long")), base)
         } finally stub.stop()
       },
       Some(corpusFeedOracle),

@@ -514,8 +514,18 @@ final class CouchStubServer(
     true
   }
 
-  def stop(): Unit = if (server != null) {
-    server.stop(0)
-    pool.shutdownNow()
+  def stop(): Unit = {
+    if (server != null) {
+      server.stop(0)
+      pool.shutdownNow()
+    }
+    // release closeable seedings (FileBackedLines holds one FD per part
+    // file): every gate already funnels through `finally stub.stop()`,
+    // so the channels never outlive the stub
+    lines match {
+      case c: AutoCloseable =>
+        try c.close() catch { case _: Exception => () }
+      case _ => ()
+    }
   }
 }

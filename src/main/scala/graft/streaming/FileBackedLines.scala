@@ -26,9 +26,16 @@ import scala.jdk.CollectionConverters._
   * exactly what `DataFrame.write.text` produces. Ordering across files
   * is the caller's contract (stage with a global `orderBy` when the
   * stub's positional `_changes` pager needs dense seq order).
+  *
+  * LIFECYCLE: the view holds one open FileChannel per part file for its
+  * whole life — [[close]] releases them (and [[CouchStubServer.stop]]
+  * closes closeable seedings, so the gate pattern `finally stub.stop()`
+  * needs nothing extra). `apply` after close throws
+  * ClosedChannelException, by design.
   */
 final class FileBackedLines(files: Seq[Path])
-    extends scala.collection.immutable.IndexedSeq[String] {
+    extends scala.collection.immutable.IndexedSeq[String]
+    with AutoCloseable {
 
   /** All `.txt` part files under `dir`, in name order. */
   def this(dir: Path) = this {
@@ -97,20 +104,37 @@ final class FileBackedLines(files: Seq[Path])
     new String(buf.array(), 0, len, StandardCharsets.UTF_8)
   }
 
+  /** Release the per-file channels. Iterators already in flight keep
+    * their own readers (closed as each file drains); positional reads
+    * after close throw ClosedChannelException. */
+  override def close(): Unit = chans.foreach { c =>
+    try c.close() catch { case _: java.io.IOException => () }
+  }
+
   /** Streaming pass for foreach/fold consumers: one buffered reader per
-    * file, no per-line channel reads. */
+    * file, no per-line channel reads. The reader for a file closes when
+    * that file drains OR when a read fails mid-pass; a consumer that
+    * abandons the iterator early (find/exists short-circuits) leaves at
+    * most ONE reader for the GC's cleaner — callers wanting prompt
+    * release should drain fully or use [[apply]]. */
   override def iterator: Iterator[String] =
     files.iterator.flatMap { f =>
       // readAllLines-free: the BufferedReader's lines are consumed and
       // dropped one at a time; the reader closes when its file drains
       val r = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+      def readOrClose(): String = {
+        val l =
+          try r.readLine()
+          catch { case e: java.io.IOException => r.close(); throw e }
+        if (l == null) r.close()
+        l
+      }
       new Iterator[String] {
-        private var nextLine = r.readLine()
+        private var nextLine = readOrClose()
         def hasNext: Boolean = nextLine != null
         def next(): String = {
           val l = nextLine
-          nextLine = r.readLine()
-          if (nextLine == null) r.close()
+          nextLine = readOrClose()
           l
         }
       }
