@@ -137,49 +137,69 @@ object Contamination {
     // The source universe is O(nsrc) metadata (the OUTPUT is nsrc^2
     // rows, so nsrc is small by construction) — collect it once and
     // assign each source a bit. The corpus-scale aggregate then
-    // carries an 8-byte BITMASK per hash instead of a string set:
-    // bit_or partial-aggregates map-side exactly like the set union,
-    // but its shuffle value is one long, and everything downstream of
-    // the h-shuffle (pair expansion, per-source totals) collapses to
-    // arithmetic over the <= 2^nsrc-row (mask, count) table instead of
-    // a second corpus-scale explode+shuffle. Grouping stays keyed on
-    // md5 — as 16-byte unhex binary, a bijection of the hex string, so
-    // NO added collision risk (shrinking to a 64-bit key was
-    // considered and rejected for exactly that risk) — and the result
-    // is row-identical to the set formulation (measured 82.5 s ->
-    // 60.6 s isolated at sf10, hash unchanged).
+    // carries a BITMASK per hash instead of a string set: bit_or
+    // partial-aggregates map-side exactly like the set union, but its
+    // shuffle value is ceil(nsrc/62) longs (one long for <= 62 sources,
+    // a short array above — the source universe is data-driven, so the
+    // mask is SEGMENTED rather than capped: source i owns bit i%62 of
+    // word i/62, each doc row touches exactly one word, and bit_or per
+    // word is the same union). Everything downstream of the h-shuffle
+    // (pair expansion, per-source totals) collapses to arithmetic over
+    // the distinct-mask count table instead of a second corpus-scale
+    // explode+shuffle. Grouping stays keyed on md5 — as 16-byte unhex
+    // binary, a bijection of the hex string, so NO added collision
+    // risk (shrinking to a 64-bit key was considered and rejected for
+    // exactly that risk) — and the result is row-identical to the set
+    // formulation (measured 82.5 s -> 60.6 s isolated at sf10, hash
+    // unchanged).
     val srcNames = docs.select(col(srcCol).cast("string").as("src"))
       .where(col("src").isNotNull)
       .distinct().collect().map(_.getString(0)).sorted // O(nsrc) pull
-    require(srcNames.length <= 62,
-      s"sourceOverlap bitmask supports <= 62 sources, got ${srcNames.length}")
-    val bitMap = srcNames.zipWithIndex.map { case (s, i) => s -> (1L << i) }
+    val BitsPerWord = 62
+    val nWords = math.max(1, (srcNames.length + BitsPerWord - 1) / BitsPerWord)
+    val wordMap = srcNames.zipWithIndex
+      .map { case (s, i) => s -> (i / BitsPerWord) }.toMap
+    val bitMap = srcNames.zipWithIndex
+      .map { case (s, i) => s -> (1L << (i % BitsPerWord)) }.toMap
     val sh = docs
-      .select(element_at(typedLit(bitMap.toMap), col(srcCol).cast("string"))
-          .as("bit"),
+      .select(element_at(typedLit(wordMap), col(srcCol).cast("string"))
+          .as("w"),
+        element_at(typedLit(bitMap), col(srcCol).cast("string")).as("bit"),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
-      .select(col("bit"), unhex(md5(col("s"))).as("h"))
-    // the ONE corpus-scale shuffle: (16-byte h) -> bitmask, then the
-    // distinct masks collapse to counts (<= 2^nsrc rows)
-    val byMask = sh.groupBy(col("h"))
-      .agg(expr("bit_or(bit)").as("m"))
+      .where(col("bit").isNotNull) // null source contributes nothing
+      .select(col("w"), col("bit"), unhex(md5(col("s"))).as("h"))
+    // the ONE corpus-scale shuffle: (16-byte h) -> segmented bitmask
+    // (each row feeds its own word; the others bit_or in 0), then the
+    // distinct masks collapse to counts
+    val wordAggs = (0 until nWords).map(w =>
+      expr(s"bit_or(if(w = $w, bit, 0L))").as(s"m$w"))
+    val perHash = sh.groupBy(col("h"))
+      .agg(wordAggs.head, wordAggs.tail: _*)
+    val maskCol =
+      if (nWords == 1) col("m0")
+      else array((0 until nWords).map(w => col(s"m$w")): _*)
+    val byMask = perHash.select(maskCol.as("m"))
       .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
-      .where(col("m").isNotNull)
-    val dict = bitMap.zipWithIndex
-      .map { case ((s, b), i) => (s, i, b) }.toSeq.toDF("src", "i", "bitv")
-    def hasBit(m: Column, bitv: Column): Column =
-      m.bitwiseAND(bitv) =!= lit(0L)
+    val dict = srcNames.zipWithIndex
+      .map { case (s, i) => (s, i, i / BitsPerWord, 1L << (i % BitsPerWord)) }
+      .toSeq.toDF("src", "i", "wv", "bitv")
+    def hasBit(m: Column, wv: Column, bitv: Column): Column = {
+      val word = if (nWords == 1) m else element_at(m, wv + lit(1))
+      word.bitwiseAND(bitv) =!= lit(0L)
+    }
     // per-source totals and pairwise intersections are sums over the
     // tiny mask-count table — both frames are broadcast-sized
-    val perSrc = byMask.join(broadcast(dict), hasBit(col("m"), col("bitv")))
+    val perSrc = byMask
+      .join(broadcast(dict), hasBit(col("m"), col("wv"), col("bitv")))
       .groupBy(col("src")).agg(sum(col("cnt")).as("n"))
     val pairs = byMask
       .join(broadcast(dict.select(col("src").as("src_a"), col("i").as("ia"),
-        col("bitv").as("ba"))), hasBit(col("m"), col("ba")))
+        col("wv").as("wa"), col("bitv").as("ba"))),
+        hasBit(col("m"), col("wa"), col("ba")))
       .join(broadcast(dict.select(col("src").as("src_b"), col("i").as("ib"),
-        col("bitv").as("bb"))),
-        hasBit(col("m"), col("bb")) && col("ia") < col("ib"))
+        col("wv").as("wb"), col("bitv").as("bb"))),
+        hasBit(col("m"), col("wb"), col("bb")) && col("ia") < col("ib"))
       .groupBy(col("src_a"), col("src_b")).agg(sum(col("cnt")).as("inter"))
     pairs
       .join(broadcast(perSrc.select(col("src").as("src_a"),

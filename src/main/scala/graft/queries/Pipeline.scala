@@ -3405,7 +3405,39 @@ object Pipeline {
              |  PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM f)
              |SELECT query_id, rank, doc_id, score_q FROM r WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin),
-      "hybrid retrieval: BM25 + ANN lists fused by exact-integer Reciprocal Rank Fusion, bounded top-k re-rank")
+      "hybrid retrieval: BM25 + ANN lists fused by exact-integer Reciprocal Rank Fusion, bounded top-k re-rank"),
+
+    // ---- p55 at production source cardinality: the same overlap
+    // matrix with the source universe widened past one mask word
+    // (20 real sources x 5 shards = 100 > 62), exercising the
+    // SEGMENTED bitmask path — per-hash state is an array of two
+    // bit_or'd longs, still one corpus-scale shuffle, and the pair
+    // math still runs on the broadcast mask-count table. A corpus
+    // keyed by domain or crawl-shard has hundreds of sources; this
+    // gate pins that the data-driven mask width changes the plan, not
+    // the answer.
+    QueryDef(
+      "p93_source_overlap_wide",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents").withColumn("source",
+          concat($"source", lit("#"), ($"doc_id" % 5).cast("string")))
+        Contamination.sourceOverlap(d, nGram = 3)
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH w AS (SELECT source || '#' || CAST(doc_id % 5 AS VARCHAR) AS source,
+             |  string_split(text,' ') AS words FROM documents),
+             |sh AS (SELECT DISTINCT w.source AS src, u.h FROM w, UNNEST(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> md5(words[i]||' '||words[i+1]||' '||words[i+2]))
+             |  ELSE [] END) AS u(h)),
+             |n AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY src),
+             |p AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+             |SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, inter,
+             |CAST(inter AS DOUBLE)/CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+             |FROM p JOIN n na ON na.src = src_a JOIN n nb ON nb.src = src_b
+             |ORDER BY src_a, src_b""".stripMargin),
+      "source overlap at 100 sources: segmented (2-word) bitmask, same one-shuffle plan, answer unchanged")
   )
 
   /** Shared with j20's streaming-index replay (JsonDoc). */

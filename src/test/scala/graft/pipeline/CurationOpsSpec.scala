@@ -48,6 +48,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("sourceOverlap segments the mask past 62 sources") {
+    import spark.implicits._
+    // 70 sources spanning two mask words (bit 61 of word 0 through
+    // bit 7 of word 1 in sorted order); every source shares "a b c"
+    // and owns one private shingle, so every pair has inter=1, n=2,
+    // J=1/3 — any cross-word masking bug breaks the pair count.
+    val docs = (0 until 70).map { i =>
+      (i.toLong, f"a b c tok$i%02d", f"s$i%02d")
+    }.toDF("doc_id", "text", "source")
+    val rows = Contamination.sourceOverlap(docs, nGram = 3).collect()
+    assert(rows.length == 70 * 69 / 2)
+    assert(rows.forall(r => r.getAs[Long]("inter") == 1L
+      && r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L
+      && math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12))
+    // a specific cross-word pair (index 10 in word 0, index 65 in word 1)
+    assert(rows.exists(r => r.getAs[String]("src_a") == "s10"
+      && r.getAs[String]("src_b") == "s65"))
+  }
+
   test("tfidfTopTerms ranks by quantized tf*ln(N/df), token tiebreak") {
     import spark.implicits._
     val docs = Seq(

@@ -579,6 +579,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("unhex"), s"h must ship as binary, not hex text:\n$p")
   }
 
+  test("p93: wide source overlap keeps the segmented-bitmask shape") {
+    val p = plan("p93_source_overlap_wide")
+    assert(!p.contains("CartesianProduct"), s"p93 has a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in p93 justifies a sort-merge exchange:\n$p")
+    // >62 sources: per-hash state is still bit_or'd longs (two words),
+    // never a string set; the corpus-scale key stays binary
+    assert(p.contains("bit_or"), s"per-hash state must be a bitmask:\n$p")
+    assert(!p.contains("collect_set"),
+      s"no string-set aggregate may survive:\n$p")
+    assert(p.contains("unhex"), s"h must ship as binary, not hex text:\n$p")
+  }
+
   test("p56: tf-idf df table and corpus count broadcast onto term counts") {
     val p = plan("p56_tfidf")
     assert(p.contains("BroadcastHashJoin"), s"df table should broadcast:\n$p")
