@@ -1062,24 +1062,37 @@ object JsonDoc {
         val em = Tables.load(s, dir, "embeddings")
         val planes = 4
         val idx = Pipeline.cachedArtifact(dir, "embeddings",
-            s"j27annidx-p$planes", ready = "_complete") { o =>
+            s"j27annidx-p$planes-c1", ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j27")
-          val staged = base.resolve("staged")
-          em.select(to_json(struct(
-              ($"vec_id" + 1L).as("seq"),
-              $"vec_id".cast("string").as("id"),
-              array(struct(lit("1-a").as("rev"))).as("changes"),
-              struct($"embedding".as("emb")).as("doc"))).as("value"))
-            .write.text(staged.toString)
+          // two-phase feed with an LSM COMPACTION between: the second
+          // batch's staged moves land beside `compact-*.parquet` files,
+          // and the probe (reading whole bucket dirs) must still
+          // hash-match p8b — build -> compact -> keep ingesting -> probe
+          // is the standing-index maintenance cycle (j20/j28 pattern).
+          val n = em.count()
+          val cut = em.select($"vec_id").orderBy($"vec_id")
+            .limit(math.max(1L, n / 2L).toInt).agg(max($"vec_id"))
+            .head().getLong(0)
           val feed = base.resolve("feed")
           java.nio.file.Files.createDirectories(feed)
-          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
-            .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
-            }
-          val n = em.count()
-          graft.streaming.ChangesPipeline.runOnceWith(s, feed.toString,
-            base.resolve("ckpt").toString,
+          var nFed = 0
+          def feedVecs(part: org.apache.spark.sql.DataFrame): Unit = {
+            val staged = base.resolve(s"staged$nFed")
+            part.select(to_json(struct(
+                ($"vec_id" + 1L).as("seq"),
+                $"vec_id".cast("string").as("id"),
+                array(struct(lit("1-a").as("rev"))).as("changes"),
+                struct($"embedding".as("emb")).as("doc"))).as("value"))
+              .write.mode("overwrite").text(staged.toString)
+            staged.toFile.listFiles((_, nm) => nm.endsWith(".txt"))
+              .toSeq.sortBy(_.getName).foreach { f =>
+                java.nio.file.Files.move(f.toPath,
+                  feed.resolve(f"$nFed%05d.jsonl"))
+                nFed += 1
+              }
+          }
+          def runFeed(): Unit = graft.streaming.ChangesPipeline.runOnceWith(
+            s, feed.toString, base.resolve("ckpt").toString,
             name = s"j27-${java.util.UUID.randomUUID()}",
             sink = (batch, id) => {
               val vecs = batch.where(!col("deleted"))
@@ -1094,6 +1107,11 @@ object JsonDoc {
               ()
             },
             maxChangesPerTrigger = Some(math.max(251L, n / 2L)))
+          feedVecs(em.where($"vec_id" <= cut))
+          runFeed()
+          graft.streaming.AnnIndexSink.compact(s, o.toString)
+          feedVecs(em.where($"vec_id" > cut))
+          runFeed()
           deleteTree(base)
           java.nio.file.Files.write(o.toPath.resolve("_complete"),
             Array.emptyByteArray)
@@ -1104,7 +1122,7 @@ object JsonDoc {
           .orderBy($"query_id", $"rank")
       },
       Some(Pipeline.annPrebucketOracle),
-      "stream-maintained ANN index: embeddings as a _changes feed -> checkpointed micro-batches -> bucket-partitioned vector store, probe hash-matched against p8b's oracle"),
+      "stream-maintained ANN index: embeddings as a _changes feed -> checkpointed micro-batches -> bucket-partitioned vector store with an in-gate compaction mid-ingest, probe hash-matched against p8b's oracle"),
 
     // ---- STREAMING NEAR-DUP ADMISSION under the gate: the documents
     // corpus as an insert-only `_changes` feed replayed through the
@@ -1135,27 +1153,41 @@ object JsonDoc {
         // corpus, so they live in the fingerprint-keyed artifact cache
         // (the j20/j27 pattern); feed/checkpoint scaffolding is deleted
         // after the build
-        val idx = Pipeline.cachedArtifact(dir, "documents", "j28lsh-v1",
+        val idx = Pipeline.cachedArtifact(dir, "documents", "j28lsh-v2",
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j28")
-          val staged = base.resolve("staged")
-          d.select(to_json(struct(
-              ($"doc_id" + 1L).as("seq"),
-              $"doc_id".cast("string").as("id"),
-              array(struct(lit("1-a").as("rev"))).as("changes"),
-              struct($"text").as("doc"))).as("value"))
-            .write.mode("overwrite").text(staged.toString)
+          // exactly 3 batches at ANY SF: ceil(n/3) changes admitted per
+          // trigger — the oracle computes the same cap from COUNT(*).
+          // The feed lands in TWO phases (batches 0-1, then batch 2)
+          // with an LSM COMPACTION between them: batch 2's corpus probe
+          // runs against the folded one-file-per-bucket index, so the
+          // unchanged oracle also gates that compaction is
+          // answer-preserving mid-stream — the full maintenance cycle a
+          // standing ingest lives through (the j20 build->compact->probe
+          // pattern, extended with a post-compact admission).
+          val cap = (d.count() + 2L) / 3L
+          val cut = d.select($"doc_id").orderBy($"doc_id")
+            .limit((2L * cap).toInt).agg(max($"doc_id")).head().getLong(0)
           val feed = base.resolve("feed")
           java.nio.file.Files.createDirectories(feed)
-          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
-            .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
-            }
-          // exactly 3 batches at ANY SF: ceil(n/3) changes admitted per
-          // trigger — the oracle computes the same cap from COUNT(*)
-          val cap = (d.count() + 2L) / 3L
-          graft.streaming.ChangesPipeline.runOnceWith(s, feed.toString,
-            base.resolve("ckpt").toString,
+          var nFed = 0
+          def feedDocs(part: org.apache.spark.sql.DataFrame): Unit = {
+            val staged = base.resolve(s"staged$nFed")
+            part.select(to_json(struct(
+                ($"doc_id" + 1L).as("seq"),
+                $"doc_id".cast("string").as("id"),
+                array(struct(lit("1-a").as("rev"))).as("changes"),
+                struct($"text").as("doc"))).as("value"))
+              .write.mode("overwrite").text(staged.toString)
+            staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+              .toSeq.sortBy(_.getName).foreach { f =>
+                java.nio.file.Files.move(f.toPath,
+                  feed.resolve(f"$nFed%05d.jsonl"))
+                nFed += 1
+              }
+          }
+          def runFeed(): Unit = graft.streaming.ChangesPipeline.runOnceWith(
+            s, feed.toString, base.resolve("ckpt").toString,
             name = s"j28-${java.util.UUID.randomUUID()}",
             sink = (batch, id) => {
               val docs = batch.where(!col("deleted"))
@@ -1167,6 +1199,11 @@ object JsonDoc {
               ()
             },
             maxChangesPerTrigger = Some(math.max(1L, cap)))
+          feedDocs(d.where($"doc_id" <= cut)) // batches 0 and 1
+          runFeed()
+          graft.streaming.LshDedupSink.compact(s, o.toString)
+          feedDocs(d.where($"doc_id" > cut)) // batch 2, post-compaction
+          runFeed()
           deleteTree(base)
           java.nio.file.Files.write(o.toPath.resolve("_complete"),
             Array.emptyByteArray)
@@ -1213,7 +1250,7 @@ object JsonDoc {
              |SELECT CAST(bid AS BIGINT) AS batch_id, d AS new_doc,
              |  o AS dup_of, jaccard
              |FROM rk WHERE rn = 1 ORDER BY new_doc""".stripMargin),
-      "streaming near-dup admission gated: first-admitted-wins over 3 deterministic batches unrolled into a non-recursive oracle — the last index-maintaining sink moves from scalatest to the hash gate"),
+      "streaming near-dup admission gated: first-admitted-wins over 3 deterministic batches unrolled into a non-recursive oracle, with an in-gate LSM compaction before batch 3 — admission onto the folded index must not change a verdict"),
 
     // ---- RETRY/BACKOFF (T6) under the hash gate: the full supervised
     // ingest against a MISBEHAVING couch. The stub answers its first

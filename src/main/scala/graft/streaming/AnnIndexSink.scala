@@ -36,11 +36,19 @@ import graft.pipeline.Similarity
   * rewrite, which is the batch writer's job.
   *
   * SCALE: cost per batch is O(|batch| + touched partitions); the index
-  * grows one small file per partition per batch — compact by re-running
-  * the batch writer when file counts matter (the same tradeoff as any
-  * LSM-ish layout).
+  * grows one small file per partition per batch — [[compact]] folds
+  * each partition directory back to one file from the live rows
+  * (answer-preserving; j27 compacts the stream-built index and admits
+  * one more batch before the probe must still hash p8b's oracle).
   */
 object AnnIndexSink {
+
+  /** Fold every `bucket=`/`cell=` partition to one file (see
+    * [[IndexCompact]]). Append-only vectors: merges never read the
+    * index, so compaction is safe at any batch boundary. */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+      partCol: String = "bucket"): Unit =
+    IndexCompact.compactPartitions(spark, root, partCol)
 
   /** Merge a micro-batch of (idCol, embCol) vectors into the sign-LSH
     * bucketed index at `path`. Returns true if applied, false for a

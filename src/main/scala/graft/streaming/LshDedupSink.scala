@@ -46,10 +46,18 @@ import graft.pipeline.{Dedup, TextOps}
   * SCALE: per batch the probe is a (band, bkey) equi-join against only
   * the touched bk partitions; the quadratic risk lives in band-bucket
   * collision counts exactly as in the batch LSH job. Index grows one
-  * file per touched partition per batch — compact by re-writing from
-  * the admitted corpus when file counts matter.
+  * file per touched partition per batch — [[compact]] folds each `bk=`
+  * directory back to one file from the admitted rows (answer-
+  * preserving; j28 runs it mid-stream and the post-compact batch's
+  * verdicts still hash the fault-free oracle).
   */
 object LshDedupSink {
+
+  /** Fold every `bk=` partition to one file (see [[IndexCompact]]).
+    * Safe between batches: admission state is the admitted band rows
+    * themselves plus the `_lsh_batches` log, both preserved. */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String): Unit =
+    IndexCompact.compactPartitions(spark, root, "bk")
 
   /** Partition fanout for the band-key hash directories. */
   val Fanout = 64

@@ -31,6 +31,44 @@ class AnnIndexSinkSpec extends SparkSpec {
           (Files.size(p), bytes.take(64).toSeq)
       }.toMap
 
+  test("compact folds buckets to one file each; probe and later merges unchanged") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ann-sink").toString + "/idx"
+    // force ZERO-prefixed sign buckets onto half the vectors (negate
+    // dim 0 for odd ids): "0101"-style partition values are the ones a
+    // type-inferring compaction read would fold to int 101 and rewrite
+    // under the wrong directory — java.util.Random's seed-biased first
+    // draw makes plain vec() all-'1'-prefixed and hid exactly that bug
+    def signedDf(ids: Seq[Long]) = ids.map { i =>
+      val v = vec(i.toInt)
+      (i, if (i % 2 == 1) v.updated(0, -math.abs(v(0))) else v)
+    }.toDF("vec_id", "embedding")
+    Similarity.writeBucketedCorpus(signedDf(1L to 40L), path, planes = 4)
+    AnnIndexSink.mergeBatch(signedDf(41L to 60L), path, 0L, planes = 4)
+    AnnIndexSink.mergeBatch(signedDf(61L to 80L), path, 1L, planes = 4)
+    val rowsBefore = spark.read.parquet(path)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val probeBefore = Similarity.probeBucketedTopK(spark,
+      embDf(Seq(200L)), path, 5, planes = 4)
+      .orderBy($"rank").collect().toSeq
+    AnnIndexSink.compact(spark, path)
+    val perDir = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent)
+    assert(perDir.nonEmpty && perDir.values.forall(_.size == 1),
+      s"buckets not folded: ${perDir.view.mapValues(_.size).toMap}")
+    assert(spark.read.parquet(path)
+      .select($"neighbor_id").as[Long].collect().toSet == rowsBefore)
+    assert(Similarity.probeBucketedTopK(spark,
+      embDf(Seq(200L)), path, 5, planes = 4)
+      .orderBy($"rank").collect().toSeq == probeBefore)
+    // post-compact merge lands beside compact files and is visible
+    AnnIndexSink.mergeBatch(embDf(Seq(300L)), path, 2L, planes = 4)
+    assert(spark.read.parquet(path).where($"neighbor_id" === 300L)
+      .count() == 1L)
+  }
+
   test("merge touches only the batch's buckets; probes see old AND new vectors") {
     val path = Files.createTempDirectory("ann-sink").toString + "/idx"
     Similarity.writeBucketedCorpus(embDf(1L to 40L), path, planes = 4)

@@ -55,6 +55,36 @@ class LshDedupSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).where($"doc" === 5L).isEmpty)
   }
 
+  test("compact folds each bucket to one file; verdicts and probes unchanged") {
+    val path = Files.createTempDirectory("lsh-sink").toString + "/idx"
+    // two batches -> up to two files per touched bucket
+    assert(LshDedupSink.mergeBatch(docs((1L, tA), (2L, tB)), path, 0L))
+    assert(LshDedupSink.mergeBatch(docs((3L, tC)), path, 1L))
+    val idxBefore = spark.read.parquet(path)
+      .select($"doc", $"band", $"bkey").collect().toSet
+    val vBefore = LshDedupSink.verdicts(spark, path).collect().toSet
+    LshDedupSink.compact(spark, path)
+    // one data file per bk= dir, and exactly the same rows
+    val perDir = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        Paths.get(path).relativize(p).toString.startsWith("bk="))
+      .toSeq.groupBy(_.getParent)
+    assert(perDir.nonEmpty && perDir.values.forall(_.size == 1),
+      s"buckets not folded: ${perDir.view.mapValues(_.size).toMap}")
+    assert(spark.read.parquet(path)
+      .select($"doc", $"band", $"bkey").collect().toSet == idxBefore)
+    assert(LshDedupSink.verdicts(spark, path).collect().toSet == vBefore)
+    // post-compaction admission still probes correctly: a copy of an
+    // admitted doc is flagged, a novel doc enters the index
+    assert(LshDedupSink.mergeBatch(docs((10L, tA), (11L,
+      "yet another unrelated string of words for the novel case")), path, 2L))
+    val v2 = LshDedupSink.verdicts(spark, path).where($"batch_id" === 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(v2.toSet == Set((10L, 1L)), s"post-compact verdicts: ${v2.toSet}")
+    assert(!spark.read.parquet(path).where($"doc" === 11L).isEmpty)
+  }
+
   test("crash-replay: moved band rows never self-match (doc not lost)") {
     val path = Files.createTempDirectory("lsh-sink").toString + "/idx"
     assert(LshDedupSink.mergeBatch(docs((1L, tA), (2L, tB)), path, 0L))
