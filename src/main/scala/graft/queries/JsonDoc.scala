@@ -1395,6 +1395,93 @@ object JsonDoc {
              |            ELSE 3*m - 2 END AS BIGINT) AS since,
              |  true AS enabled
              |FROM (SELECT MAX(doc_id) AS m FROM documents WHERE doc_id < 251) t""".stripMargin),
-      "T8 gated: the since_checkpoints compat view derived from Spark's offset log — `since` hash-matched against the feed's reconstructed final seq (README.md:273-281)")
+      "T8 gated: the since_checkpoints compat view derived from Spark's offset log — `since` hash-matched against the feed's reconstructed final seq (README.md:273-281)"),
+
+    // ---- T9: the EVENT BUS under the hash gate. The reference emits
+    // connect / change.success / checkpoint / stop on an EventEmitter
+    // (lib/index.js:42, 199-232, 251-255); here EventLog projects them
+    // off Spark's StreamingQueryListener. Under an AvailableNow replay
+    // of a doc-bounded insert-only feed with cap = ceil(n/3), the
+    // per-class event counts are pure corpus arithmetic — batches =
+    // ceil(n/cap), one change.success + one checkpoint per batch, one
+    // connect, one stop, zero errors — and the rows= payloads of the
+    // change.success events must sum to n (j32's reconstruction trick
+    // applied to events instead of seqs). The slice is doc-bounded
+    // (doc_id < 251) so the gate is SF-independent: it tests the bus,
+    // not ingest throughput.
+    QueryDef(
+      "j33_event_bus",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents").where($"doc_id" < 251L)
+        val art = Pipeline.cachedArtifact(dir, "documents", "j33events-v1",
+            ready = "_complete") { o =>
+          val base = java.nio.file.Files.createTempDirectory("j33")
+          val staged = base.resolve("staged")
+          d.select(to_json(struct(
+              ($"doc_id" + 1L).as("seq"),
+              $"doc_id".cast("string").as("id"),
+              array(struct(concat(lit("1-"), md5($"text")).as("rev")))
+                .as("changes"),
+              struct(md5($"text").as("h")).as("doc"))).as("value"))
+            .write.mode("overwrite").text(staged.toString)
+          val feed = base.resolve("feed")
+          java.nio.file.Files.createDirectories(feed)
+          staged.toFile.listFiles((_, n) => n.endsWith(".txt"))
+            .toSeq.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath, feed.resolve(f"$i%05d.jsonl"))
+            }
+          val cap = (d.count() + 2L) / 3L
+          val name = s"j33-${java.util.UUID.randomUUID()}"
+          val log = new graft.streaming.EventLog
+          s.streams.addListener(log)
+          try {
+            graft.streaming.ChangesPipeline.runOnce(s, feed.toString,
+              base.resolve("store").toString,
+              base.resolve("ckpt").toString,
+              name = name, maxChangesPerTrigger = Some(math.max(1L, cap)))
+            // listener delivery is async but IN ORDER: once the
+            // terminal event for this query's id has landed, every
+            // earlier connect/progress event has too
+            val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+            def qid = log.all
+              .find(e => e.event == "connect" && e.query == name)
+              .map(_.detail)
+            while (System.nanoTime() < deadline && !log.all.exists(e =>
+                (e.event == "stop" || e.event == "error") &&
+                  qid.contains(e.query)))
+              Thread.sleep(20)
+            val id = qid.getOrElse(sys.error("j33: connect event missing"))
+            val mine = log.all
+              .filter(e => e.query == name || e.query == id)
+            require(mine.exists(e => e.event == "stop" && e.query == id),
+              s"j33: no clean stop within 30 s; events=${mine.map(_.event)}")
+            val rowsRe = "rows=(\\d+)".r
+            val out = mine.groupBy(_.event).toSeq.map { case (ev, es) =>
+              (ev, es.size.toLong,
+                es.map(e => rowsRe.findFirstMatchIn(e.detail)
+                  .map(_.group(1).toLong).getOrElse(0L)).sum)
+            }
+            java.nio.file.Files.createDirectories(o.toPath)
+            out.toDF("event", "n_events", "n_rows").coalesce(1)
+              .write.mode("overwrite")
+              .parquet(o.toPath.resolve("events.parquet").toString)
+          } finally s.streams.removeListener(log)
+          deleteTree(base)
+          java.nio.file.Files.write(o.toPath.resolve("_complete"),
+            Array.emptyByteArray)
+        }
+        s.read.parquet(art.toPath.resolve("events.parquet").toString)
+          .orderBy($"event")
+      },
+      Some("""WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  (COUNT(*) + 2) // 3 AS cap FROM documents WHERE doc_id < 251),
+             |b AS (SELECT n, CAST((n + cap - 1) // cap AS BIGINT) AS nb FROM c)
+             |SELECT 'change.success' AS event, nb AS n_events, n AS n_rows FROM b
+             |UNION ALL SELECT 'checkpoint', nb, CAST(0 AS BIGINT) FROM b
+             |UNION ALL SELECT 'connect', CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM b
+             |UNION ALL SELECT 'stop', CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM b
+             |ORDER BY event""".stripMargin),
+      "T9 gated: the event bus's per-class counts and change.success row sums hash-matched against pure batch arithmetic (connect/change.success/checkpoint/stop, lib/index.js:199-232)")
   )
 }
