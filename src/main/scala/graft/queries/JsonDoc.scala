@@ -1482,6 +1482,110 @@ object JsonDoc {
              |UNION ALL SELECT 'connect', CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM b
              |UNION ALL SELECT 'stop', CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM b
              |ORDER BY event""".stripMargin),
-      "T9 gated: the event bus's per-class counts and change.success row sums hash-matched against pure batch arithmetic (connect/change.success/checkpoint/stop, lib/index.js:199-232)")
+      "T9 gated: the event bus's per-class counts and change.success row sums hash-matched against pure batch arithmetic (connect/change.success/checkpoint/stop, lib/index.js:199-232)"),
+
+    // ---- T6's FATAL class + P10's FULL LIFECYCLE under one gate. j30
+    // proved the retryable classes converge; this is the other half of
+    // lib/index.js:205-230 — `no_db_file`/`42P01` STOPS the feed, no
+    // retry, until the operator cycles it (daemon-README.md:47-183:
+    // disable -> reap -> re-enable -> resume). Timeline: (0) a healthy
+    // supervised ingest of the first HALF of the corpus (the stub's
+    // window hides the rest) checkpoints at n/2; (A) the registry is
+    // misconfigured to a missing db — the feed dies FeedGoneException,
+    // the watchdog parks it in haltedFeeds with the no_db_file reason,
+    // and REPEATED finder passes must NOT respawn it (fatal = retrying
+    // can never help) while the store stays byte-unchanged; (B) the
+    // operator DISABLES the feed — reconcile clears the halt (the
+    // reference's operator-reset semantics); (C) the URL is fixed, the
+    // window widened to the full corpus, and the RE-ENABLED feed
+    // resumes from the n/2 checkpoint to converge on the fault-free
+    // oracle. One row gates fatal classification, halt latching,
+    // disable-reap, and re-enable-resume together.
+    QueryDef(
+      "j34_fatal_halt_lifecycle",
+      (s, dir) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("j34")
+        val window = new WindowedLines(stageCorpusFeed(s, dir, base))
+        val stub = new graft.streaming.CouchStubServer("graft-f", window)
+        val port = stub.start()
+        try {
+          import graft.streaming.{FeedConfig, RestartBackoff, Supervisor}
+          val n = T(s, dir, "documents").count()
+          val half = n / 2L
+          window.limit = half.toInt // the rest "hasn't happened yet"
+          val sup = new Supervisor(s,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            backoff = RestartBackoff(1L, 50L))
+          val ckpt = base.resolve("ckpt").toString
+          val good = FeedConfig("graft-f",
+            s"http://127.0.0.1:$port/graft-f",
+            base.resolve("store").toString, ckpt,
+            maxChangesPerTrigger = Some(math.max(251L, n / 2L)))
+          def driveUntil(registry: Seq[FeedConfig])(done: => Boolean): Unit = {
+            val deadline = System.currentTimeMillis() + 300000
+            var ok = false
+            while (!ok && System.currentTimeMillis() < deadline) {
+              sup.reconcile(registry)
+              Thread.sleep(50)
+              sup.watchdog()
+              ok = sup.activeFeeds.isEmpty && done
+            }
+            require(ok, s"j34 phase never converged: active=" +
+              s"${sup.activeFeeds} halted=${sup.haltedFeeds}")
+          }
+          def since = graft.streaming.SinceCheckpoints.lastSince(ckpt)
+          // (0) healthy half-corpus ingest
+          driveUntil(Seq(good))(since.contains(half))
+          val storedAtHalt = graft.streaming.MergeSink
+            .readState(s, good.storeRoot).count()
+          // (A) misconfigured registry: the db is gone -> FATAL halt
+          val bad = good.copy(feedPath = s"http://127.0.0.1:$port/graft-gone")
+          driveUntil(Seq(bad))(sup.haltedFeeds.nonEmpty)
+          val reason = sup.haltedFeeds.getOrElse(FeedConfig.mangle("graft-f"),
+            sys.error(s"wrong halt key: ${sup.haltedFeeds}"))
+          require(reason.contains("no_db_file"),
+            s"fatal reason must carry the no_db_file class: $reason")
+          // fatal = NO retry: further finder passes leave it parked
+          (1 to 5).foreach { _ => sup.reconcile(Seq(bad)); sup.watchdog() }
+          require(sup.activeFeeds.isEmpty && sup.haltedFeeds.nonEmpty,
+            "halted feed must not respawn while enabled")
+          require(graft.streaming.MergeSink.readState(s, good.storeRoot)
+            .count() == storedAtHalt && since.contains(half),
+            "store/checkpoint must be untouched by the halted feed")
+          // (B) operator disables -> reap clears the halt state
+          sup.reconcile(Seq(bad.copy(enabled = false)))
+          require(sup.haltedFeeds.isEmpty,
+            s"disable must clear the halt: ${sup.haltedFeeds}")
+          // (C) fixed URL + re-enable: resume from the n/2 checkpoint
+          window.limit = Int.MaxValue
+          driveUntil(Seq(good))(since.contains(n))
+          require(sup.haltedFeeds.isEmpty, "re-enabled feed must stay clean")
+          pinAndDelete(graft.streaming.MergeSink
+            .readState(s, good.storeRoot)
+            .select($"id", $"rev", $"doc")
+            .orderBy($"id".cast("long")), base)
+        } finally stub.stop()
+      },
+      Some(corpusFeedOracle),
+      "T6-fatal + P10 gated: no_db_file halts the feed with no retry, disable clears the halt, re-enable resumes from the checkpoint onto the fault-free oracle (lib/index.js:205-230, daemon-README.md:47-183)")
   )
+
+  /** A growable window over a staged feed: the stub serves only the
+    * first [[limit]] change lines until the "operator" widens it — new
+    * changes arriving later without restaging the corpus. Closes
+    * through to the file-backed underlay (so [[graft.streaming
+    * .CouchStubServer.stop]]'s closeable-seeding release still reaches
+    * the FileChannels). */
+  private final class WindowedLines(under: IndexedSeq[String])
+      extends scala.collection.immutable.IndexedSeq[String]
+      with AutoCloseable {
+    @volatile var limit: Int = Int.MaxValue
+    def length: Int = math.min(limit, under.length)
+    def apply(i: Int): String = under(i)
+    def close(): Unit = under match {
+      case c: AutoCloseable => c.close()
+      case _ => ()
+    }
+  }
 }
