@@ -785,6 +785,10 @@ object JsonDoc {
         import s.implicits._
         val stub = new graft.streaming.CouchStubServer(
           "graftdb", IndexedSeq.empty, stateful = true)
+        // the reference's docs-per-POST ceiling ARMED (README.md:504-530:
+        // 1000 times out, ~500 safe): the sink's 50-doc chunking is now
+        // load-bearing — one over-cap POST would 413 and fail the gate
+        stub.maxBulkDocs = 500
         val port = stub.start()
         try {
           val base = java.nio.file.Files.createTempDirectory("j21")

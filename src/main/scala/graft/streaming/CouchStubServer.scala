@@ -230,6 +230,12 @@ final class CouchStubServer(
   @volatile var dropChangesRequest: Int = 0
   /** Doc _ids that `_bulk_docs` reports as update conflicts. */
   @volatile var conflictIds: Set[String] = Set.empty
+  /** Reject `_bulk_docs` payloads above this many docs with 413 — the
+    * reference's docs-per-POST ceiling (README.md:504-530). 0 = off. */
+  @volatile var maxBulkDocs: Int = 0
+  private val bulkRejected = new java.util.concurrent.atomic.LongAdder
+  /** How many `_bulk_docs` requests bounced 413 over the ceiling. */
+  def bulkRejectedCount: Long = bulkRejected.sum()
   /** When set, EVERY request must carry `Authorization: Basic
     * base64(user:password)` or it is answered 401 — a CouchDB with
     * `require_valid_user = true` (the deployment the reference's
@@ -334,9 +340,16 @@ final class CouchStubServer(
           val req = ex.getRequestBody.readAllBytes()
           bulkPosts.increment()
           bytesIn.add(req.length)
-          if (stateful) {
-            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-            val docs = mapper.readTree(req).path("docs")
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val docs = mapper.readTree(req).path("docs")
+          if (maxBulkDocs > 0 && docs.size() > maxBulkDocs) {
+            // the reference's hard-learned ceiling (README.md:504-530:
+            // 1000 docs/POST times out, ~500 is safe) made enforceable:
+            // an oversized payload bounces instead of "working" in-gate
+            // where a real server would stall
+            bulkRejected.increment()
+            (413, """{"error":"too_large","reason":"docs-per-POST ceiling exceeded"}""")
+          } else if (stateful) {
             val results = (0 until docs.size())
               .map(i => applyWrite(docs.get(i), mapper))
             (201, results.mkString("[", ",", "]"))
@@ -344,8 +357,6 @@ final class CouchStubServer(
           else {
             // documented per-doc result array: conflicts do NOT fail
             // the request — they are rows in a 201 response
-            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-            val docs = mapper.readTree(req).path("docs")
             val results = (0 until docs.size()).map { i =>
               val id = docs.get(i).path("_id").asText("")
               if (conflictIds.contains(id))

@@ -32,6 +32,37 @@ class WriteBackSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("docs-per-POST ceiling: oversized chunk bounces 413, compliant chunks pass") {
+    val stub = new CouchStubServer("wb", IndexedSeq.empty)
+    stub.maxBulkDocs = 500
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      // one 501-doc chunk (chunkSize > corpus => a single POST): the
+      // stub enforces the reference's ceiling and the sink surfaces it
+      val oversized = BulkDocsSink.post(
+        BulkDocsSink.chunked(docs(501), "id", "doc", chunkSize = 1000),
+        url, new JdkHttpPoster()).collect()
+      assert(oversized.length == 1 && oversized.head.getInt(2) == 413)
+      assert(stub.bulkRejectedCount == 1L)
+      // postPerDoc FAILS LOUDLY on the bounce (a 413 must never read
+      // as zero conflicts)
+      val thrown = intercept[org.apache.spark.SparkException] {
+        BulkDocsSink.postPerDoc(
+          BulkDocsSink.chunked(docs(501), "id", "doc", chunkSize = 1000),
+          url, new JdkHttpPoster()).collect()
+      }
+      assert(thrown.getMessage.contains("413") ||
+        Option(thrown.getCause).exists(_.getMessage.contains("413")))
+      // the same corpus in compliant 50-doc chunks sails through
+      val ok = BulkDocsSink.post(
+        BulkDocsSink.chunked(docs(501), "id", "doc", chunkSize = 50),
+        url, new JdkHttpPoster()).collect()
+      assert(ok.length == 11 && ok.forall(_.getInt(2) == 201))
+      assert(stub.bulkRejectedCount == 2L)
+    } finally stub.stop()
+  }
+
   test("per-doc PUT path: one request per row, executor-side") {
     val stub = new CouchStubServer("wb", IndexedSeq.empty)
     val port = stub.start()
