@@ -158,10 +158,12 @@ object JsonDoc {
     * return the stub's lazy offset-indexed view over it. */
   private def stageCorpusFeed(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      base: java.nio.file.Path): IndexedSeq[String] = {
+      base: java.nio.file.Path,
+      limitDocs: Option[Long] = None): IndexedSeq[String] = {
     import s.implicits._
     val staged = base.resolve("staged")
-    T(s, dir, "documents")
+    limitDocs.foldLeft(T(s, dir, "documents")) { (d, lim) =>
+        d.where($"doc_id" < lim) }
       .select(struct(
         ($"doc_id" + 1L).as("seq"),
         $"doc_id".cast("string").as("id"),
@@ -1509,13 +1511,18 @@ object JsonDoc {
       "j34_fatal_halt_lifecycle",
       (s, dir) => {
         import s.implicits._
+        // doc-bounded slice (the j32 rationale): the gate tests the
+        // halt/lifecycle control plane, not ingest throughput, so its
+        // replay cost must be SF-independent
+        val lim = 251L
         val base = java.nio.file.Files.createTempDirectory("j34")
-        val window = new WindowedLines(stageCorpusFeed(s, dir, base))
+        val window = new WindowedLines(
+          stageCorpusFeed(s, dir, base, limitDocs = Some(lim)))
         val stub = new graft.streaming.CouchStubServer("graft-f", window)
         val port = stub.start()
         try {
           import graft.streaming.{FeedConfig, RestartBackoff, Supervisor}
-          val n = T(s, dir, "documents").count()
+          val n = T(s, dir, "documents").where($"doc_id" < lim).count()
           val half = n / 2L
           window.limit = half.toInt // the rest "hasn't happened yet"
           val sup = new Supervisor(s,
@@ -1571,7 +1578,10 @@ object JsonDoc {
             .orderBy($"id".cast("long")), base)
         } finally stub.stop()
       },
-      Some(corpusFeedOracle),
+      Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
+             |  '1-' || md5(text) AS rev,
+             |  '{"h":"' || md5(text) || '"}' AS doc
+             |FROM documents WHERE doc_id < 251 ORDER BY doc_id""".stripMargin),
       "T6-fatal + P10 gated: no_db_file halts the feed with no retry, disable clears the halt, re-enable resumes from the checkpoint onto the fault-free oracle (lib/index.js:205-230, daemon-README.md:47-183)")
   )
 
