@@ -69,6 +69,46 @@ class AnnIndexSinkSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("IVF cell layout: mergeBatchIvf + compact preserve probes and admit after") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("ann-ivf").toString + "/idx"
+    Similarity.writeIvfCorpus(embDf(1L to 40L), path, nPivots = 4)
+    // the SAME literal-folded cell assignment the writer used, rebuilt
+    // from the self-assigned pivot rows (probeIvfTopK's recovery trick)
+    val piv = spark.read.parquet(path)
+      .where($"neighbor_id" === $"cell")
+      .select($"neighbor_id", $"c_emb", $"c_nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getLong(2)))
+    val affs = piv.map { case (pid, pemb, pnrm) => struct(
+      Similarity.cosinePrenormed($"c_emb", typedLit(pemb), $"c_nrm",
+        lit(pnrm)).as("cos"),
+      lit(-pid).as("tb")) }
+    val cellAssign = -greatest(affs: _*).getField("tb")
+    assert(AnnIndexSink.mergeBatchIvf(embDf(Seq(101L, 102L)), path, 0L,
+      cellAssign))
+    assert(AnnIndexSink.mergeBatchIvf(embDf(Seq(103L)), path, 1L, cellAssign))
+    val rowsBefore = spark.read.parquet(path)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val probeBefore = Similarity.probeIvfTopK(spark, embDf(Seq(300L)),
+      path, 5, nProbe = 4).orderBy($"rank").collect().toSeq
+    AnnIndexSink.compact(spark, path, partCol = "cell")
+    val perDir = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent)
+    assert(perDir.nonEmpty && perDir.values.forall(_.size == 1),
+      s"cells not folded: ${perDir.view.mapValues(_.size).toMap}")
+    assert(spark.read.parquet(path)
+      .select($"neighbor_id").as[Long].collect().toSet == rowsBefore)
+    assert(Similarity.probeIvfTopK(spark, embDf(Seq(300L)),
+      path, 5, nProbe = 4).orderBy($"rank").collect().toSeq == probeBefore)
+    // post-compact merge lands beside compact files and is probeable
+    assert(AnnIndexSink.mergeBatchIvf(embDf(Seq(400L)), path, 2L, cellAssign))
+    assert(spark.read.parquet(path).where($"neighbor_id" === 400L)
+      .count() == 1L)
+  }
+
   test("merge touches only the batch's buckets; probes see old AND new vectors") {
     val path = Files.createTempDirectory("ann-sink").toString + "/idx"
     Similarity.writeBucketedCorpus(embDf(1L to 40L), path, planes = 4)
