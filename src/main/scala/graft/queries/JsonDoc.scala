@@ -1596,7 +1596,13 @@ object JsonDoc {
       with AutoCloseable {
     @volatile var limit: Int = Int.MaxValue
     def length: Int = math.min(limit, under.length)
-    def apply(i: Int): String = under(i)
+    def apply(i: Int): String = {
+      // a pager that reads past the window would see "future" changes
+      // the window is meant to hide — fail loudly instead.
+      if (i < 0 || i >= length)
+        throw new IndexOutOfBoundsException(s"$i outside window [0,$length)")
+      under(i)
+    }
     def close(): Unit = under match {
       case c: AutoCloseable => c.close()
       case _ => ()
