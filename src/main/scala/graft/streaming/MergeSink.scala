@@ -60,6 +60,32 @@ object MergeSink {
     }
   }
 
+  /** Explicit auto table creation — S7, the reference daemon's
+    * bootstrap probe (`bin/daemon.js:233-262`: check `pg_class` for the
+    * table, CREATE TABLE + seed the `since_checkpoints` row when
+    * missing, BEFORE the feed connects). Writes an empty v=0 state with
+    * batchId -1 so the store exists and is readable the moment the
+    * finder admits the feed; the first real batch (id 0) still takes
+    * the O(batch) insert path ([[applyBatch]] recognizes the bootstrap
+    * pointer). NOOP (false) if the store already exists. */
+  def bootstrap(spark: SparkSession, root: String): Boolean =
+    currentVersion(root) match {
+      case Some(_) => false
+      case None =>
+        readState(spark, root) // statically empty (id, rev, doc)
+          .write.mode("overwrite").parquet(s"$root/v=0")
+        val tmp = Paths.get(root, "_CURRENT.tmp")
+        Files.write(tmp, "0 -1".getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, Paths.get(root, "_CURRENT"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        true
+    }
+
+  /** True while the store is a [[bootstrap]]-created empty table with
+    * no batch applied yet (the `-1` sentinel batchId). */
+  private def isBootstrapOnly(cur: Option[(Long, Long)]): Boolean =
+    cur.contains((0L, -1L))
+
   /** Apply one micro-batch of change events to the store. Safe to call
     * with the same batchId twice (replay after failure): second call is
     * a NOOP. Returns true if the batch was applied.
@@ -79,9 +105,11 @@ object MergeSink {
     val cur = currentVersion(root)
     if (cur.exists(_._2 >= batchId)) return false // replayed batch: NOOP
     val v = cur.map(_._1).getOrElse(-1L) + 1
-    // first batch: no state exists — O(batch) insert path, no join
+    // first batch: no state (or only the bootstrap-empty v=0) —
+    // O(batch) insert path, no join against an empty table
     val merged0 =
-      if (cur.isEmpty) ChangeApply.initialState(batch, excludeTypes, mapDoc)
+      if (cur.isEmpty || isBootstrapOnly(cur))
+        ChangeApply.initialState(batch, excludeTypes, mapDoc)
       else ChangeApply.applyChanges(
         readState(spark, root), batch, excludeTypes, mapDoc)
     val merged =

@@ -155,7 +155,12 @@ final class Supervisor(
         // (the daemon survives per-feed errors, bin/daemon.js:75-94);
         // fatal-class start errors halt, transient ones back off
         scala.util.Try(f.sink match {
-          case FeedSink.Store => ChangesPipeline.start(
+          case FeedSink.Store =>
+            // S7 auto table creation (bin/daemon.js:233-262): the finder
+            // creates the missing store BEFORE connecting the feed, so
+            // a fresh registry row is queryable (empty) immediately
+            MergeSink.bootstrap(spark, f.storeRoot)
+            ChangesPipeline.start(
             spark, f.feedPath, f.storeRoot, f.checkpoint, n,
             since = f.since, maxChangesPerTrigger = f.maxChangesPerTrigger,
             trigger = trigger)

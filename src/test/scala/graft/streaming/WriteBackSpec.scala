@@ -125,4 +125,67 @@ class WriteBackSpec extends SparkSpec {
       assert(seen.get() == expected)
     } finally server.stop(0)
   }
+
+  test("batch-id guard: a replayed write-back batch never reaches the wire") {
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val wb = java.nio.file.Files.createTempDirectory("wb-guard").toString
+      val poster = new JdkHttpPoster()
+      // first delivery POSTs and spills per-doc results
+      assert(BulkDocsSink.postBatchGuarded(
+        docs(120), 0L, "id", "doc", url, poster, wb))
+      val (bulk1, _, _) = stub.writeStats
+      val res = spark.read.parquet(BulkDocsSink.resultPath(wb, 0L))
+      // one POST per partition-local chunk, all 120 docs covered
+      assert(bulk1 == res.select("chunk_no").distinct().count())
+      assert(BulkDocsSink.appliedBatches(wb) == Set(0L))
+      // at-least-once redelivery of the SAME batchId: nothing sent,
+      // spilled results untouched
+      assert(!BulkDocsSink.postBatchGuarded(
+        docs(120), 0L, "id", "doc", url, poster, wb))
+      assert(stub.writeStats._1 == bulk1)
+      assert(spark.read.parquet(BulkDocsSink.resultPath(wb, 0L))
+        .count() == 120L)
+      // a NEW batchId goes out; the PUT path shares the same guard/log
+      assert(BulkDocsSink.putBatchGuarded(
+        docs(10), 1L, "id", "doc", url, poster, wb))
+      val puts1 = stub.writeStats._2
+      assert(puts1 == 10L)
+      assert(!BulkDocsSink.putBatchGuarded(
+        docs(10), 1L, "id", "doc", url, poster, wb))
+      assert(stub.writeStats._2 == puts1)
+      assert(BulkDocsSink.appliedBatches(wb) == Set(0L, 1L))
+    } finally stub.stop()
+  }
+
+  test("forBatch drives the guarded write-back from a real streaming query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val wb = java.nio.file.Files.createTempDirectory("wb-stream").toString
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[Long]
+      in.addData(0L until 60L: _*)
+      val q = in.toDF().select($"value".as("id"),
+          concat(lit("""{"_id":"d"""), $"value", lit("""","v":"""),
+            $"value", lit("}")).as("doc"))
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wb-ckpt").toString)
+        .foreachBatch(BulkDocsSink.forBatch(url, new JdkHttpPoster(), wb))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(stub.writeStats._1 >= 1L)
+      assert(BulkDocsSink.appliedBatches(wb).nonEmpty)
+      val res = BulkDocsSink.appliedBatches(wb).toSeq.map(b =>
+        spark.read.parquet(BulkDocsSink.resultPath(wb, b)).count()).sum
+      assert(res == 60L)
+    } finally stub.stop()
+  }
 }
