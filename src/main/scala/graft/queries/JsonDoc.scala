@@ -1843,7 +1843,45 @@ object JsonDoc {
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
              |   WHERE doc_id < 251), true
              |ORDER BY phase""".stripMargin),
-      "S7 gated: the finder pass CREATEs the missing store + (table, 0, true) checkpoint row before ingest, then the bootstrapped store converges (bin/daemon.js:233-262)")
+      "S7 gated: the finder pass CREATEs the missing store + (table, 0, true) checkpoint row before ingest, then the bootstrapped store converges (bin/daemon.js:233-262)"),
+
+    // ---- The SHREDDED variant store: j18 parses props to a variant at
+    // query time; at 100 TB the schemaless plane should be STORED as a
+    // parquet variant column with writer shredding, so `variant_get`
+    // reads a typed subcolumn via scan pushdown instead of decoding the
+    // whole binary. Measured (graft.VariantProbe, sf1): text-parse
+    // 2.47 s, stored unshredded 1.01 s, stored shredded + scan pushdown
+    // 0.38 s (pushdown off: 1.19 s — the pushdown IS the win). Same
+    // semantics and oracle as j18, different (storage-level) plan.
+    QueryDef(
+      "j38_variant_shredded",
+      (s, dir) => {
+        import s.implicits._
+        val art = Pipeline.cachedArtifact(dir, "events", "j38shred-v1") { o =>
+          // scoped writer-shredding confs, save/restore (single query
+          // under Verify/Bench; concurrent sessions would scope via a
+          // dedicated writer session)
+          val keys = Seq("spark.sql.variant.writeShredding.enabled",
+            "spark.sql.variant.inferShreddingSchema")
+          val prev = keys.map(k => k -> s.conf.getOption(k))
+          keys.foreach(s.conf.set(_, "true"))
+          try T(s, dir, "events")
+            .select($"event_id", parse_json($"props").as("v"))
+            .write.mode("overwrite").parquet(o.toString)
+          finally prev.foreach { case (k, v) =>
+            v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+        }
+        s.read.parquet(art.toString)
+          .select($"event_id",
+            try_variant_get($"v", "$.k", "int").as("k"))
+          .filter($"k" > 50)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+             |ORDER BY event_id""".stripMargin),
+      "shredded parquet variant store: variant_get reads typed subcolumns via scan pushdown (6.5x over query-time parse_json at sf1)")
   )
 
   /** A growable window over a staged feed: the stub serves only the

@@ -810,4 +810,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
       s"expected the TopK partial aggregation:\n$p")
   }
+
+  test("j38: shredded variant collapses to a typed subcolumn with pushdown") {
+    // the stored-variant plane at 100 TB: variant_get must read the
+    // writer-shredded typed subcolumn (ReadSchema shows a struct with a
+    // primitive field, NOT a variant) and the k>50 predicate must reach
+    // the parquet scan as a pushed filter on that subcolumn.
+    val p = plan("j38_variant_shredded")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("variant"),
+      s"variant not shredded in scan schema: $readSchema")
+    assert(readSchema.contains("int"),
+      s"expected a typed subcolumn in: $readSchema")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan"),
+      s"variant predicate not pushed to the scan:\n$p")
+  }
 }
