@@ -1881,7 +1881,107 @@ object JsonDoc {
              |FROM events
              |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
              |ORDER BY event_id""".stripMargin),
-      "shredded parquet variant store: variant_get reads typed subcolumns via scan pushdown (6.5x over query-time parse_json at sf1)")
+      "shredded parquet variant store: variant_get reads typed subcolumns via scan pushdown (6.5x over query-time parse_json at sf1)"),
+
+    // ---- Stateful Structured Streaming under the hash gate: gap
+    // sessionization as a PRODUCTION append-mode session_window query —
+    // watermarked state that merges sessions across micro-batches and
+    // finalizes them when the watermark passes (q26 gates the batch
+    // twin; SessionizeEquivSpec proves split-invariance in scalatest;
+    // this row makes the streaming plane itself DuckDB-gated). The
+    // bounded slice streams as three TIME-RANGED files (sessions
+    // spanning a range boundary arrive across batches — the state
+    // merge is load-bearing) + a far-future sentinel whose only job is
+    // to push the watermark past every real session's trailing edge.
+    // User-bounded slice (user_id < 40): per-user event counts are
+    // SF-independent in this corpus, so the gate costs the same at any
+    // SF and tests state semantics, not volume.
+    QueryDef(
+      "j39_streaming_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("j39")
+        val src = base.resolve("stream")
+        java.nio.file.Files.createDirectories(src)
+        val ev = T(s, dir, "events").where($"user_id" < 40)
+          .select($"user_id", $"ts", $"event_type")
+        val (tsLo, tsHi) = {
+          val r = ev.agg(min($"ts"), max($"ts")).collect().head
+          (r.getTimestamp(0), r.getTimestamp(1))
+        }
+        val spanMs = tsHi.getTime - tsLo.getTime
+        def cutAt(frac: Double) =
+          new java.sql.Timestamp(tsLo.getTime + (spanMs * frac).toLong)
+        val chunks = Seq(
+          ev.where($"ts" < cutAt(0.4)),
+          ev.where($"ts" >= cutAt(0.4) && $"ts" < cutAt(0.7)),
+          ev.where($"ts" >= cutAt(0.7)))
+        // sentinel: watermark after its batch = sentinel - delay, which
+        // must clear maxTs + gap so every real session finalizes; two
+        // sentinel files so the post-advance emission batch always runs
+        def sentinel(uid: Long, hoursPast: Long) = Seq((uid,
+          new java.sql.Timestamp(tsHi.getTime + hoursPast * 3600 * 1000),
+          "view")).toDF("user_id", "ts", "event_type")
+        (chunks :+ sentinel(-1L, 6L) :+ sentinel(-2L, 7L))
+          .zipWithIndex.foreach { case (df, i) =>
+            val tmp = base.resolve(s"chunk$i")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator()
+            var f: java.nio.file.Path = null
+            while (part.hasNext) { val p = part.next()
+              if (p.toString.endsWith(".parquet")) f = p }
+            val dst = src.resolve(f"$i%02d.parquet")
+            java.nio.file.Files.move(f, dst)
+            // file-stream admission orders by mtime: one file per
+            // micro-batch, in staged order
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 2000L))
+          }
+        val qname = s"j39_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = graft.streaming.StatefulOps.sessionRollup(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src.toString),
+            delay = Some("2 hours"),
+            flag = $"event_type" === "purchase")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // bounded driver-side state: sessions of 40 users (~hundreds)
+        val out = s.table(qname).where($"user_id" >= 0)
+          .select($"user_id",
+            unix_timestamp($"session_start").as("start_s"),
+            $"n_events", $"duration_s", $"n_flagged")
+          .orderBy($"user_id", $"start_s")
+          .localCheckpoint()
+        // the append stream must have FINALIZED every session — a
+        // missing watermark flush would silently truncate the output
+        val expected = graft.operators.Sessionize.rollup(
+          ev, key = "user_id", ts = "ts", gapMicros = 1800L * 1000000L,
+          flag = $"event_type" === "purchase").count()
+        require(out.count() == expected,
+          s"append-mode sessions incomplete: ${out.count()} vs $expected")
+        deleteTree(base)
+        out
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_type,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS starts
+             |  FROM events WHERE user_id < 40
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ts, event_type,
+             |    SUM(starts) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+             |SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+             |  COUNT(*) AS n_events,
+             |  date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
+             |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_s""".stripMargin),
+      "stateful streaming gated: append-mode session_window with watermark finalization, sessions merged across micro-batches, hash-matched against gap-sessionization SQL")
   )
 
   /** A growable window over a staged feed: the stub serves only the
