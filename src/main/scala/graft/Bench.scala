@@ -63,8 +63,7 @@ object Bench {
       "j29_ingest_filter_map", "j30_faulted_feed_convergence",
       "j31_basic_auth_feed", "j32_since_checkpoints_view",
       "j34_fatal_halt_lifecycle", "j35_live_tail",
-      "j36_single_put_roundtrip", "j37_bootstrap",
-      "j39_streaming_sessionize")
+      "j36_single_put_roundtrip", "j37_bootstrap")
     // A query that throws must NOT be timed as a ~0 s success — that
     // would make regressions look like speedups. Failures are reported
     // per-query on stderr and counted in the JSON line.
