@@ -145,6 +145,73 @@ object JsonDoc {
     pinAndDelete(state, base)
   }
 
+  /** Stage a user-bounded slice of `events` as five mtime-ordered
+    * parquet files for a file-source stream (the j39/j40 shape): three
+    * TIME-RANGED chunks — so sessions/joins spanning a range cut arrive
+    * across micro-batches and the state store must merge — plus two
+    * far-future sentinel rows (users -1/-2) whose only job is to push
+    * the final watermark past every real row's trailing edge (two, so
+    * the post-advance emission batch always runs). One distributed pass
+    * stages everything: chunk index is a column, partitionBy writes one
+    * file per chunk. Returns (the bounded slice, the stream dir). */
+  private def stageEventStream(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      base: java.nio.file.Path, maxUser: Long)
+      : (org.apache.spark.sql.DataFrame, java.nio.file.Path) = {
+    import s.implicits._
+    val src = base.resolve("stream")
+    java.nio.file.Files.createDirectories(src)
+    val ev = T(s, dir, "events").where($"user_id" < maxUser)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val (tsLo, tsHi) = {
+      val r = ev.agg(min($"ts"), max($"ts")).collect().head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    val spanMs = tsHi.getTime - tsLo.getTime
+    def cutMs(frac: Double) = tsLo.getTime + (spanMs * frac).toLong
+    def sentinel(uid: Long, hoursPast: Long) = (uid, uid,
+      new java.sql.Timestamp(tsHi.getTime + hoursPast * 3600 * 1000),
+      "view")
+    val staged = base.resolve("staged")
+    ev.withColumn("c",
+        when($"ts" < lit(new java.sql.Timestamp(cutMs(0.4))), 0)
+          .when($"ts" < lit(new java.sql.Timestamp(cutMs(0.7))), 1)
+          .otherwise(2))
+      .unionByName(Seq(sentinel(-1L, 6L)).toDF("event_id", "user_id",
+        "ts", "event_type").withColumn("c", lit(3)))
+      .unionByName(Seq(sentinel(-2L, 7L)).toDF("event_id", "user_id",
+        "ts", "event_type").withColumn("c", lit(4)))
+      .repartition(col("c"))
+      .write.partitionBy("c").parquet(staged.toString)
+    (0 to 4).foreach { i =>
+      val cdir = staged.resolve(s"c=$i")
+      val part = java.nio.file.Files.list(cdir).iterator()
+      var f: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next()
+        if (p.toString.endsWith(".parquet")) f = p }
+      val dst = src.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.move(f, dst)
+      // file-stream admission orders by mtime: one file per
+      // micro-batch, in staged order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 2000L))
+    }
+    (ev, src)
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` around a streaming-query
+    * START (the state partition count is captured then and pinned in
+    * the checkpoint): tens of state keys don't amortize 32 stores per
+    * batch of commit/maintenance overhead. Save/restore — the session
+    * is single-query under Verify/Bench. */
+  private def withStatePartitions[A](
+      s: org.apache.spark.sql.SparkSession, n: Int)(start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try start finally s.conf.set(key, prev)
+  }
+
   /** The insert-only whole-corpus feed oracle j30/j31 share: one doc
     * per documents row, rev = 1-md5(text). */
   private val corpusFeedOracle =
@@ -1903,62 +1970,14 @@ object JsonDoc {
         // pure function of the events table -> content-keyed artifact
         // cache (the j33 precedent): the end-to-end stream runs once
         // per corpus; repeated sweeps read the verified result
-        val art = Pipeline.cachedArtifact(dir, "events", "j39sess-v1",
+        val art = Pipeline.cachedArtifact(dir, "events", "j39sess-v2",
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j39")
-          val src = base.resolve("stream")
-          java.nio.file.Files.createDirectories(src)
-          val ev = T(s, dir, "events").where($"user_id" < 40)
-            .select($"user_id", $"ts", $"event_type")
-          val (tsLo, tsHi) = {
-            val r = ev.agg(min($"ts"), max($"ts")).collect().head
-            (r.getTimestamp(0), r.getTimestamp(1))
-          }
-          val spanMs = tsHi.getTime - tsLo.getTime
-          def cutMs(frac: Double) = tsLo.getTime + (spanMs * frac).toLong
-          // sentinels: watermark after their batches = sentinel - delay,
-          // which must clear maxTs + gap so every real session
-          // finalizes; TWO so the post-advance emission batch runs
-          def sentinel(uid: Long, hoursPast: Long) = (uid,
-            new java.sql.Timestamp(tsHi.getTime + hoursPast * 3600 * 1000),
-            "view")
-          // ONE pass stages all five micro-batch files: chunk index =
-          // time range (sessions spanning a cut arrive across batches)
-          val staged = base.resolve("staged")
-          ev.withColumn("c",
-              when($"ts" < lit(new java.sql.Timestamp(cutMs(0.4))), 0)
-                .when($"ts" < lit(new java.sql.Timestamp(cutMs(0.7))), 1)
-                .otherwise(2))
-            .unionByName(Seq(sentinel(-1L, 6L)).toDF("user_id", "ts",
-              "event_type").withColumn("c", lit(3)))
-            .unionByName(Seq(sentinel(-2L, 7L)).toDF("user_id", "ts",
-              "event_type").withColumn("c", lit(4)))
-            .repartition(col("c"))
-            .write.partitionBy("c").parquet(staged.toString)
-          (0 to 4).foreach { i =>
-            val cdir = staged.resolve(s"c=$i")
-            val part = java.nio.file.Files.list(cdir).iterator()
-            var f: java.nio.file.Path = null
-            while (part.hasNext) { val p = part.next()
-              if (p.toString.endsWith(".parquet")) f = p }
-            val dst = src.resolve(f"$i%02d.parquet")
-            java.nio.file.Files.move(f, dst)
-            // file-stream admission orders by mtime: one file per
-            // micro-batch, in staged order
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 2000L))
-          }
+          val (ev, src) = stageEventStream(s, dir, base, maxUser = 40L)
           val qname =
             s"j39_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-          // state partition count is captured from shuffle.partitions
-          // at FIRST query start and pinned in the checkpoint. 40 keys
-          // of session state don't amortize 32 stores x 6 batches of
-          // commit/maintenance overhead — scope it down for this query,
-          // restore after (single-query session under Verify/Bench)
-          val partKey = "spark.sql.shuffle.partitions"
-          val prevPart = s.conf.get(partKey)
-          s.conf.set(partKey, "4")
-          val q = try graft.streaming.StatefulOps.sessionRollup(
+          val q = withStatePartitions(s, 4) {
+            graft.streaming.StatefulOps.sessionRollup(
               s.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", "1").parquet(src.toString),
               delay = Some("2 hours"),
@@ -1968,7 +1987,7 @@ object JsonDoc {
             .option("checkpointLocation", base.resolve("ckpt").toString)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          finally s.conf.set(partKey, prevPart)
+          }
           q.awaitTermination()
           // bounded driver-side state: sessions of 40 users (~hundreds)
           val out = s.table(qname).where($"user_id" >= 0)
@@ -2009,7 +2028,79 @@ object JsonDoc {
              |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, start_s""".stripMargin),
-      "stateful streaming gated: append-mode session_window with watermark finalization, sessions merged across micro-batches, hash-matched against gap-sessionization SQL")
+      "stateful streaming gated: append-mode session_window with watermark finalization, sessions merged across micro-batches, hash-matched against gap-sessionization SQL"),
+
+    // ---- STREAM-STREAM interval join under the hash gate — q27's
+    // batch RANGE-frame count re-expressed as a true two-stream join
+    // (purchases join the same user's trailing-hour views), both sides
+    // watermarked with time-bounded conditions so Spark can size and
+    // EVICT the join state. The two sides are filtered branches of ONE
+    // file-source stream (self-join), split across micro-batches by the
+    // same time-ranged staging as j39 — a view and its matching
+    // purchase can arrive in DIFFERENT batches, so the buffered-state
+    // matching is load-bearing. Same user-bounded SF-independent slice;
+    // oracle is the plain inequality join.
+    QueryDef(
+      "j40_stream_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val art = Pipeline.cachedArtifact(dir, "events", "j40join-v2",
+            ready = "_complete") { o =>
+          val base = java.nio.file.Files.createTempDirectory("j40")
+          val (ev, src) = stageEventStream(s, dir, base, maxUser = 40L)
+          val qname =
+            s"j40_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          val q = withStatePartitions(s, 4) {
+            val stream = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src.toString)
+            graft.streaming.StatefulOps.viewsBeforePurchase(
+              stream.where($"event_type" === "view"),
+              stream.where($"event_type" === "purchase"),
+              delay = "2 hours", window = "24 hours")
+            .select($"purchase_id", $"user_id", $"view_id")
+            .writeStream.format("memory").queryName(qname)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          }
+          q.awaitTermination()
+          // bounded driver-side result: matches within 40 users
+          val out = s.table(qname).where($"user_id" >= 0)
+          // completeness: every match must have emitted (an eviction
+          // bug would silently drop pairs) — the batch inner interval
+          // join over the same slice is the expected-count oracle
+          val p = ev.where($"event_type" === "purchase")
+            .select($"event_id".as("purchase_id"), $"user_id",
+              $"ts".as("p_ts"))
+          val v = ev.where($"event_type" === "view")
+            .select($"event_id".as("view_id"), $"user_id".as("vu"),
+              $"ts".as("v_ts"))
+          val expected = p.join(v, $"vu" === $"user_id" &&
+            $"v_ts" >= $"p_ts" - expr("INTERVAL 24 HOURS") &&
+            $"v_ts" < $"p_ts").count()
+          val n = out.count()
+          require(n == expected,
+            s"stream-stream join incomplete: $n vs $expected")
+          java.nio.file.Files.createDirectories(o.toPath)
+          out.coalesce(1).write.mode("overwrite")
+            .parquet(o.toPath.resolve("pairs.parquet").toString)
+          s.catalog.dropTempView(qname)
+          deleteTree(base)
+          java.nio.file.Files.write(o.toPath.resolve("_complete"),
+            Array.emptyByteArray)
+        }
+        s.read.parquet(art.toPath.resolve("pairs.parquet").toString)
+          .orderBy($"purchase_id", $"view_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |  v.event_id AS view_id
+             |FROM events p JOIN events v ON v.user_id = p.user_id
+             |  AND v.ts >= p.ts - INTERVAL 24 HOURS AND v.ts < p.ts
+             |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+             |  AND p.user_id < 40
+             |ORDER BY purchase_id, view_id""".stripMargin),
+      "stateful streaming gated: watermarked stream-stream interval join (state-evicting self-join), matches across micro-batches hash-matched against the inequality join")
   )
 
   /** A growable window over a staged feed: the stub serves only the
