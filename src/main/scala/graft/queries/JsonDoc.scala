@@ -2100,7 +2100,74 @@ object JsonDoc {
              |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
              |  AND p.user_id < 40
              |ORDER BY purchase_id, view_id""".stripMargin),
-      "stateful streaming gated: watermarked stream-stream interval join (state-evicting self-join), matches across micro-batches hash-matched against the inequality join")
+      "stateful streaming gated: watermarked stream-stream interval join (state-evicting self-join), matches across micro-batches hash-matched against the inequality join"),
+
+    // ---- Watermarked SLIDING-WINDOW aggregation under the hash gate:
+    // overlapping 1-hour windows advancing every 15 minutes with
+    // per-window event-type counts, append mode — windows finalize (and
+    // state evicts) when the watermark passes their end. Events
+    // arriving in different micro-batches contribute to the SAME
+    // window, so the windowed-agg state store is load-bearing. The
+    // sentinel rows must NOT be filtered out before the watermark node
+    // (they are what advances it past every real window's end); their
+    // own far-future windows stay unfinalized and so never emit —
+    // append-mode semantics excludes them for free. Oracle: each event
+    // expands to exactly its 4 covering epoch-grid windows in SQL.
+    QueryDef(
+      "j41_stream_sliding_counts",
+      (s, dir) => {
+        import s.implicits._
+        val art = Pipeline.cachedArtifact(dir, "events", "j41slide-v1",
+            ready = "_complete") { o =>
+          val base = java.nio.file.Files.createTempDirectory("j41")
+          val (ev, src) = stageEventStream(s, dir, base, maxUser = 40L)
+          val qname =
+            s"j41_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          val q = withStatePartitions(s, 4) {
+            graft.streaming.StatefulOps.slidingCounts(
+              s.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1").parquet(src.toString),
+              delay = "2 hours", windowLen = "1 hour", slide = "15 minutes")
+            .select(unix_timestamp($"window_start").as("window_start_s"),
+              $"event_type", $"n_events")
+            .writeStream.format("memory").queryName(qname)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          }
+          q.awaitTermination()
+          val out = s.table(qname)
+          // completeness + exactness vs the BATCH twin of the same
+          // window generator over the sentinel-free slice: every real
+          // window must have finalized with the same count
+          val batch = ev.groupBy(
+              window($"ts", "1 hour", "15 minutes"), $"event_type")
+            .agg(count(lit(1)).as("n_events"))
+            .select(unix_timestamp($"window.start").as("window_start_s"),
+              $"event_type", $"n_events")
+          require(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+            "append-mode sliding windows disagree with the batch twin")
+          java.nio.file.Files.createDirectories(o.toPath)
+          out.coalesce(1).write.mode("overwrite")
+            .parquet(o.toPath.resolve("windows.parquet").toString)
+          s.catalog.dropTempView(qname)
+          deleteTree(base)
+          java.nio.file.Files.write(o.toPath.resolve("_complete"),
+            Array.emptyByteArray)
+        }
+        s.read.parquet(art.toPath.resolve("windows.parquet").toString)
+          .orderBy($"window_start_s", $"event_type")
+      },
+      Some("""WITH e AS (SELECT ts, event_type FROM events WHERE user_id < 40),
+             |x AS (SELECT event_type,
+             |        (CAST(floor(epoch(ts)/900) AS BIGINT) - k.k) * 900 AS ws
+             |      FROM e, (SELECT UNNEST(range(4)) AS k) k)
+             |SELECT ws AS window_start_s, event_type,
+             |  COUNT(*) AS n_events
+             |FROM x GROUP BY ws, event_type
+             |ORDER BY window_start_s, event_type""".stripMargin),
+      "stateful streaming gated: watermark-finalized sliding-window counts (1h windows, 15m slide) hash-matched against the epoch-grid window expansion in SQL")
   )
 
   /** A growable window over a staged feed: the stub serves only the
