@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for j39's phases (staging vs streaming vs batches).
+/** Scratch profiler for the stateful-streaming gates' phases (staging
+  * vs streaming machinery vs per-batch durations) — drives the SAME
+  * staging helper the j39/j40/j41 entries use, so it measures the
+  * gated shape, not a diverged copy.
   * SPARK_GRAFT_SF_DIR=... sbt "runMain graft.SessProbe" */
 object SessProbe {
   def main(args: Array[String]): Unit = {
@@ -20,38 +23,8 @@ object SessProbe {
     // warm the session
     Tables.load(spark, sfDir, "events").where($"user_id" < 40).count()
     val base = java.nio.file.Files.createTempDirectory("sessprobe")
-    val src = base.resolve("stream")
-    java.nio.file.Files.createDirectories(src)
-    val ev = Tables.load(spark, sfDir, "events").where($"user_id" < 40)
-      .select($"user_id", $"ts", $"event_type")
-    val (tsLo, tsHi) = t("minmax") {
-      val r = ev.agg(min($"ts"), max($"ts")).collect().head
-      (r.getTimestamp(0), r.getTimestamp(1))
-    }
-    val spanMs = tsHi.getTime - tsLo.getTime
-    def cutAt(frac: Double) =
-      new java.sql.Timestamp(tsLo.getTime + (spanMs * frac).toLong)
-    val chunks = Seq(
-      ev.where($"ts" < cutAt(0.4)),
-      ev.where($"ts" >= cutAt(0.4) && $"ts" < cutAt(0.7)),
-      ev.where($"ts" >= cutAt(0.7)))
-    def sentinel(uid: Long, h: Long) = Seq((uid,
-      new java.sql.Timestamp(tsHi.getTime + h * 3600 * 1000), "view"))
-      .toDF("user_id", "ts", "event_type")
-    t("staging") {
-      (chunks :+ sentinel(-1L, 6L) :+ sentinel(-2L, 7L))
-        .zipWithIndex.foreach { case (df, i) =>
-          val tmp = base.resolve(s"chunk$i")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val it = java.nio.file.Files.list(tmp).iterator()
-          var f: java.nio.file.Path = null
-          while (it.hasNext) { val p = it.next()
-            if (p.toString.endsWith(".parquet")) f = p }
-          val dst = src.resolve(f"$i%02d.parquet")
-          java.nio.file.Files.move(f, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 2000L))
-        }
+    val (ev, src) = t("staging") {
+      graft.queries.JsonDoc.stageEventStream(spark, sfDir, base, 40L)
     }
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val qname = "sessprobe_out"
@@ -59,10 +32,11 @@ object SessProbe {
       graft.streaming.StatefulOps.sessionRollup(
         spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(src.toString),
-        delay = Some("2 hours"), flag = $"event_type" === "purchase")
+        delay = Some("2 hours"), flag = col("event_type") === "purchase")
       .writeStream.format("memory").queryName(qname)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .option("checkpointLocation",
+        base.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     }
@@ -81,7 +55,7 @@ object SessProbe {
     t("batch-expected") {
       println("expected=" + graft.operators.Sessionize.rollup(
         ev, key = "user_id", ts = "ts", gapMicros = 1800L * 1000000L,
-        flag = $"event_type" === "purchase").count())
+        flag = col("event_type") === "purchase").count())
     }
   }
 }

@@ -154,7 +154,7 @@ object JsonDoc {
     * the post-advance emission batch always runs). One distributed pass
     * stages everything: chunk index is a column, partitionBy writes one
     * file per chunk. Returns (the bounded slice, the stream dir). */
-  private def stageEventStream(
+  private[graft] def stageEventStream(
       s: org.apache.spark.sql.SparkSession, dir: String,
       base: java.nio.file.Path, maxUser: Long)
       : (org.apache.spark.sql.DataFrame, java.nio.file.Path) = {
@@ -165,6 +165,7 @@ object JsonDoc {
       .select($"event_id", $"user_id", $"ts", $"event_type")
     val (tsLo, tsHi) = {
       val r = ev.agg(min($"ts"), max($"ts")).collect().head
+      require(!r.isNullAt(0), s"no events under user_id < $maxUser")
       (r.getTimestamp(0), r.getTimestamp(1))
     }
     val spanMs = tsHi.getTime - tsLo.getTime
@@ -184,17 +185,24 @@ object JsonDoc {
       .repartition(col("c"))
       .write.partitionBy("c").parquet(staged.toString)
     (0 to 4).foreach { i =>
+      // a time band can be EMPTY (clustered timestamps, tiny fixtures:
+      // partitionBy then writes no c=<i> dir) — skip it; the sentinel
+      // bands (3, 4) always hold their one row
       val cdir = staged.resolve(s"c=$i")
-      val part = java.nio.file.Files.list(cdir).iterator()
-      var f: java.nio.file.Path = null
-      while (part.hasNext) { val p = part.next()
-        if (p.toString.endsWith(".parquet")) f = p }
-      val dst = src.resolve(f"$i%02d.parquet")
-      java.nio.file.Files.move(f, dst)
-      // file-stream admission orders by mtime: one file per
-      // micro-batch, in staged order
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 2000L))
+      if (java.nio.file.Files.exists(cdir)) {
+        val part = java.nio.file.Files.list(cdir).iterator()
+        var f: java.nio.file.Path = null
+        while (part.hasNext) { val p = part.next()
+          if (p.toString.endsWith(".parquet")) f = p }
+        if (f != null) {
+          val dst = src.resolve(f"$i%02d.parquet")
+          java.nio.file.Files.move(f, dst)
+          // file-stream admission orders by mtime: one file per
+          // micro-batch, in staged order
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 2000L))
+        }
+      }
     }
     (ev, src)
   }

@@ -163,11 +163,22 @@ object BulkDocsSink {
     * server's rev guard reports each as a per-doc conflict row on the
     * next attempt. */
   def sendBatchGuarded(logRoot: String, batchId: Long)
-      (send: => DataFrame): Boolean = {
+      (send: => DataFrame): Boolean =
+    sendBatchGuarded(logRoot, batchId, _ => ())(send)
+
+  /** [[sendBatchGuarded]] with a validation hook over the spilled
+    * result rows, run BEFORE the marker is written: a throwing
+    * `validate` fails the batch loudly with no marker, so Spark's
+    * retry redelivers it instead of a conflict vanishing into a
+    * committed batch. */
+  def sendBatchGuarded(logRoot: String, batchId: Long,
+      validate: DataFrame => Unit)(send: => DataFrame): Boolean = {
     val log = java.nio.file.Paths.get(logRoot, "_wb_batches")
     if (java.nio.file.Files.exists(log.resolve(s"batch-$batchId")))
       return false // replayed batch: NOOP, nothing reaches the wire
-    send.write.mode("overwrite").parquet(resultPath(logRoot, batchId))
+    val sent = send
+    sent.write.mode("overwrite").parquet(resultPath(logRoot, batchId))
+    validate(sent.sparkSession.read.parquet(resultPath(logRoot, batchId)))
     java.nio.file.Files.createDirectories(log)
     java.nio.file.Files.write(log.resolve(s"batch-$batchId"),
       Array.emptyByteArray)
@@ -212,12 +223,26 @@ object BulkDocsSink {
 
   /** foreachBatch hook for a streaming write-back:
     * `writeStream.foreachBatch(BulkDocsSink.forBatch(...))`. `idCol`/
-    * `docCol` name the batch's key and JSON-doc columns. */
+    * `docCol` name the batch's key and JSON-doc columns. Per-doc
+    * conflicts FAIL the batch (before the replay marker commits, so
+    * redelivery retries it) — a conflict must surface, never vanish
+    * into a swallowed batch; set `failOnConflict = false` only when a
+    * downstream consumer reads the spilled result rows itself. */
   def forBatch(baseUrl: String, poster: DocPoster, logRoot: String,
-      idCol: String = "id", docCol: String = "doc")
+      idCol: String = "id", docCol: String = "doc",
+      failOnConflict: Boolean = true)
       : (DataFrame, Long) => Unit =
     (df, id) => {
-      postBatchGuarded(df, id, idCol, docCol, baseUrl, poster, logRoot); ()
+      val validate: DataFrame => Unit =
+        if (!failOnConflict) _ => ()
+        else res => {
+          val bad = res.where(!col("ok")).count()
+          if (bad > 0L) throw new IllegalStateException(
+            s"write-back batch $id reported $bad per-doc conflicts")
+        }
+      sendBatchGuarded(logRoot, id, validate)(
+        postPerDoc(chunkedByPartition(df, idCol, docCol), baseUrl, poster))
+      ()
     }
 
   /** Single-doc PUT path (S4, the per-row trigger semantics): one HTTP

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
@@ -18,28 +19,34 @@ import org.apache.spark.sql.types.StringType
   * partition per micro-batch forever; with it the file count is bounded
   * by the partition fanout between compactions.
   *
-  * Mechanics: read the live rows (parquet partition discovery skips the
-  * `_`-prefixed batch log / verdicts), re-write them `repartition(part)`
-  * + `partitionBy(part)` into a hidden `_compact_tree` (one task per
-  * key -> one file per partition, renamed to deterministic
-  * `compact-<i>.parquet` while still staged), then swap each partition
-  * in with two directory renames: live -> `_old_`, staged -> live.
-  * Batch logs, verdicts, and checkpoints are untouched, so replay
-  * idempotence and batch-id continuation survive compaction.
+  * Mechanics: snapshot each partition's parquet file names, fold
+  * EXACTLY those files (explicit file list + basePath, so a sink batch
+  * landing mid-fold can never be both folded and kept) into a hidden
+  * `_compact_tree` via `repartition(part)` + `partitionBy(part)` (one
+  * task per key -> one file per partition, renamed to deterministic
+  * `compact-<i>.parquet` while still staged), write the snapshot into
+  * each staged dir as a `_folded` manifest, then swap each partition in
+  * with two directory renames: live -> `_old_`, staged -> live. Batch
+  * logs, verdicts, and checkpoints are untouched, so replay idempotence
+  * and batch-id continuation survive compaction.
   *
-  * Durability: a crash between the two renames hides that partition's
-  * only copy in its `_old_` dir — so every run starts with a recovery
-  * scan that moves any `_old_<part>` whose live counterpart is missing
-  * or empty back into place before reading. Re-running the compaction
-  * therefore recovers. A sink batch that merges into a partition
-  * between the compaction read and that partition's swap lands a
-  * `batch-*.parquet` in the moved-away live dir; before the `_old_`
-  * tree is deleted, any file NOT in the read's input snapshot is moved
-  * back into the live dir (its rows were not in the fold), so the
-  * documented batch-boundary contract degrades to a repair rather than
-  * silent loss.
+  * Durability: every run starts with a recovery scan over leftover
+  * `_old_<part>` dirs, and the `_folded` manifest makes each crash
+  * point distinguishable — no path discards rows:
+  *  - live has NO manifest (missing, empty, or recreated by post-crash
+  *    sink batches): the swap never completed, so `_old_` holds the
+  *    only pre-crash copy — merge it into live (same-name batch files
+  *    are replayed batches with identical content: skip);
+  *  - live HAS a manifest: the swap completed — restore only `_old_`
+  *    files absent from the manifest (sink batches that landed
+  *    mid-compaction, already excluded from the fold), drop the rest
+  *    (their rows are the manifest fold).
+  * The in-run swap applies the same manifest rule before deleting the
+  * `_old_` tree, so mid-compaction batches survive without a crash too.
   */
 object IndexCompact {
+
+  private val ManifestName = "_folded"
 
   def compactPartitions(
       spark: SparkSession, root: String, partCol: String): Unit =
@@ -61,17 +68,8 @@ object IndexCompact {
             p.getFileName.toString.startsWith(s"$partCol="))
           .toSeq.sortBy(_.getFileName.toString)
       }
-    def parquetFiles(dir: Path): Seq[Path] =
-      if (!Files.exists(dir)) Seq.empty
-      else scala.util.Using.resource(Files.list(dir)) { st =>
-        st.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-      }
-    // Recovery: a prior run that crashed between its two swap renames
-    // left the partition's only copy under _old_<part>. Restore any
-    // such dir whose live counterpart is missing or has no data files,
-    // so "re-run the compaction" actually recovers.
+    // Recovery (see scaladoc): fold leftover _old_ dirs back in, using
+    // the live manifest to tell a completed swap from an interrupted one.
     scala.util.Using.resource(Files.list(rootP)) { st =>
       st.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
@@ -79,23 +77,34 @@ object IndexCompact {
         .toList
     }.foreach { old =>
       val live = rootP.resolve(old.getFileName.toString.stripPrefix("_old_"))
-      if (parquetFiles(live).isEmpty) {
-        deleteTree(live)
-        Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
-      } else deleteTree(old) // swap completed; leftover originals
+      readManifest(live) match {
+        case None if parquetFiles(live).isEmpty =>
+          deleteTree(live)
+          Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+        case None => // interrupted swap + post-crash sink batches in live
+          mergeInto(old, live, keep = _ => true)
+          deleteTree(old)
+        case Some(folded) => // completed swap; restore mid-run extras only
+          mergeInto(old, live, keep = n => !folded(n))
+          deleteTree(old)
+      }
     }
     val liveDirs = partDirs(rootP)
     if (liveDirs.isEmpty) return
     val next = rootP.resolve("_compact_tree")
     deleteTree(next)
-    // Snapshot of the read's input files, per partition dir: anything a
-    // concurrent sink batch adds after this point is NOT in the fold
-    // and must survive the swap.
-    val snapshot: Map[String, Set[String]] = liveDirs.map { d =>
+    // Snapshot of the fold's input files, per partition dir: the read
+    // below consumes EXACTLY these files, so anything a concurrent sink
+    // batch adds later is in neither the fold nor the manifest and must
+    // survive the swap.
+    val snapshot: Map[String, Seq[String]] = liveDirs.map { d =>
       d.getFileName.toString ->
-        parquetFiles(d).map(_.getFileName.toString).toSet
+        parquetFiles(d).map(_.getFileName.toString)
     }.toMap
-    // Full materialization of the fold BEFORE any live dir moves.
+    val snapFiles = liveDirs.flatMap { d =>
+      snapshot(d.getFileName.toString).map(n => d.resolve(n).toString)
+    }
+    if (snapFiles.isEmpty) return
     // The read supplies an explicit schema with the partition column as
     // STRING, which (a) skips partition TYPE INFERENCE — the ANN
     // sign-bucket values are strings like "0101" that inference folds
@@ -105,39 +114,69 @@ object IndexCompact {
     // queries on the shared SparkSession are unaffected. The string
     // value round-trips verbatim through partitionBy (int-valued
     // partitions like bk=5 write the same name either way).
-    val sampleOpt = liveDirs.iterator.flatMap(parquetFiles).nextOption()
-    if (sampleOpt.isEmpty) return
-    val dataSchema = spark.read.parquet(sampleOpt.get.toString).schema
-    spark.read.schema(dataSchema.add(partCol, StringType)).parquet(root)
+    val dataSchema = spark.read.parquet(snapFiles.head).schema
+    spark.read.schema(dataSchema.add(partCol, StringType))
+      .option("basePath", root)
+      .parquet(snapFiles: _*)
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(next.toString)
     afterFold()
     partDirs(next).foreach { dir =>
       // deterministic names, renamed while still staged (no visibility
-      // window): the swap below is then a single directory rename.
+      // window); the manifest rides in the staged dir so the swap below
+      // is one directory rename carrying data + provenance together
       parquetFiles(dir).zipWithIndex.foreach { case (f, i) =>
         Files.move(f, dir.resolve(s"compact-$i.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
       }
+      val folded = snapshot.getOrElse(dir.getFileName.toString, Seq.empty)
+      Files.write(dir.resolve(ManifestName),
+        folded.mkString("\n").getBytes(StandardCharsets.UTF_8))
       val live = rootP.resolve(dir.getFileName.toString)
       val old = rootP.resolve(s"_old_${dir.getFileName.toString}")
       deleteTree(old)
       if (Files.exists(live))
         Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(dir, live, StandardCopyOption.ATOMIC_MOVE)
-      // Any file in old that the read's snapshot did not cover was
-      // written by a sink batch mid-compaction: its rows are absent
-      // from the fold, so move it back (batch-* names cannot collide
-      // with compact-<i> names) instead of discarding it.
-      val seen = snapshot.getOrElse(dir.getFileName.toString, Set.empty)
-      parquetFiles(old).filterNot(f => seen(f.getFileName.toString))
-        .foreach { f =>
-          Files.move(f, live.resolve(f.getFileName.toString),
-            StandardCopyOption.ATOMIC_MOVE)
-        }
+      // files in old the fold did not cover = mid-compaction sink
+      // batches: move them back instead of discarding them
+      val seen = folded.toSet
+      mergeInto(old, live, keep = n => !seen(n))
       deleteTree(old)
     }
     deleteTree(next)
+  }
+
+  private def parquetFiles(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Seq.empty
+    else scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+
+  /** The `_folded` manifest of a completed swap: the file names whose
+    * rows the partition's compact files contain. None = no manifest
+    * (pre-swap dir, or a dir recreated by sink batches post-crash). */
+  private def readManifest(dir: Path): Option[Set[String]] = {
+    val p = dir.resolve(ManifestName)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSet)
+  }
+
+  /** Move `from`'s parquet files selected by `keep` into `to`, skipping
+    * names already present there (a same-name batch file is the same
+    * batch replayed — identical content). */
+  private def mergeInto(
+      from: Path, to: Path, keep: String => Boolean): Unit = {
+    Files.createDirectories(to)
+    parquetFiles(from).filter(f => keep(f.getFileName.toString))
+      .foreach { f =>
+        val dst = to.resolve(f.getFileName.toString)
+        if (!Files.exists(dst))
+          Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
   }
 
   private def deleteTree(d: Path): Unit =

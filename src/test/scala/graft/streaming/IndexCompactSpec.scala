@@ -100,6 +100,26 @@ class IndexCompactSpec extends SparkSpec {
     assert(readIds(root) == expected(parts))
   }
 
+  test("interrupted swap + post-crash sink batches: _old_ merges back, no loss") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ic-crash3").toString + "/idx"
+    val parts = Map("m" -> Seq(1L, 2L, 3L), "n" -> Seq(4L))
+    writeTree(root, parts)
+    IndexCompact.compactPartitions(spark, root, "pk") // manifests now exist
+    // crash between the two swap renames of a LATER compaction...
+    val live = Paths.get(root, "pk=m")
+    val old = Paths.get(root, "_old_pk=m")
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    // ...then the restarted sink writes a fresh batch into the
+    // recreated live dir before any compaction re-runs
+    Seq(99L).toDF("id").coalesce(1).write.mode("append")
+      .parquet(live.toString)
+    IndexCompact.compactPartitions(spark, root, "pk")
+    assert(readIds(root) == expected(parts) + (("m", 99L)),
+      "pre-crash partition contents lost or post-crash batch dropped")
+    assert(!Files.exists(old))
+  }
+
   test("a batch landing between fold and swap survives the _old_ cleanup") {
     import spark.implicits._
     val root = Files.createTempDirectory("ic-race").toString + "/idx"

@@ -160,6 +160,39 @@ class WriteBackSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("forBatch FAILS the batch on per-doc conflicts; no marker commits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    stub.conflictIds = Set("d3")
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val wb = java.nio.file.Files.createTempDirectory("wb-conflict").toString
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[Long]
+      in.addData(0L until 10L: _*)
+      val q = in.toDF().select($"value".as("id"),
+          concat(lit("""{"_id":"d"""), $"value", lit("""","v":"""),
+            $"value", lit("}")).as("doc"))
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wb-cckpt").toString)
+        .foreachBatch(BulkDocsSink.forBatch(url, new JdkHttpPoster(), wb))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      assert(Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(_.getMessage.contains("per-doc conflicts")),
+        s"unexpected failure: $ex")
+      // the marker must NOT have committed: redelivery would retry
+      assert(BulkDocsSink.appliedBatches(wb).isEmpty)
+    } finally stub.stop()
+  }
+
   test("forBatch drives the guarded write-back from a real streaming query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
