@@ -32,6 +32,11 @@ trait DocPoster extends Serializable {
     * array. */
   def postForBody(url: String, body: String): (Int, String) =
     (post(url, body), "[]")
+
+  /** GET returning (status, body) — the replay-convergence check reads
+    * a conflicted doc back to compare content. Posters that can't read
+    * answer 405, which counts as NOT converged (fail loudly). */
+  def get(url: String): (Int, String) = (405, "")
 }
 
 object BulkDocsSink {
@@ -164,22 +169,37 @@ object BulkDocsSink {
     * next attempt. */
   def sendBatchGuarded(logRoot: String, batchId: Long)
       (send: => DataFrame): Boolean =
-    sendBatchGuarded(logRoot, batchId, _ => ())(send)
+    sendBatchGuarded(logRoot, batchId, (_, _) => ())(send)
 
   /** [[sendBatchGuarded]] with a validation hook over the spilled
     * result rows, run BEFORE the marker is written: a throwing
     * `validate` fails the batch loudly with no marker, so Spark's
     * retry redelivers it instead of a conflict vanishing into a
-    * committed batch. */
+    * committed batch.
+    *
+    * `validate`'s second argument is true when a PRIOR attempt of this
+    * batch may have reached the wire (an `intent-<id>` marker, written
+    * just before the first send, already existed). A crash between the
+    * result spill and the completion marker re-POSTs the whole batch on
+    * redelivery; the server's rev guard then reports every
+    * already-accepted doc as a conflict — indistinguishable from a real
+    * conflict by the result rows alone. The flag lets a validator treat
+    * that attempt's conflicts as possibly-converged replays (verify
+    * content against the server) instead of crash-looping forever. */
   def sendBatchGuarded(logRoot: String, batchId: Long,
-      validate: DataFrame => Unit)(send: => DataFrame): Boolean = {
+      validate: (DataFrame, Boolean) => Unit)(send: => DataFrame): Boolean = {
     val log = java.nio.file.Paths.get(logRoot, "_wb_batches")
     if (java.nio.file.Files.exists(log.resolve(s"batch-$batchId")))
       return false // replayed batch: NOOP, nothing reaches the wire
+    val intent = log.resolve(s"intent-$batchId")
+    val priorAttempt = java.nio.file.Files.exists(intent)
+    java.nio.file.Files.createDirectories(log)
+    if (!priorAttempt)
+      java.nio.file.Files.write(intent, Array.emptyByteArray)
     val sent = send
     sent.write.mode("overwrite").parquet(resultPath(logRoot, batchId))
-    validate(sent.sparkSession.read.parquet(resultPath(logRoot, batchId)))
-    java.nio.file.Files.createDirectories(log)
+    validate(sent.sparkSession.read.parquet(resultPath(logRoot, batchId)),
+      priorAttempt)
     java.nio.file.Files.write(log.resolve(s"batch-$batchId"),
       Array.emptyByteArray)
     true
@@ -221,24 +241,86 @@ object BulkDocsSink {
     sendBatchGuarded(logRoot, batchId)(
       putEach(docs, idCol, docCol, baseUrl, poster))
 
+  /** Per conflicted doc_id: did the server CONVERGE to the outgoing
+    * content anyway? GETs each conflicted doc back (executor-side,
+    * bounded by the batch's conflict count — a rare recovery path) and
+    * compares content ignoring `_id`/`_rev`/`_deleted`. A redelivered
+    * batch whose first attempt was accepted reads back as conflicts
+    * that ALL converge; a real concurrent-writer conflict does not. */
+  def conflictsConverged(docs: DataFrame, conflictedIds: DataFrame,
+      docCol: String, baseUrl: String,
+      poster: DocPoster): DataFrame = {
+    val spark = docs.sparkSession
+    // join on the payload's `_id` — the key the server stored and
+    // reported the conflict under (the batch's idCol need not match it)
+    val pending = docs
+      .select(get_json_object(col(docCol), "$._id").as("doc_id"),
+        col(docCol).as("doc"))
+      .join(conflictedIds.select(col("doc_id")), Seq("doc_id"))
+    val out = pending.rdd.mapPartitions { it =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def strip(n: com.fasterxml.jackson.databind.JsonNode)
+          : com.fasterxml.jackson.databind.JsonNode = n match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          val c = o.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          c.remove("_id"); c.remove("_rev"); c.remove("_deleted"); c
+        case other => other
+      }
+      it.map { r =>
+        val id = r.getAs[String]("doc_id")
+        val (status, body) = poster.get(s"$baseUrl/$id")
+        val converged = status == 200 &&
+          (try strip(mapper.readTree(body)) ==
+            strip(mapper.readTree(r.getAs[String]("doc")))
+          catch { case _: java.io.IOException => false })
+        org.apache.spark.sql.Row(id, converged)
+      }
+    }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id STRING, converged BOOLEAN"))
+  }
+
   /** foreachBatch hook for a streaming write-back:
     * `writeStream.foreachBatch(BulkDocsSink.forBatch(...))`. `idCol`/
     * `docCol` name the batch's key and JSON-doc columns. Per-doc
     * conflicts FAIL the batch (before the replay marker commits, so
     * redelivery retries it) — a conflict must surface, never vanish
     * into a swallowed batch; set `failOnConflict = false` only when a
-    * downstream consumer reads the spilled result rows itself. */
+    * downstream consumer reads the spilled result rows itself.
+    * EXCEPTION: on a redelivered attempt (the intent marker shows a
+    * prior send may have reached the wire), conflicts whose server-side
+    * doc already equals the outgoing payload are replay echoes — the
+    * batch CONVERGED — and are tolerated, so a crash between POST and
+    * marker heals instead of crash-looping (ADVICE r12). */
   def forBatch(baseUrl: String, poster: DocPoster, logRoot: String,
       idCol: String = "id", docCol: String = "doc",
       failOnConflict: Boolean = true)
       : (DataFrame, Long) => Unit =
     (df, id) => {
-      val validate: DataFrame => Unit =
-        if (!failOnConflict) _ => ()
-        else res => {
-          val bad = res.where(!col("ok")).count()
-          if (bad > 0L) throw new IllegalStateException(
-            s"write-back batch $id reported $bad per-doc conflicts")
+      val validate: (DataFrame, Boolean) => Unit =
+        if (!failOnConflict) (_, _) => ()
+        else (res, priorAttempt) => {
+          val bad = res.where(!col("ok"))
+          val nBad = bad.count()
+          if (nBad > 0L) {
+            if (!priorAttempt) throw new IllegalStateException(
+              s"write-back batch $id reported $nBad per-doc conflicts")
+            val conflicted =
+              bad.where(col("error") === lit("conflict")).select(col("doc_id"))
+            val nConflicted = conflicted.count()
+            val nonConflict = nBad - nConflicted
+            // count DOWN from the conflict total: a conflicted id the
+            // batch can't even be joined back to is NOT converged
+            val notConverged = nConflicted - conflictsConverged(
+                df, conflicted, docCol, baseUrl, poster)
+              .where(col("converged")).count()
+            if (nonConflict + notConverged > 0L)
+              throw new IllegalStateException(
+                s"write-back batch $id (redelivered): " +
+                s"${nonConflict + notConverged} per-doc failures did not " +
+                "converge — real conflicts, not replay echoes")
+          }
         }
       sendBatchGuarded(logRoot, id, validate)(
         postPerDoc(chunkedByPartition(df, idCol, docCol), baseUrl, poster))
@@ -270,10 +352,7 @@ final class JdkHttpPoster(auth: Option[(String, String)] = None)
     extends DocPoster {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
 
-  private def request(url: String, body: String) = {
-    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+  private def withAuth(b: java.net.http.HttpRequest.Builder) = {
     auth.foreach { case (u, p) =>
       val tok = java.util.Base64.getEncoder
         .encodeToString(s"$u:$p".getBytes("UTF-8"))
@@ -281,6 +360,11 @@ final class JdkHttpPoster(auth: Option[(String, String)] = None)
     }
     b.build()
   }
+
+  private def request(url: String, body: String) =
+    withAuth(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)))
 
   override def post(url: String, body: String): Int =
     client.send(request(url, body),
@@ -290,6 +374,15 @@ final class JdkHttpPoster(auth: Option[(String, String)] = None)
     * status parsing. */
   override def postForBody(url: String, body: String): (Int, String) = {
     val resp = client.send(request(url, body),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** Doc read-back for the replay-convergence check. */
+  override def get(url: String): (Int, String) = {
+    val resp = client.send(
+      withAuth(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url)).GET()),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }

@@ -14,6 +14,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * speak:
   *   GET      /{db}            -> {"update_seq":N,"doc_count":N}
   *   GET      /{db}/_changes   -> {"results":[...],"last_seq":N}
+  *   GET      /{db}/{docid}    -> 200 stored doc | 404 (stateful mode)
   *   POST     /{db}/_bulk_docs -> 201 [] (accepted, counted)
   *   PUT/POST /{db}/{docid}    -> 201 {"ok":true,...}
   * with since/limit paging. `lines(i)` must be the change object with
@@ -385,6 +386,28 @@ final class CouchStubServer(
             val res = applyWrite(n, mapper)
             (if (res.contains("\"error\"")) 409 else 201, res)
           } else (201, s"""{"ok":true,"id":"$id","rev":"1-stub"}""")
+        } else if (method == "GET" && path.startsWith(s"/$db/")
+            && !path.substring(db.length + 2).contains("/")
+            && !path.substring(db.length + 2).startsWith("_")) {
+          // GET /{db}/{docid} — serve the stored doc as couch does
+          // (_id/_rev first, then payload fields); 404 for missing or
+          // deleted. The write-back replay-convergence check reads
+          // conflicted docs back through this.
+          val id = path.substring(db.length + 2)
+          if (!stateful)
+            (404, """{"error":"not_found","reason":"missing"}""")
+          else state.lock.synchronized {
+            Option(state.store.get(id)) match {
+              case Some((_, rev, pj)) if pj != null =>
+                (200,
+                  if (pj == "{}") s"""{"_id":"$id","_rev":"$rev"}"""
+                  else s"""{"_id":"$id","_rev":"$rev",""" + pj.substring(1))
+              case Some(_) =>
+                (404, """{"error":"not_found","reason":"deleted"}""")
+              case None =>
+                (404, """{"error":"not_found","reason":"missing"}""")
+            }
+          }
         } else if (path == s"/$db/_changes") {
           val sinceRaw = params.getOrElse("since", "0")
           changesSinceRaw.add(sinceRaw)

@@ -52,13 +52,20 @@ object IndexCompact {
       spark: SparkSession, root: String, partCol: String): Unit =
     compactPartitions(spark, root, partCol, () => ())
 
+  private[streaming] def compactPartitions(
+      spark: SparkSession, root: String, partCol: String,
+      afterFold: () => Unit): Unit =
+    compactPartitions(spark, root, partCol, afterFold, _ => ())
+
   /** `afterFold` fires between the fold's materialization and the first
-    * directory swap — the race window a concurrent sink batch can land
-    * in. Specs use it to pin the extras-preserving swap; production
+    * directory swap; `beforeSwapIn` fires per partition between the
+    * live->_old_ rename and the staged move-in — the two race windows a
+    * concurrent sink batch can land in. Specs use them to pin the
+    * extras-preserving swap and the abandon-fold fallback; production
     * callers take the no-op overload above. */
   private[streaming] def compactPartitions(
       spark: SparkSession, root: String, partCol: String,
-      afterFold: () => Unit): Unit = {
+      afterFold: () => Unit, beforeSwapIn: Path => Unit): Unit = {
     val rootP = Paths.get(root)
     if (!Files.exists(rootP)) return
     def partDirs(base: Path): Seq[Path] =
@@ -137,12 +144,30 @@ object IndexCompact {
       deleteTree(old)
       if (Files.exists(live))
         Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(dir, live, StandardCopyOption.ATOMIC_MOVE)
-      // files in old the fold did not cover = mid-compaction sink
-      // batches: move them back instead of discarding them
-      val seen = folded.toSet
-      mergeInto(old, live, keep = n => !seen(n))
-      deleteTree(old)
+      beforeSwapIn(live)
+      val swapped =
+        try { Files.move(dir, live, StandardCopyOption.ATOMIC_MOVE); true }
+        catch {
+          // A concurrent sink batch recreated `live` in the window
+          // between the two renames (ATOMIC_MOVE onto a non-empty dir
+          // throws). The fold is only a file-count optimization, so
+          // abandon THIS partition's fold: restore every pre-fold file
+          // from _old_ beside the new batch — the exact merge the
+          // recovery scan would run after a crash at this point — and
+          // let the next compaction run fold the partition again.
+          case _: java.nio.file.FileSystemException if Files.exists(live) =>
+            mergeInto(old, live, keep = _ => true)
+            deleteTree(old)
+            deleteTree(dir)
+            false
+        }
+      if (swapped) {
+        // files in old the fold did not cover = mid-compaction sink
+        // batches: move them back instead of discarding them
+        val seen = folded.toSet
+        mergeInto(old, live, keep = n => !seen(n))
+        deleteTree(old)
+      }
     }
     deleteTree(next)
   }

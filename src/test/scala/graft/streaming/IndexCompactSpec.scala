@@ -120,6 +120,30 @@ class IndexCompactSpec extends SparkSpec {
     assert(!Files.exists(old))
   }
 
+  test("live recreated between the two swap renames: fold abandoned, no loss, no dupes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ic-race2").toString + "/idx"
+    val parts = Map("a" -> Seq(1L, 2L, 3L), "b" -> Seq(4L))
+    writeTree(root, parts)
+    // a sink batch recreates the live dir in the narrowest window —
+    // AFTER live->_old_ but BEFORE the staged move-in: the ATOMIC_MOVE
+    // onto the non-empty dir throws and the fallback must restore the
+    // pre-fold files beside the new batch instead of propagating
+    IndexCompact.compactPartitions(spark, root, "pk", () => (), live =>
+      if (live.getFileName.toString == "pk=a")
+        Seq(99L).toDF("id").coalesce(1).write.mode("append")
+          .parquet(live.toString))
+    assert(readIds(root) == expected(parts) + (("a", 99L)),
+      "rows lost or duplicated when live was recreated mid-swap")
+    assert(!Files.exists(Paths.get(root, "_old_pk=a")))
+    // partition b (no interference) still folded to one file
+    assert(parquetsUnder(Paths.get(root, "pk=b")).size == 1)
+    // a later UNCONTENDED run folds partition a too
+    IndexCompact.compactPartitions(spark, root, "pk")
+    assert(readIds(root) == expected(parts) + (("a", 99L)))
+    assert(parquetsUnder(Paths.get(root, "pk=a")).size == 1)
+  }
+
   test("a batch landing between fold and swap survives the _old_ cleanup") {
     import spark.implicits._
     val root = Files.createTempDirectory("ic-race").toString + "/idx"

@@ -193,6 +193,67 @@ class WriteBackSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("stateful stub serves GET /{db}/{docid}: stored doc, 404 on missing/deleted") {
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val poster = new JdkHttpPoster()
+      assert(poster.post(s"$url/dx", """{"v":7}""") == 201)
+      val (st, body) = poster.get(s"$url/dx")
+      assert(st == 200)
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      assert(n.path("_id").asText() == "dx" && n.path("v").asInt() == 7
+        && n.path("_rev").asText().startsWith("1-"))
+      assert(poster.get(s"$url/nope")._1 == 404)
+    } finally stub.stop()
+  }
+
+  test("crash between spill and marker: redelivery CONVERGES (replay conflicts tolerated)") {
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val wb = java.nio.file.Files.createTempDirectory("wb-crash").toString
+      val poster = new JdkHttpPoster()
+      val run = BulkDocsSink.forBatch(url, poster, wb)
+      run(docs(10), 0L)
+      assert(BulkDocsSink.appliedBatches(wb) == Set(0L))
+      // manufacture the crash point the ADVICE names: POST + spill
+      // happened, completion marker did NOT commit (intent remains)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(wb, "_wb_batches", "batch-0"))
+      assert(BulkDocsSink.appliedBatches(wb).isEmpty)
+      // redelivery re-POSTs; every doc reads back as a rev-guard
+      // conflict, but all CONVERGE (server content == outgoing) -> the
+      // batch commits instead of crash-looping
+      run(docs(10), 0L)
+      assert(BulkDocsSink.appliedBatches(wb) == Set(0L))
+      val res = spark.read.parquet(BulkDocsSink.resultPath(wb, 0L))
+      assert(res.count() == 10L &&
+        res.where(col("error") === "conflict").count() == 10L)
+    } finally stub.stop()
+  }
+
+  test("redelivery with a REAL conflict still fails: convergence is content-checked") {
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    stub.conflictIds = Set("d3") // forced conflict, nothing stored for d3
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val wb = java.nio.file.Files.createTempDirectory("wb-real").toString
+      val run = BulkDocsSink.forBatch(url, new JdkHttpPoster(), wb)
+      val first = intercept[IllegalStateException] { run(docs(10), 0L) }
+      assert(first.getMessage.contains("per-doc conflicts"))
+      // redelivery: the 9 accepted docs converge as replay echoes, but
+      // d3's server-side GET 404s (never stored) -> NOT converged ->
+      // the batch still fails loudly, no marker
+      val again = intercept[IllegalStateException] { run(docs(10), 0L) }
+      assert(again.getMessage.contains("did not converge"))
+      assert(BulkDocsSink.appliedBatches(wb).isEmpty)
+    } finally stub.stop()
+  }
+
   test("forBatch drives the guarded write-back from a real streaming query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
