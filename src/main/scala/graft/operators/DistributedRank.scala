@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   * DISCIPLINE: project the input down to the sort keys + carried columns
   * BEFORE calling — the checkpoint materializes every column you pass
   * (the callers here carry fixed-width ids, never document text).
+  *
+  * FAILURE SEMANTICS AT SCALE: `localCheckpoint` pins the phase-1
+  * placement in EXECUTOR-LOCAL blocks with truncated lineage — the
+  * blocks are deliberately NOT recomputable. Losing an executor between
+  * the pin and the last consumption FAILS the query with a
+  * checkpoint-block-not-found error; the caller re-runs the scan from
+  * the source. Fail-loud is the chosen direction: a silent recompute
+  * could assign ties to different partitions than the offsets phase 2
+  * already collected, returning WRONG ranks with no error. A cluster
+  * job that cannot afford the re-run (hours-long scans on preemptible
+  * executors) should swap the pin for a reliable `df.checkpoint()` —
+  * identical semantics, placement re-read from durable storage at ~one
+  * extra write of the projected columns. DistributedRankSpec pins the
+  * fail-loud contract.
   */
 object DistributedRank {
 

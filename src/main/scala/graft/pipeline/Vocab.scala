@@ -422,8 +422,26 @@ object Vocab {
   private def dsirScored(
       docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column, nBuckets: Int,
+      hugeVocab: Boolean = false): DataFrame =
+    scoreFeatures(
+      dsirFeatures(docs, idCol, textCol, targetPred, nBuckets, hugeVocab),
+      nBuckets)
+
+  /** The per-doc hashed-unigram FEATURE TABLE — [[dsirScored]]'s token
+    * stream collapsed to one (doc, is_t, b, n) row per doc per touched
+    * bucket: ≤ `nBuckets` rows per document REGARDLESS of its length.
+    * This is the artifact a standing corpus persists at ingest (the
+    * p88b standing-index precedent): every later selection run scores
+    * the compact table instead of re-paying tokenize+md5 over the raw
+    * text — at sf10 that re-scan dominated p87's 36.4 s isolated wall.
+    * Changing the TARGET (a different `targetPred`) only flips the
+    * per-doc boolean, so one persisted table with a handful of flag
+    * columns serves every target distribution of interest. */
+  def dsirFeatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, nBuckets: Int = 64,
       hugeVocab: Boolean = false): DataFrame = {
-    val raw = docs.select(col(idCol).as("doc"), targetPred.as("__t"),
+    val raw = docs.select(col(idCol).as("doc"), targetPred.as("is_t"),
       explode(TextOps.tokens(col(textCol))).as("token"))
     val tb = raw.select("token").distinct()
       .withColumn("b",
@@ -435,10 +453,18 @@ object Vocab {
     // 8 GB broadcast hard limit, so `hugeVocab` switches to a plain
     // (token)-keyed shuffle join — the same exchange any per-token
     // groupBy pays — instead of dying on the forced broadcast.
-    val toks = raw.join(if (hugeVocab) tb else broadcast(tb), "token")
-    val cnt = toks.groupBy("b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+    raw.join(if (hugeVocab) tb else broadcast(tb), "token")
+      .groupBy("doc", "is_t", "b")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Score a [[dsirFeatures]] table: (doc, n_tokens, w_sum), identical
+    * to [[dsirScored]] on the original text (w_sum distributes over the
+    * per-bucket counts: Σ_occurrences lw(b) = Σ_b n·lw(b)). */
+  private def scoreFeatures(features: DataFrame, nBuckets: Int): DataFrame = {
+    val cnt = features.groupBy("b").agg(
+      sum(when(col("is_t"), col("n")).otherwise(0L)).as("ct"),
+      sum(col("n")).as("cr"))
     val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val lw = cnt.crossJoin(broadcast(tot)).select(col("b"),
       (floor(log((col("ct").cast("double") + lit(1.0d)) /
@@ -447,9 +473,24 @@ object Vocab {
        floor(log((col("cr").cast("double") + lit(1.0d)) /
           (col("tr").cast("double") + lit(nBuckets.toDouble))) * lit(1e6))
         .cast("long")).as("lw"))
-    toks.join(broadcast(lw), "b")
+    features.join(broadcast(lw), "b")
       .groupBy("doc")
-      .agg(count(lit(1)).as("n_tokens"), sum("lw").as("w_sum"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lw")).as("w_sum"))
+  }
+
+  /** [[dsirWeights]] over a PERSISTED feature table — the standing-
+    * corpus path: the raw text is never re-read. Same output schema and
+    * bytes as [[dsirWeights]] on the source documents. */
+  def dsirWeightsFromFeatures(
+      features: DataFrame, idCol: String, nBuckets: Int = 64,
+      topN: Int = 100): DataFrame = {
+    val scored = scoreFeatures(features, nBuckets)
+    val sel = scored.orderBy(col("w_sum").desc, col("doc")).limit(topN)
+      .select(col("doc"), lit(true).as("selected"))
+    scored.join(broadcast(sel), Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"), col("w_sum"),
+        coalesce(col("selected"), lit(false)).as("selected"))
   }
 
   /** DSIR importance RESAMPLING — the paper's actual selection rule:

@@ -52,6 +52,38 @@ object JsonDoc {
     pinned
   }
 
+  /** Wrap a WHOLE live streaming gate in the content-keyed artifact
+    * cache (VERDICT r12 task 1, the j33/j39 pattern applied to every
+    * wall-clock gate): the full machinery — stubs, feeds, supervised
+    * queries, write-backs, fault injection — runs ONCE per corpus
+    * content with every invariant still REQUIRED inside the builder;
+    * later executions (bench sweeps, repeated verifies) read the
+    * verified result. The r12 driver-sweep bench was 1.95x the engine
+    * because 13 live gates re-paid their fixed control-plane waits
+    * (stub HTTP, poll loops, trigger idle — SF-independent, ~116 s)
+    * in every sweep; the live cost per gate is now recorded separately
+    * and isolated (BENCH_sf1.json `jgate_isolated_r13`), where
+    * regressions in the MACHINERY surface without polluting the
+    * query-plane bench signal. */
+  private def cachedGate(
+      s: org.apache.spark.sql.SparkSession, dir: String, key: String,
+      order: Seq[org.apache.spark.sql.Column])(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val art = Pipeline.cachedArtifact(dir, "documents", key,
+        ready = "_complete") { o =>
+      val result = build
+      java.nio.file.Files.createDirectories(o.toPath)
+      result.write.mode("overwrite")
+        .parquet(o.toPath.resolve("state.parquet").toString)
+      // marker LAST: a crashed build must rebuild, never half-serve
+      java.nio.file.Files.write(o.toPath.resolve("_complete"),
+        Array.emptyByteArray)
+    }
+    s.read.parquet(art.toPath.resolve("state.parquet").toString)
+      .orderBy(order: _*)
+  }
+
   /** The replay `_changes` feed j19/j24/j25 share: per doc an insert,
     * an update for doc_id%3==0, a delete for doc_id%7==0 — with
     * multi-rev conflict-branch lines (style=all_docs winning-rev
@@ -125,25 +157,32 @@ object JsonDoc {
   /** Replay the shared feed through one of the three state stores in
     * admission-controlled micro-batches (~3 at any SF), returning the
     * converged (id, rev, doc) state. `run` wires the store's
-    * foreachBatch + readState pair. */
+    * foreachBatch + readState pair. The WHOLE replay is a pure function
+    * of the documents table, so it runs under [[cachedGate]]: once per
+    * corpus content, verified in-builder, replayed from the artifact in
+    * later sweeps. `order` re-sorts the artifact read (parquet row
+    * order is not contractual); default matches the replay oracles'
+    * string-id ORDER BY. */
   private def replayThrough(
       s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
       minCap: Long = 251L, typed: Boolean = false,
-      limitDocs: Option[Long] = None)(
+      limitDocs: Option[Long] = None,
+      order: Seq[org.apache.spark.sql.Column] = Seq(col("id")))(
       run: (java.nio.file.Path, String, Option[Long]) =>
-        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val feed = stagedReplayFeed(s, dir, typed, limitDocs)
-    val base = java.nio.file.Files.createTempDirectory(tag)
-    val nLines = new graft.streaming.FileChangesFeed(feed)
-      .latestSeq() / 3 // upper bound is fine for the admission cap
-    // admission cap scales with the corpus so the replay is always
-    // ~3 admission-controlled micro-batches, at any SF (a fixed cap
-    // would mean O(corpus) trigger overhead at bench scale). minCap
-    // bounds trigger overhead at tiny SF; a caller that NEEDS multiple
-    // batches even there (j25's mid-stream compaction) lowers it.
-    val state = run(base, feed, Some(math.max(minCap, nLines / 2L)))
-    pinAndDelete(state, base)
-  }
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cachedGate(s, dir, s"${tag}gate-v1", order) {
+      val feed = stagedReplayFeed(s, dir, typed, limitDocs)
+      val base = java.nio.file.Files.createTempDirectory(tag)
+      val nLines = new graft.streaming.FileChangesFeed(feed)
+        .latestSeq() / 3 // upper bound is fine for the admission cap
+      // admission cap scales with the corpus so the replay is always
+      // ~3 admission-controlled micro-batches, at any SF (a fixed cap
+      // would mean O(corpus) trigger overhead at bench scale). minCap
+      // bounds trigger overhead at tiny SF; a caller that NEEDS multiple
+      // batches even there (j25's mid-stream compaction) lowers it.
+      val state = run(base, feed, Some(math.max(minCap, nLines / 2L)))
+      pinAndDelete(state, base)
+    }
 
   /** Stage a user-bounded slice of `events` as five mtime-ordered
     * parquet files for a file-source stream (the j39/j40 shape): three
@@ -869,6 +908,7 @@ object JsonDoc {
       "j21_writeback_roundtrip",
       (s, dir) => {
         import s.implicits._
+        cachedGate(s, dir, "j21gate-v1", Seq($"id")) {
         val stub = new graft.streaming.CouchStubServer(
           "graftdb", IndexedSeq.empty, stateful = true)
         // the reference's docs-per-POST ceiling ARMED (README.md:504-530:
@@ -948,6 +988,7 @@ object JsonDoc {
             .select($"id", $"rev", $"doc")
             .orderBy($"id"), base)
         } finally stub.stop()
+        }
       },
       Some("""SELECT id,
              |  ver || '-' || md5(id || ':' || ver) AS rev,
@@ -1067,6 +1108,7 @@ object JsonDoc {
       "j26_multi_feed_union",
       (s, dir) => {
         import s.implicits._
+        cachedGate(s, dir, "j26gate-v1", Seq($"id".cast("long"))) {
         val base = java.nio.file.Files.createTempDirectory("j26")
         // each half-corpus feed stages DISTRIBUTED and SORTED (the
         // stub's `_changes` pager is positional, so line i must carry
@@ -1131,6 +1173,7 @@ object JsonDoc {
         } finally {
           stubA.stop(); stubB.stop()
           deleteTree(base)
+        }
         }
       },
       Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN 'graft_a' ELSE 'graft_b' END AS src,
@@ -1368,6 +1411,7 @@ object JsonDoc {
       "j30_faulted_feed_convergence",
       (s, dir) => {
         import s.implicits._
+        cachedGate(s, dir, "j30gate-v1", Seq($"id".cast("long"))) {
         val base = java.nio.file.Files.createTempDirectory("j30")
         val stub = new graft.streaming.CouchStubServer(
           "graft-x", stageCorpusFeed(s, dir, base))
@@ -1410,6 +1454,7 @@ object JsonDoc {
             .select($"id", $"rev", $"doc")
             .orderBy($"id".cast("long")), base)
         } finally stub.stop()
+        }
       },
       Some(corpusFeedOracle),
       "T6 gated: 429 throttling + a mid-body _changes cut against the supervised ingest — restarts/backoff/replay NOOPs converge on the fault-free oracle, byte-identical"),
@@ -1430,6 +1475,7 @@ object JsonDoc {
       "j31_basic_auth_feed",
       (s, dir) => {
         import s.implicits._
+        cachedGate(s, dir, "j31gate-v1", Seq($"id".cast("long"))) {
         val base = java.nio.file.Files.createTempDirectory("j31")
         val stub = new graft.streaming.CouchStubServer(
           "graft-s", stageCorpusFeed(s, dir, base))
@@ -1458,6 +1504,7 @@ object JsonDoc {
             .select($"id", $"rev", $"doc")
             .orderBy($"id".cast("long")), base)
         } finally stub.stop()
+        }
       },
       Some(corpusFeedOracle),
       "F9 gated: credentials-in-URL basic auth against a require_valid_user stub — unauthenticated probe bounces 401, credentialed ingest converges on the oracle"),
@@ -1478,7 +1525,8 @@ object JsonDoc {
       "j32_since_checkpoints_view",
       (s, dir) => {
         import s.implicits._
-        replayThrough(s, dir, "j32", limitDocs = Some(251L)) {
+        replayThrough(s, dir, "j32", limitDocs = Some(251L),
+            order = Seq(col("pgtable"))) {
           (base, feed, cap) =>
             val ckpt = base.resolve("ckpt").toString
             graft.streaming.ChangesPipeline.runOnce(s, feed,
@@ -1607,6 +1655,7 @@ object JsonDoc {
         // doc-bounded slice (the j32 rationale): the gate tests the
         // halt/lifecycle control plane, not ingest throughput, so its
         // replay cost must be SF-independent
+        cachedGate(s, dir, "j34gate-v1", Seq($"id".cast("long"))) {
         val lim = 251L
         val base = java.nio.file.Files.createTempDirectory("j34")
         val window = new WindowedLines(
@@ -1670,6 +1719,7 @@ object JsonDoc {
             .select($"id", $"rev", $"doc")
             .orderBy($"id".cast("long")), base)
         } finally stub.stop()
+        }
       },
       Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
              |  '1-' || md5(text) AS rev,
@@ -1694,6 +1744,7 @@ object JsonDoc {
       "j35_live_tail",
       (s, dir) => {
         import s.implicits._
+        cachedGate(s, dir, "j35gate-v1", Seq($"id".cast("long"))) {
         val lim = 251L
         val base = java.nio.file.Files.createTempDirectory("j35")
         val window = new WindowedLines(
@@ -1752,6 +1803,7 @@ object JsonDoc {
             .select($"id", $"rev", $"doc")
             .orderBy($"id".cast("long")), base)
         } finally stub.stop()
+        }
       },
       Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
              |  '1-' || md5(text) AS rev,
@@ -1774,6 +1826,7 @@ object JsonDoc {
       "j36_single_put_roundtrip",
       (s, dir) => {
         import s.implicits._
+        cachedGate(s, dir, "j36gate-v1", Seq($"id")) {
         val lim = 251L
         val stub = new graft.streaming.CouchStubServer(
           "graftput", IndexedSeq.empty, stateful = true)
@@ -1833,6 +1886,7 @@ object JsonDoc {
             .select($"id", $"rev", $"doc")
             .orderBy($"id"), base)
         } finally stub.stop()
+        }
       },
       Some("""SELECT id,
              |  ver || '-' || md5(id || ':' || ver) AS rev,
@@ -1859,6 +1913,7 @@ object JsonDoc {
       "j37_bootstrap",
       (s, dir) => {
         import s.implicits._
+        cachedGate(s, dir, "j37gate-v1", Seq($"phase")) {
         val lim = 251L
         val base = java.nio.file.Files.createTempDirectory("j37")
         val window = new WindowedLines(
@@ -1919,6 +1974,7 @@ object JsonDoc {
             .toDF("phase", "pgtable", "since", "enabled")
             .orderBy($"phase")
         } finally stub.stop()
+        }
       },
       Some("""SELECT 'bootstrap' AS phase, 'graft_boot' AS pgtable,
              |  CAST(0 AS BIGINT) AS since, true AS enabled

@@ -226,6 +226,46 @@ object Pipeline {
              |ORDER BY d.doc_id""".stripMargin),
       "near-dup cluster assignment: min-label connected components (O(diameter) join rounds)"),
 
+    // ---- The EXTREME-SCALE CC path as its own catalog row (VERDICT r12
+    // task 2): alternating large-star/small-star contraction (Kiveris
+    // et al., SoCC 2014) over the SAME pair graph, against p16's
+    // UNCHANGED oracle. The iteration geometry is the difference: p16's
+    // min-label propagation walks a fixed edge list for O(log d)
+    // pointer-jumped rounds; the star alternation CONTRACTS the edge
+    // set geometrically, so on a 100 TB graph the heavy rounds are the
+    // first two or three and every later round touches less data. Same
+    // deterministic fixpoint, hash-identical output.
+    QueryDef(
+      "p16b_dedup_clusters_star",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val pairs = Dedup.simhashPairs(d, "doc_id", "text",
+          maxHamming = 8, chunks = 4).select($"doc_a", $"doc_b")
+        Dedup.clustersStar(d.select($"doc_id"), pairs)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+             |h AS (SELECT doc_id, list_transform(words, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS hs FROM w),
+             |sg AS (SELECT doc_id,
+             |  list_sum(list_transform(range(0,60), b -> CASE WHEN
+             |    list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |    THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS simhash FROM h),
+             |ch AS (SELECT doc_id, simhash, u.c AS chunk_id, (simhash >> (u.c*15)) & 32767 AS chunk_val
+             |  FROM sg, UNNEST(range(4)) AS u(c)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |  FROM ch a JOIN ch b ON a.chunk_id=b.chunk_id AND a.chunk_val=b.chunk_val AND a.doc_id < b.doc_id),
+             |pr AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= 8),
+             |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+             |reach(src, dst) AS (SELECT src, dst FROM ed
+             |  UNION SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
+             |mr AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY src)
+             |SELECT d.doc_id, least(d.doc_id, coalesce(m.m, d.doc_id)) AS cluster_id
+             |FROM documents d LEFT JOIN mr m ON d.doc_id = m.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      "the scale-path CC gated: large-star/small-star contraction, geometric edge-set shrinkage, hash-identical to p16's oracle"),
+
     // ---- Deterministic train/val/test split + sampling flag. rand()
     // would be unreproducible across runs/engines/partitionings; the
     // md5 bucket gives every doc a stable verdict (identical in DuckDB).
@@ -3190,6 +3230,47 @@ object Pipeline {
              |  doc_id IN (SELECT doc_id FROM sel) AS selected
              |FROM g ORDER BY doc_id""".stripMargin),
       "DSIR Gumbel-top-k resampling: seeded-hash Gumbel noise on the importance weights, engine-exact 100-doc draw"),
+
+    // ---- DSIR over a PERSISTED feature artifact (VERDICT r12 task 7,
+    // the p88b standing-index precedent): the hashed-unigram table —
+    // one (doc, is_t, b, n) row per doc per touched bucket, ≤ 64 rows
+    // per doc regardless of length — is built ONCE per corpus; every
+    // later selection run scores the compact table without re-reading
+    // text. p87 stays the scan-measuring entry; this row is what a
+    // production repeat-selection run does. Same oracle as p87.
+    QueryDef(
+      "p87c_dsir_cached",
+      (s, dir) => {
+        import s.implicits._
+        val art = cachedArtifact(dir, "documents", "p87feat-v1") { o =>
+          Vocab.dsirFeatures(T(s, dir, "documents"), "doc_id", "text",
+            targetPred = $"lang" === "en", nBuckets = 64)
+            .write.mode("overwrite").parquet(o.toString)
+        }
+        Vocab.dsirWeightsFromFeatures(s.read.parquet(art.toString),
+          "doc_id", nBuckets = 64, topN = 100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, u.tok AS tok
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) w,
+             |  UNNEST(w.ws) AS u(tok)),
+             |bt AS (SELECT doc_id, is_t,
+             |  CAST('0x'||substr(md5('dsir:'||tok),1,8) AS BIGINT) % 64 AS b FROM t),
+             |cnt AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |  CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY b),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+             |lw AS (SELECT b,
+             |  CAST(floor(ln((CAST(ct AS DOUBLE)+1.0)/(CAST(tt AS DOUBLE)+64.0))*1000000.0) AS BIGINT)
+             |  - CAST(floor(ln((CAST(cr AS DOUBLE)+1.0)/(CAST(tr AS DOUBLE)+64.0))*1000000.0) AS BIGINT) AS lw
+             |  FROM cnt, tot),
+             |scored AS (SELECT bt.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(lw.lw) AS BIGINT) AS w_sum
+             |  FROM bt JOIN lw USING(b) GROUP BY bt.doc_id),
+             |sel AS (SELECT doc_id FROM scored ORDER BY w_sum DESC, doc_id LIMIT 100)
+             |SELECT s.doc_id, s.n_tokens, s.w_sum,
+             |  s.doc_id IN (SELECT doc_id FROM sel) AS selected
+             |FROM scored s ORDER BY s.doc_id""".stripMargin),
+      "DSIR from a persisted hashed-feature artifact: build once per corpus, score the <=64-rows/doc table — repeat selection never re-reads text"),
 
     // ---- BM25 retrieval (k1=1.2, b=0.75): keyword top-k over the
     // corpus — decontamination lookups and targeted selection. All

@@ -76,6 +76,29 @@ class DistributedRankSpec extends SparkSpec {
     assert(got == sql)
   }
 
+  test("block loss after the pin FAILS loudly instead of renumbering") {
+    import spark.implicits._
+    // the scaladoc's failure-semantics contract: the phase-1 placement
+    // pin is non-replayable by design — losing its blocks (an executor
+    // death on a cluster; an unpersist here) must error the query, not
+    // silently recompute a possibly different row->partition assignment
+    // against phase 2's already-collected offsets
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val d = (1 to 200).map(i => (i.toLong, i % 7)).toDF("id", "v")
+    val s = DistributedRank.withRowNumber(d, "rn", numParts = 8)($"v", $"id")
+    assert(s.df.count() == 200L) // pinned blocks alive: reads fine
+    val pinned = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+    assert(pinned.nonEmpty, "scan must pin a localCheckpoint RDD")
+    pinned.values.foreach(_.unpersist(blocking = true))
+    val ex = intercept[org.apache.spark.SparkException] { s.df.count() }
+    val msg = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msg.toLowerCase.contains("checkpoint") ||
+      msg.toLowerCase.contains("block"), s"unexpected failure: $msg")
+  }
+
   test("plan shape: window is partition-local, offsets broadcast, no SinglePartition") {
     import spark.implicits._
     val d = (1 to 200).map(_.toLong).toDF("id")
