@@ -36,7 +36,12 @@ object GateBench {
     "j35_live_tail" -> "j35gate-v1",
     "j36_single_put_roundtrip" -> "j36gate-v1",
     "j37_bootstrap" -> "j37gate-v1",
-    "j42_repopulate" -> "j42repop-v1")
+    "j42_repopulate" -> "j42repop-v1",
+    // the compaction-heavy index builds (VERDICT r12 task 5: re-bench
+    // on the fold-manifest tree) — artifact-backed since earlier rounds
+    "j20_streaming_index" -> "j20idx-c1",
+    "j27_streaming_ann_index" -> "j27annidx-p4-c1",
+    "j28_streaming_lsh_dedup" -> "j28lsh-v2")
 
   private def dropArtifacts(key: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
