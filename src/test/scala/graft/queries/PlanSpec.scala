@@ -825,4 +825,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan"),
       s"variant predicate not pushed to the scan:\n$p")
   }
+
+  test("p16b: star-contraction CC never plans a cartesian") {
+    // the contraction rounds execute during query construction (each
+    // round is pinned + signature-collected); the returned plan is the
+    // corpus-sized label-back join — every shape here must be keyed
+    val p = plan("p16b_dedup_clusters_star")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"p16b non-equi join:\n$p")
+  }
+
+  test("p87c: repeat DSIR selection reads ONLY the feature artifact, never text") {
+    // the standing-corpus path (VERDICT r12 task 7): scoring must scan
+    // the persisted (doc, is_t, b, n) table — a plan that still reads
+    // documents.parquet (or its text column) re-pays the corpus scan
+    // the artifact exists to eliminate
+    val p = plan("p87c_dsir_cached")
+    assert(!p.contains("documents.parquet"),
+      s"p87c re-reads the source corpus:\n$p")
+    assert(!p.linesIterator.filter(_.contains("ReadSchema"))
+        .exists(_.contains("text")),
+      s"p87c scans a text column:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
