@@ -493,6 +493,30 @@ object Vocab {
         coalesce(col("selected"), lit(false)).as("selected"))
   }
 
+  /** [[dsirResample]] over a persisted feature table — the Gumbel
+    * draw's randomness is a seeded hash of the doc id, so the sampled
+    * selection reproduces exactly from the compact table too. This is
+    * the production repeat path: the paper's selection rule is the
+    * RESAMPLE, and re-draws (new seed, new quota, new target flag) are
+    * the operations a standing corpus runs again and again. */
+  def dsirResampleFromFeatures(
+      features: DataFrame, idCol: String, nBuckets: Int = 64,
+      topN: Int = 100, seed: String = "g1"): DataFrame = {
+    val scored = scoreFeatures(features, nBuckets)
+      .withColumn("__u",
+        (conv(substring(md5(concat(lit(s"gmb:$seed:"), col("doc"))), 1, 13),
+          16, 10).cast("double") + lit(0.5d)) / lit(4503599627370496.0d))
+      .withColumn("gumbel_q",
+        floor(-log(-log(col("__u"))) * lit(1e6)).cast("long"))
+      .withColumn("__key", col("w_sum") + col("gumbel_q"))
+    val sel = scored.orderBy(col("__key").desc, col("doc")).limit(topN)
+      .select(col("doc"), lit(true).as("selected"))
+    scored.join(broadcast(sel), Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"), col("w_sum"),
+        col("gumbel_q"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
   /** DSIR importance RESAMPLING — the paper's actual selection rule:
     * sample `topN` docs without replacement from softmax(importance
     * weights) via the Gumbel-top-k trick, keeping the top `topN` by

@@ -3272,6 +3272,49 @@ object Pipeline {
              |FROM scored s ORDER BY s.doc_id""".stripMargin),
       "DSIR from a persisted hashed-feature artifact: build once per corpus, score the <=64-rows/doc table — repeat selection never re-reads text"),
 
+    // ---- The Gumbel RESAMPLE over the same persisted artifact: the
+    // paper's actual selection rule is the sampled draw, and re-draws
+    // (new seed / new quota) are what a standing corpus runs
+    // repeatedly — each must cost the compact-table scan, not a
+    // corpus re-tokenization. Same oracle as p87b.
+    QueryDef(
+      "p87d_dsir_gumbel_cached",
+      (s, dir) => {
+        import s.implicits._
+        val art = cachedArtifact(dir, "documents", "p87feat-v1") { o =>
+          Vocab.dsirFeatures(T(s, dir, "documents"), "doc_id", "text",
+            targetPred = $"lang" === "en", nBuckets = 64)
+            .write.mode("overwrite").parquet(o.toString)
+        }
+        Vocab.dsirResampleFromFeatures(s.read.parquet(art.toString),
+          "doc_id", nBuckets = 64, topN = 100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, u.tok AS tok
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) w,
+             |  UNNEST(w.ws) AS u(tok)),
+             |bt AS (SELECT doc_id, is_t,
+             |  CAST('0x'||substr(md5('dsir:'||tok),1,8) AS BIGINT) % 64 AS b FROM t),
+             |cnt AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |  CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY b),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+             |lw AS (SELECT b,
+             |  CAST(floor(ln((CAST(ct AS DOUBLE)+1.0)/(CAST(tt AS DOUBLE)+64.0))*1000000.0) AS BIGINT)
+             |  - CAST(floor(ln((CAST(cr AS DOUBLE)+1.0)/(CAST(tr AS DOUBLE)+64.0))*1000000.0) AS BIGINT) AS lw
+             |  FROM cnt, tot),
+             |scored AS (SELECT bt.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(lw.lw) AS BIGINT) AS w_sum
+             |  FROM bt JOIN lw USING(b) GROUP BY bt.doc_id),
+             |g AS (SELECT doc_id, n_tokens, w_sum,
+             |  CAST(floor(-ln(-ln((CAST(CAST('0x'||substr(md5('gmb:g1:'||doc_id),1,13) AS BIGINT) AS DOUBLE)+0.5)
+             |    / 4503599627370496.0))*1000000.0) AS BIGINT) AS gumbel_q
+             |  FROM scored),
+             |sel AS (SELECT doc_id FROM g ORDER BY w_sum + gumbel_q DESC, doc_id LIMIT 100)
+             |SELECT doc_id, n_tokens, w_sum, gumbel_q,
+             |  doc_id IN (SELECT doc_id FROM sel) AS selected
+             |FROM g ORDER BY doc_id""".stripMargin),
+      "DSIR Gumbel resampling from the persisted feature artifact: the paper's repeat-draw path at compact-table cost, same oracle as p87b"),
+
     // ---- BM25 retrieval (k1=1.2, b=0.75): keyword top-k over the
     // corpus — decontamination lookups and targeted selection. All
     // arithmetic is exact-integer (micro-nat idf, the tf saturation
