@@ -41,7 +41,12 @@ object GateBench {
     // on the fold-manifest tree) — artifact-backed since earlier rounds
     "j20_streaming_index" -> "j20idx-c1",
     "j27_streaming_ann_index" -> "j27annidx-p4-c1",
-    "j28_streaming_lsh_dedup" -> "j28lsh-v2")
+    "j28_streaming_lsh_dedup" -> "j28lsh-v2",
+    // event bus + the stateful Structured Streaming gates
+    "j33_event_bus" -> "j33events-v1",
+    "j39_streaming_sessionize" -> "j39sess-v3",
+    "j40_stream_interval_join" -> "j40join-v3",
+    "j41_stream_sliding_counts" -> "j41slide-v2")
 
   private def dropArtifacts(key: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
