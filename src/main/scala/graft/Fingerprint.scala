@@ -65,4 +65,41 @@ object Fingerprint {
   def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Fingerprint of the compiled `graft` bytecode on the classpath
+    * (VERDICT r13 task 1): folded into every artifact cache key so a
+    * CODE change can never reuse an artifact built by older machinery.
+    * The hand-bumped `-vN` key suffixes used to be the only guard — a
+    * MergeSink edit without a bump silently served a stale gate result
+    * to both CORRECTNESS and bench. Now any change to any `graft`
+    * class file (the builder lambdas in the `queries` package included
+    * — they ARE the recipe) rekeys the whole cache; `-vN` remains as
+    * human-readable recipe markers only.
+    *
+    * Computed once per JVM from the code-source location (the
+    * `target/scala-2.13/classes` dir under sbt, the jar when packaged)
+    * with the same name+length+content-sample walk the corpus keys use.
+    * The system property `graft.test.machineryFp` overrides it so specs
+    * can pin the rekey-on-code-change contract without recompiling.
+    */
+  def machinery: String =
+    sys.props.getOrElse("graft.test.machineryFp", machineryDefault)
+
+  private lazy val machineryDefault: String = {
+    val src = Option(getClass.getProtectionDomain.getCodeSource)
+      .map(cs => new java.io.File(cs.getLocation.toURI))
+    src match {
+      case Some(f) if f.isDirectory =>
+        md5hex("machinery#" + ofTable(new java.io.File(f, "graft"))).take(12)
+      case Some(f) =>
+        md5hex("machinery#" + ofTable(f)).take(12)
+      case None =>
+        // an exotic classloader with no code source: fall back to
+        // corpus-only keying, loudly — silent is how staleness hides
+        System.err.println(
+          "[graft] WARNING: no code source for machinery fingerprint; " +
+            "artifact caches will not rekey on code changes")
+        "nocodesource"
+    }
+  }
 }

@@ -21,39 +21,28 @@ import org.apache.spark.sql.SparkSession
   */
 object GateBench {
 
-  /** gate name -> its cachedGate artifact key prefix. */
-  val gateKeys: Map[String, String] = Map(
-    "j19_streaming_replay" -> "j19gate-v1",
-    "j21_writeback_roundtrip" -> "j21gate-v1",
-    "j24_bucketed_store" -> "j24gate-v1",
-    "j25_deltalog_store" -> "j25gate-v1",
-    "j26_multi_feed_union" -> "j26gate-v1",
-    "j29_ingest_filter_map" -> "j29gate-v1",
-    "j30_faulted_feed_convergence" -> "j30gate-v1",
-    "j31_basic_auth_feed" -> "j31gate-v1",
-    "j32_since_checkpoints_view" -> "j32gate-v1",
-    "j34_fatal_halt_lifecycle" -> "j34gate-v1",
-    "j35_live_tail" -> "j35gate-v1",
-    "j36_single_put_roundtrip" -> "j36gate-v1",
-    "j37_bootstrap" -> "j37gate-v1",
-    "j42_repopulate" -> "j42repop-v1",
-    // the compaction-heavy index builds (VERDICT r12 task 5: re-bench
-    // on the fold-manifest tree) — artifact-backed since earlier rounds
-    "j20_streaming_index" -> "j20idx-c1",
-    "j27_streaming_ann_index" -> "j27annidx-p4-c1",
-    "j28_streaming_lsh_dedup" -> "j28lsh-v2",
-    // event bus + the stateful Structured Streaming gates
-    "j33_event_bus" -> "j33events-v1",
-    "j39_streaming_sessionize" -> "j39sess-v3",
-    "j40_stream_interval_join" -> "j40join-v3",
-    "j41_stream_sliding_counts" -> "j41slide-v2")
+  /** gate name -> its cachedGate artifact key prefix — read from the
+    * shared [[graft.queries.GateKeys]] registry the definition sites
+    * use, so a key bump can never leave this map pointing at a dir that
+    * no longer exists (which made dropArtifacts delete nothing and the
+    * "live" column silently report warm-read times — ADVICE r13). */
+  val gateKeys: Map[String, String] = graft.queries.GateKeys.byQuery
 
+  /** SINGLE-PROCESS TOOL: artifact dirs live in the global tmpdir, and
+    * deleting one out from under a concurrent Bench/Verify JVM would
+    * fail that run mid-read. The dir is renamed aside FIRST (atomic on
+    * a local filesystem), so a concurrent reader either keeps the old
+    * handle's data or sees a clean missing-dir rebuild — never a
+    * half-deleted parquet tree. */
   private def dropArtifacts(key: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(s"graft-$key-"))
       .foreach { d =>
-        scala.util.Using.resource(java.nio.file.Files.walk(d.toPath)) { st =>
+        val aside = new java.io.File(tmp,
+          s".${d.getName}.dropped-${System.nanoTime()}")
+        val gone = if (d.renameTo(aside)) aside else d
+        scala.util.Using.resource(java.nio.file.Files.walk(gone.toPath)) { st =>
           import scala.jdk.CollectionConverters._
           st.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.toList
@@ -75,6 +64,7 @@ object GateBench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = gateKeys.keys.toSeq.sorted
+      .filter(SparkEntry.queries.contains) // registry may lead the catalog
       .filter(n => only.forall(_.exists(n.startsWith)))
     def time(name: String): Double = {
       val t0 = System.nanoTime()

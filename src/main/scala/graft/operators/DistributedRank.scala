@@ -30,21 +30,46 @@ import org.apache.spark.sql.functions._
   * BEFORE calling — the checkpoint materializes every column you pass
   * (the callers here carry fixed-width ids, never document text).
   *
-  * FAILURE SEMANTICS AT SCALE: `localCheckpoint` pins the phase-1
-  * placement in EXECUTOR-LOCAL blocks with truncated lineage — the
-  * blocks are deliberately NOT recomputable. Losing an executor between
-  * the pin and the last consumption FAILS the query with a
+  * FAILURE SEMANTICS AT SCALE: by default `localCheckpoint` pins the
+  * phase-1 placement in EXECUTOR-LOCAL blocks with truncated lineage —
+  * the blocks are deliberately NOT recomputable. Losing an executor
+  * between the pin and the last consumption FAILS the query with a
   * checkpoint-block-not-found error; the caller re-runs the scan from
   * the source. Fail-loud is the chosen direction: a silent recompute
   * could assign ties to different partitions than the offsets phase 2
-  * already collected, returning WRONG ranks with no error. A cluster
-  * job that cannot afford the re-run (hours-long scans on preemptible
-  * executors) should swap the pin for a reliable `df.checkpoint()` —
-  * identical semantics, placement re-read from durable storage at ~one
-  * extra write of the projected columns. DistributedRankSpec pins the
-  * fail-loud contract.
+  * already collected, returning WRONG ranks with no error.
+  *
+  * DURABLE OPTION (VERDICT r13 task 5): a cluster job that cannot
+  * afford the re-run (hours-long scans on preemptible executors) sets
+  * the runtime conf `graft.rank.checkpointDir` to a durable path (HDFS/
+  * object store); every [[pin]] then uses a reliable `df.checkpoint()`
+  * instead — identical semantics and placement, re-READ from storage on
+  * block loss, at ~one extra write of the projected columns. Unset
+  * (default, and in this single-JVM harness) keeps the fail-loud local
+  * pin. DistributedRankSpec pins BOTH contracts.
   */
 object DistributedRank {
+
+  /** The conf key that switches every placement pin from fail-loud
+    * `localCheckpoint` to a durable `checkpoint()` rooted at its
+    * value. */
+  val ReliableDirConf = "graft.rank.checkpointDir"
+
+  /** Pin `df`'s rows into storage with ONE eager evaluation of its
+    * plan, placement frozen: fail-loud executor-local blocks by
+    * default, a durable reliable checkpoint when [[ReliableDirConf]]
+    * is set (see object scaladoc). Shared by the rank scan and the
+    * pin-then-delete-scaffolding callers in the query catalog. */
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ReliableDirConf).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint(true)
+    }
+  }
 
   /** Result of a distributed scan: the annotated frame plus the global
     * total (row count for ranks, value sum for prefix sums) — already
@@ -92,11 +117,10 @@ object DistributedRank {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // phase 1: range shuffle + pinned placement (both later phases must
     // observe the same row->partition assignment)
-    val ranged = df
+    val ranged = pin(df
       .withColumn("__dr_v", value)
       .repartitionByRange(nParts, sort: _*)
-      .withColumn("__dr_pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__dr_pid", spark_partition_id()))
     // phase 2: bounded driver round-trip — one (pid, sum) row per
     // partition, scanLeft'd into exclusive offsets
     val perPart = ranged.groupBy("__dr_pid").agg(sum("__dr_v").as("s"))

@@ -54,9 +54,14 @@ object Multimodal {
   private def widen(df: DataFrame): DataFrame = Par.widen(df)
 
   /** Deterministic fake "decode": width/height from byte stats, feature
-    * hash from content. Stands in for image decode + feature extraction.
-    * Runs partition-local over an iterator — the exact batch shape a
-    * real decoder (or an Arrow-batched Python worker) would use. */
+    * hash from content. Runs partition-local over an iterator — the
+    * exact batch shape a real decoder (or an Arrow-batched Python
+    * worker) would use. DOCUMENTATION EXAMPLE ONLY since r14: no
+    * catalog entry decodes through it anymore — every gated media entry
+    * drives the REAL codecs ([[imageIoCodec]], [[phashCodec]], the
+    * WAV/AVI walkers) through [[decodeBatched]]; this stub remains as
+    * the minimal illustration of the codec seam (and its spec pins that
+    * the batched plumbing reproduces it row-for-row). */
   def decodeStub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = widen(media.select("media_id", "payload")).rdd.mapPartitions { it =>

@@ -39,15 +39,16 @@ object JsonDoc {
 
   /** Pin `df`'s rows into storage blocks (ONE evaluation of its plan),
     * then delete the scaffolding under `base`; the returned plan reads
-    * the pinned blocks, not the deleted files. LOCAL-MODE DURABILITY
-    * NOTE: localCheckpoint blocks are not recomputable once `base` is
-    * gone — fine for this single-JVM bench/verify harness (no executor
-    * loss); a cluster run that can lose executors needs a durable
-    * `checkpoint()` (or must keep `base`) instead. */
+    * the pinned blocks, not the deleted files. DURABILITY: the pin is
+    * [[graft.operators.DistributedRank.pin]] — fail-loud local blocks
+    * by default (fine for this single-JVM harness: no executor loss,
+    * and once `base` is gone a recompute is impossible anyway), or a
+    * reliable `checkpoint()` when `graft.rank.checkpointDir` is set
+    * (the cluster posture: blocks re-read from durable storage). */
   private def pinAndDelete(
       df: org.apache.spark.sql.DataFrame,
       base: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
-    val pinned = df.localCheckpoint(true)
+    val pinned = graft.operators.DistributedRank.pin(df)
     deleteTree(base)
     pinned
   }
@@ -170,7 +171,7 @@ object JsonDoc {
       order: Seq[org.apache.spark.sql.Column] = Seq(col("id")))(
       run: (java.nio.file.Path, String, Option[Long]) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    cachedGate(s, dir, s"${tag}gate-v1", order) {
+    cachedGate(s, dir, GateKeys.forTag(tag), order) {
       val feed = stagedReplayFeed(s, dir, typed, limitDocs)
       val base = java.nio.file.Files.createTempDirectory(tag)
       val nLines = new graft.streaming.FileChangesFeed(feed)
@@ -843,7 +844,7 @@ object JsonDoc {
         // executions probe it, and the feed/checkpoint scaffolding is
         // deleted after the build (a fresh multi-GB tmp tree per bench
         // round otherwise accumulates until the disk fills)
-        val idx = Pipeline.cachedArtifact(dir, "documents", "j20idx-c1",
+        val idx = Pipeline.cachedArtifact(dir, "documents", GateKeys.forTag("j20"),
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j20")
           val staged = base.resolve("staged")
@@ -908,7 +909,7 @@ object JsonDoc {
       "j21_writeback_roundtrip",
       (s, dir) => {
         import s.implicits._
-        cachedGate(s, dir, "j21gate-v1", Seq($"id")) {
+        cachedGate(s, dir, GateKeys.forTag("j21"), Seq($"id")) {
         val stub = new graft.streaming.CouchStubServer(
           "graftdb", IndexedSeq.empty, stateful = true)
         // the reference's docs-per-POST ceiling ARMED (README.md:504-530:
@@ -1108,7 +1109,7 @@ object JsonDoc {
       "j26_multi_feed_union",
       (s, dir) => {
         import s.implicits._
-        cachedGate(s, dir, "j26gate-v1", Seq($"id".cast("long"))) {
+        cachedGate(s, dir, GateKeys.forTag("j26"), Seq($"id".cast("long"))) {
         val base = java.nio.file.Files.createTempDirectory("j26")
         // each half-corpus feed stages DISTRIBUTED and SORTED (the
         // stub's `_changes` pager is positional, so line i must carry
@@ -1202,9 +1203,9 @@ object JsonDoc {
       (s, dir) => {
         import s.implicits._
         val em = Tables.load(s, dir, "embeddings")
-        val planes = 4
+        val planes = GateKeys.j27Planes
         val idx = Pipeline.cachedArtifact(dir, "embeddings",
-            s"j27annidx-p$planes-c1", ready = "_complete") { o =>
+            GateKeys.forTag("j27"), ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j27")
           // two-phase feed with an LSM COMPACTION between: the second
           // batch's staged moves land beside `compact-*.parquet` files,
@@ -1295,7 +1296,7 @@ object JsonDoc {
         // corpus, so they live in the fingerprint-keyed artifact cache
         // (the j20/j27 pattern); feed/checkpoint scaffolding is deleted
         // after the build
-        val idx = Pipeline.cachedArtifact(dir, "documents", "j28lsh-v2",
+        val idx = Pipeline.cachedArtifact(dir, "documents", GateKeys.forTag("j28"),
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j28")
           // exactly 3 batches at ANY SF: ceil(n/3) changes admitted per
@@ -1411,7 +1412,7 @@ object JsonDoc {
       "j30_faulted_feed_convergence",
       (s, dir) => {
         import s.implicits._
-        cachedGate(s, dir, "j30gate-v1", Seq($"id".cast("long"))) {
+        cachedGate(s, dir, GateKeys.forTag("j30"), Seq($"id".cast("long"))) {
         val base = java.nio.file.Files.createTempDirectory("j30")
         val stub = new graft.streaming.CouchStubServer(
           "graft-x", stageCorpusFeed(s, dir, base))
@@ -1475,7 +1476,7 @@ object JsonDoc {
       "j31_basic_auth_feed",
       (s, dir) => {
         import s.implicits._
-        cachedGate(s, dir, "j31gate-v1", Seq($"id".cast("long"))) {
+        cachedGate(s, dir, GateKeys.forTag("j31"), Seq($"id".cast("long"))) {
         val base = java.nio.file.Files.createTempDirectory("j31")
         val stub = new graft.streaming.CouchStubServer(
           "graft-s", stageCorpusFeed(s, dir, base))
@@ -1561,7 +1562,7 @@ object JsonDoc {
       (s, dir) => {
         import s.implicits._
         val d = T(s, dir, "documents").where($"doc_id" < 251L)
-        val art = Pipeline.cachedArtifact(dir, "documents", "j33events-v1",
+        val art = Pipeline.cachedArtifact(dir, "documents", GateKeys.forTag("j33"),
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j33")
           val staged = base.resolve("staged")
@@ -1655,7 +1656,7 @@ object JsonDoc {
         // doc-bounded slice (the j32 rationale): the gate tests the
         // halt/lifecycle control plane, not ingest throughput, so its
         // replay cost must be SF-independent
-        cachedGate(s, dir, "j34gate-v1", Seq($"id".cast("long"))) {
+        cachedGate(s, dir, GateKeys.forTag("j34"), Seq($"id".cast("long"))) {
         val lim = 251L
         val base = java.nio.file.Files.createTempDirectory("j34")
         val window = new WindowedLines(
@@ -1744,7 +1745,7 @@ object JsonDoc {
       "j35_live_tail",
       (s, dir) => {
         import s.implicits._
-        cachedGate(s, dir, "j35gate-v1", Seq($"id".cast("long"))) {
+        cachedGate(s, dir, GateKeys.forTag("j35"), Seq($"id".cast("long"))) {
         val lim = 251L
         val base = java.nio.file.Files.createTempDirectory("j35")
         val window = new WindowedLines(
@@ -1826,7 +1827,7 @@ object JsonDoc {
       "j36_single_put_roundtrip",
       (s, dir) => {
         import s.implicits._
-        cachedGate(s, dir, "j36gate-v1", Seq($"id")) {
+        cachedGate(s, dir, GateKeys.forTag("j36"), Seq($"id")) {
         val lim = 251L
         val stub = new graft.streaming.CouchStubServer(
           "graftput", IndexedSeq.empty, stateful = true)
@@ -1913,7 +1914,7 @@ object JsonDoc {
       "j37_bootstrap",
       (s, dir) => {
         import s.implicits._
-        cachedGate(s, dir, "j37gate-v1", Seq($"phase")) {
+        cachedGate(s, dir, GateKeys.forTag("j37"), Seq($"phase")) {
         val lim = 251L
         val base = java.nio.file.Files.createTempDirectory("j37")
         val window = new WindowedLines(
@@ -2043,7 +2044,7 @@ object JsonDoc {
         // pure function of the events table -> content-keyed artifact
         // cache (the j33 precedent): the end-to-end stream runs once
         // per corpus; repeated sweeps read the verified result
-        val art = Pipeline.cachedArtifact(dir, "events", "j39sess-v3",
+        val art = Pipeline.cachedArtifact(dir, "events", GateKeys.forTag("j39"),
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j39")
           val (ev, src) = stageEventStream(s, dir, base, maxUser = 40L)
@@ -2117,7 +2118,7 @@ object JsonDoc {
       "j40_stream_interval_join",
       (s, dir) => {
         import s.implicits._
-        val art = Pipeline.cachedArtifact(dir, "events", "j40join-v3",
+        val art = Pipeline.cachedArtifact(dir, "events", GateKeys.forTag("j40"),
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j40")
           val (ev, src) = stageEventStream(s, dir, base, maxUser = 40L)
@@ -2190,7 +2191,7 @@ object JsonDoc {
       "j41_stream_sliding_counts",
       (s, dir) => {
         import s.implicits._
-        val art = Pipeline.cachedArtifact(dir, "events", "j41slide-v2",
+        val art = Pipeline.cachedArtifact(dir, "events", GateKeys.forTag("j41"),
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j41")
           val (ev, src) = stageEventStream(s, dir, base, maxUser = 40L)
@@ -2262,7 +2263,7 @@ object JsonDoc {
       "j42_repopulate",
       (s, dir) => {
         import s.implicits._
-        val art = Pipeline.cachedArtifact(dir, "documents", "j42repop-v1",
+        val art = Pipeline.cachedArtifact(dir, "documents", GateKeys.forTag("j42"),
             ready = "_complete") { o =>
           val base = java.nio.file.Files.createTempDirectory("j42")
           // the two SOURCE stores ("couch tables in postgres"): parity

@@ -62,9 +62,14 @@ object Pipeline {
     // CONTENT fingerprint (name+length+head/tail sample), not mtime:
     // the per-round testdata refresh rewrites identical bytes with new
     // timestamps, and an mtime key rebuilt every warm fixture each
-    // round — most of a bench job's wall was artifact reconstruction
+    // round — most of a bench job's wall was artifact reconstruction.
+    // The MACHINERY fingerprint (compiled graft bytecode) is folded in
+    // too, so a code change rekeys every artifact: the builder lambda
+    // is part of the recipe, and a hand-bumped `-vN` suffix alone once
+    // let an edited gate silently serve its pre-edit result.
     val fp = graft.Fingerprint.md5hex(
-      dir + "#" + graft.Fingerprint.ofTable(src)).take(16)
+      dir + "#" + graft.Fingerprint.machinery + "#" +
+        graft.Fingerprint.ofTable(src)).take(16)
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft-$key-$fp")
     if (!new java.io.File(out, ready).exists()) build(out)
@@ -108,6 +113,26 @@ object Pipeline {
     }
     s.read.parquet(out.toString)
   }
+
+  /** Per-cluster argmax WITHOUT a per-cluster window (VERDICT r13 task
+    * 3): `row_number().over(Window.partitionBy(cluster_id))` funnels an
+    * entire cluster through ONE task — a boilerplate storm makes the
+    * hottest cluster O(|cluster|) on a single core. `max(struct(score,
+    * -doc))` is the identical argmax (score desc, doc-id-asc tiebreak)
+    * but partially aggregates map-side: no task ever holds more than
+    * one combined row per cluster, at any skew. Input columns:
+    * (doc_id, cluster_id, score_q). */
+  private[queries] def representatives(
+      scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    scored
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("score_q"), (-col("doc_id")).as("neg_id"))).as("top"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("top.neg_id")).as("rep_id"),
+        col("n_members"), col("top.score_q").as("rep_score_q"))
+      .orderBy(col("cluster_id"))
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -1143,25 +1168,34 @@ object Pipeline {
              |GROUP BY status ORDER BY status""".stripMargin),
       "corpus snapshot diff: added/removed/changed/same accounting via hash-only full-outer join"),
 
-    // ---- Resize planning on decoded media: aspect-preserving fit into
-    // a 48x40 box, integer permille arithmetic (never upscales). The
-    // byte resample lives in the batched codec; the planning is a pure
-    // projection over the decode output.
+    // ---- Resize planning on REAL decoded media (VERDICT r13 task 4 —
+    // the last decodeStub call site, retired): the p14 PNG fixture is
+    // decoded back through javax.imageio, then aspect-preserving fit
+    // into a 48x40 box in integer permille arithmetic (never upscales).
+    // The byte resample lives in the batched codec; the planning is a
+    // pure projection over the decode output — and the oracle
+    // recomputes the fixture dims from their generating formulas, so a
+    // decoder that misread actual pixel dimensions hash-mismatches.
     QueryDef(
       "p33_resize_dims",
       (s, dir) => {
         import s.implicits._
+        val dims = T(s, dir, "documents")
+          .select($"doc_id",
+            (lit(8) + $"n_chars" % 48).cast("int").as("w"),
+            (lit(8) + $"doc_id" % 32).cast("int").as("h"))
+        val media = cachedMedia(s, dir, "png-id-v1")(
+          Multimodal.encodePng(dims, "doc_id", "w", "h"))
         Multimodal.resizeDims(
-          Multimodal.decodeStub(
-            Multimodal.asMedia(T(s, dir, "documents"), "doc_id", "text")),
+          Multimodal.decodeBatched(media, codec = Multimodal.imageIoCodec),
           maxW = 48, maxH = 40)
           .select($"media_id", $"width", $"height",
             $"scale_pm", $"out_w", $"out_h")
           .orderBy($"media_id")
       },
       Some("""WITH d AS (SELECT doc_id AS media_id,
-             |  16 + octet_length(encode(text)) % 64 AS width,
-             |  16 + (ascii(substr(text,1,1)) & 63) AS height
+             |  CAST(8 + n_chars % 48 AS INTEGER) AS width,
+             |  CAST(8 + doc_id % 32 AS INTEGER) AS height
              |  FROM documents),
              |s AS (SELECT media_id, width, height,
              |  least(CAST(48000 AS BIGINT) // width,
@@ -1171,7 +1205,7 @@ object Pipeline {
              |(width * scale_pm) // 1000 AS out_w,
              |(height * scale_pm) // 1000 AS out_h
              |FROM s ORDER BY media_id""".stripMargin),
-      "media resize planning: aspect-preserving integer fit into 48x40, pure projection"),
+      "media resize planning over real javax.imageio decodes: aspect-preserving integer fit into 48x40"),
 
     // ---- Quality-weighted sampling without replacement (A-ES): rank by
     // ln(u)/w with an md5-derived uniform — weight-proportional, fully
@@ -2107,16 +2141,7 @@ object Pipeline {
         val scores = pr.select($"doc_a".as("doc_id"), $"jq")
           .union(pr.select($"doc_b".as("doc_id"), $"jq"))
           .groupBy($"doc_id").agg(sum($"jq").as("score_q"))
-        val wc = org.apache.spark.sql.expressions.Window
-          .partitionBy($"cluster_id")
-        val wr = wc.orderBy($"score_q".desc, $"doc_id")
-        labels.join(scores, "doc_id")
-          .withColumn("rk", row_number().over(wr))
-          .withColumn("n_members", count(lit(1)).over(wc))
-          .where($"rk" === 1)
-          .select($"cluster_id", $"doc_id".as("rep_id"),
-            $"n_members", $"score_q".as("rep_score_q"))
-          .orderBy($"cluster_id")
+        Pipeline.representatives(labels.join(scores, "doc_id"))
       },
       Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
@@ -2148,6 +2173,80 @@ object Pipeline {
              |CAST(score_q AS BIGINT) AS rep_score_q
              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
       "best-representative dedup survivor: max summed micro-Jaccard centrality per near-dup cluster"),
+
+    // ---- p63's adversarial-skew twin (VERDICT r13 task 3): the same
+    // representative selection under a 150-copy boilerplate storm, with
+    // BOTH skew defenses on — capped pair generation (p82's delegate
+    // collapse + bucket cap) and the windowless per-cluster argmax. The
+    // whole path is now bounded per task at any cluster size: pairs are
+    // linear stars inside exact groups, candidates are <= cap² per
+    // bucket, and selection partially aggregates. The oracle replays
+    // collapse + cap + banding + CC + centrality exactly.
+    QueryDef(
+      "p63b_representative_boiler",
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val boiler = d.orderBy($"doc_id").limit(1)
+          .select(explode(sequence(lit(1), lit(150))).as("i"), $"text")
+          .select(($"i".cast("long") + lit(100000000L)).as("doc_id"), $"text")
+        val corpus = d.select($"doc_id", $"text").unionAll(boiler)
+        val pr = Dedup.minhashPairsCapped(corpus, "doc_id", "text",
+            nGram = 3, k = 6, bands = 3, threshold = 0.2, bucketCap = 64)
+          .select($"doc_a", $"doc_b",
+            floor($"jaccard" * 1e6).cast("long").as("jq"))
+          .localCheckpoint() // one pair generation feeds labels AND scores
+        val labels = Dedup.clusters(corpus.select($"doc_id"),
+          pr.select($"doc_a", $"doc_b"))
+        val scores = pr.select($"doc_a".as("doc_id"), $"jq")
+          .union(pr.select($"doc_b".as("doc_id"), $"jq"))
+          .groupBy($"doc_id").agg(sum($"jq").as("score_q"))
+        Pipeline.representatives(labels.join(scores, "doc_id"))
+      },
+      Some("""WITH RECURSIVE boiler AS (SELECT CAST(100000000 + u.i AS BIGINT) AS doc_id,
+             |  (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+             |  FROM UNNEST(range(1, 151)) AS u(i)),
+             |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM boiler),
+             |w AS (SELECT doc_id, string_split(text,' ') AS words FROM corpus),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words)>=3
+             |  THEN list_transform(range(1, len(words)-1), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+             |  ELSE [] END) AS ss FROM w),
+             |shf AS (SELECT doc_id, ss, md5(array_to_string(list_sort(ss), chr(1))) AS ch
+             |  FROM sh WHERE len(ss) > 0),
+             |del AS (SELECT ch, MIN(doc_id) AS ddoc FROM shf GROUP BY ch),
+             |star AS (SELECT d.ddoc AS doc_a, s.doc_id AS doc_b, 1.0 AS jaccard
+             |  FROM shf s JOIN del d ON s.ch = d.ch AND s.doc_id <> d.ddoc),
+             |dsh AS (SELECT s.doc_id, s.ss FROM shf s JOIN del d ON s.ch = d.ch AND s.doc_id = d.ddoc),
+             |sig AS (SELECT doc_id, ss,
+             |  [list_min(list_transform(ss, s -> md5('mh0:'||s))), list_min(list_transform(ss, s -> md5('mh1:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh2:'||s))), list_min(list_transform(ss, s -> md5('mh3:'||s))),
+             |   list_min(list_transform(ss, s -> md5('mh4:'||s))), list_min(list_transform(ss, s -> md5('mh5:'||s)))] AS sg
+             |  FROM dsh),
+             |bands AS (SELECT doc_id, ss, u.b AS band, md5(sg[2*u.b+1] || '|' || sg[2*u.b+2]) AS bkey
+             |  FROM sig, UNNEST(range(3)) AS u(b)),
+             |sizes AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+             |kept AS (SELECT b.* FROM bands b JOIN sizes z
+             |  ON b.band = z.band AND b.bkey = z.bkey AND z.n <= 64),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+             |  FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             |pr AS (SELECT doc_a, doc_b, CAST(floor(jaccard * 1000000.0) AS BIGINT) AS jq FROM
+             |  (SELECT doc_a, doc_b, jaccard FROM star
+             |   UNION ALL SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.2)),
+             |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+             |reach(src, dst) AS (SELECT src, dst FROM ed
+             |  UNION SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
+             |lab AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
+             |sc AS (SELECT doc_id, SUM(jq) AS score_q FROM
+             |  (SELECT doc_a AS doc_id, jq FROM pr UNION ALL SELECT doc_b, jq FROM pr) GROUP BY doc_id),
+             |r AS (SELECT lab.cluster_id, lab.doc_id, sc.score_q,
+             |  ROW_NUMBER() OVER (PARTITION BY lab.cluster_id ORDER BY sc.score_q DESC, lab.doc_id) AS rk,
+             |  COUNT(*) OVER (PARTITION BY lab.cluster_id) AS n_members
+             |  FROM lab JOIN sc ON lab.doc_id = sc.doc_id)
+             |SELECT cluster_id, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
+             |CAST(score_q AS BIGINT) AS rep_score_q
+             |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
+      "representative selection under a boilerplate storm: capped pairs + windowless per-cluster argmax"),
 
     // ---- Distributed k-means training (Lloyd's) — the offline coarse-
     // quantizer trainer IVF/SemDeDup assume. Assignment folds the k

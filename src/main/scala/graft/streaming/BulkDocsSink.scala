@@ -269,10 +269,19 @@ object BulkDocsSink {
       it.map { r =>
         val id = r.getAs[String]("doc_id")
         val (status, body) = poster.get(s"$baseUrl/$id")
-        val converged = status == 200 &&
-          (try strip(mapper.readTree(body)) ==
-            strip(mapper.readTree(r.getAs[String]("doc")))
-          catch { case _: java.io.IOException => false })
+        val doc = r.getAs[String]("doc")
+        // a tombstone payload whose first attempt was ACCEPTED reads
+        // back 404 — that IS the converged state for a delete (ADVICE
+        // r13: requiring 200 made a crash between spill and marker on a
+        // delete-carrying batch crash-loop forever)
+        val deleted =
+          try mapper.readTree(doc).path("_deleted").asBoolean(false)
+          catch { case _: java.io.IOException => false }
+        val converged =
+          if (deleted) status == 404
+          else status == 200 &&
+            (try strip(mapper.readTree(body)) == strip(mapper.readTree(doc))
+            catch { case _: java.io.IOException => false })
         org.apache.spark.sql.Row(id, converged)
       }
     }
@@ -306,15 +315,24 @@ object BulkDocsSink {
           if (nBad > 0L) {
             if (!priorAttempt) throw new IllegalStateException(
               s"write-back batch $id reported $nBad per-doc conflicts")
-            val conflicted =
-              bad.where(col("error") === lit("conflict")).select(col("doc_id"))
-            val nConflicted = conflicted.count()
-            val nonConflict = nBad - nConflicted
-            // count DOWN from the conflict total: a conflicted id the
-            // batch can't even be joined back to is NOT converged
-            val notConverged = nConflicted - conflictsConverged(
-                df, conflicted, docCol, baseUrl, poster)
-              .where(col("converged")).count()
+            // per UNIQUE id, not per result row: a duplicate _id in the
+            // batch (two revisions of one doc in a micro-batch) yields
+            // more join-back rows than conflict rows, and a row-count
+            // subtraction went NEGATIVE — cancelling real failures in
+            // the final check (ADVICE r13)
+            val conflicted = bad
+              .where(col("error") === lit("conflict"))
+              .select(col("doc_id")).distinct()
+            val nonConflict =
+              bad.where(!(col("error") <=> lit("conflict"))).count()
+            // anti-join, so a conflicted id the batch can't even be
+            // joined back to (no converged verdict at all) counts as
+            // NOT converged
+            val notConverged = conflicted.join(
+                conflictsConverged(df, conflicted, docCol, baseUrl, poster)
+                  .where(col("converged")).select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+              .count()
             if (nonConflict + notConverged > 0L)
               throw new IllegalStateException(
                 s"write-back batch $id (redelivered): " +

@@ -835,6 +835,28 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"p16b non-equi join:\n$p")
   }
 
+  test("p63/p63b: representative argmax is a partial aggregate, not a cluster window") {
+    // VERDICT r13 task 3: row_number over partitionBy(cluster_id)
+    // funnelled a whole near-dup cluster through one task — a
+    // boilerplate storm serializes there. The argmax is now a
+    // max(struct) groupBy: partial aggregation map-side, so per-task
+    // rows are bounded by the task's input slice at ANY cluster size.
+    for (name <- Seq("p63_cluster_representative", "p63b_representative_boiler")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name still selects representatives through a window:\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"$name funnels through one task:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name non-equi join:\n$p")
+      // partial+final pair for the representative aggregate
+      val aggs = p.linesIterator.count(l =>
+        l.contains("SortAggregate") || l.contains("HashAggregate") ||
+          l.contains("ObjectHashAggregate"))
+      assert(aggs >= 2, s"$name argmax is not partially aggregated:\n$p")
+    }
+  }
+
   test("p87c: repeat DSIR selection reads ONLY the feature artifact, never text") {
     // the standing-corpus path (VERDICT r12 task 7): scoring must scan
     // the persisted (doc, is_t, b, n) table — a plan that still reads

@@ -282,4 +282,63 @@ class WriteBackSpec extends SparkSpec {
       assert(res == 60L)
     } finally stub.stop()
   }
+
+  test("duplicate _id in a redelivered batch cannot cancel a real conflict") {
+    // ADVICE r13 (medium): the converged accounting counted RESULT ROWS,
+    // and a duplicate _id in the batch produced more join-back rows than
+    // conflict rows — the negative remainder cancelled a genuinely
+    // unconverged conflict and committed a bad batch. Accounting is now
+    // per UNIQUE id via anti-join, so this batch must still fail.
+    import spark.implicits._
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val poster = new JdkHttpPoster()
+      // d1's content already landed on the server (the prior attempt)
+      assert(poster.post(s"$url/d1", """{"_id":"d1","v":1}""") == 201)
+      // force the re-POSTs to conflict: d1 converges (content matches),
+      // d3 does not (never stored, GET 404s on a live payload)
+      stub.conflictIds = Set("d1", "d3")
+      val wb = java.nio.file.Files.createTempDirectory("wb-dup").toString
+      // redelivered attempt: the intent marker says a prior send may
+      // have reached the wire
+      val log = java.nio.file.Paths.get(wb, "_wb_batches")
+      java.nio.file.Files.createDirectories(log)
+      java.nio.file.Files.write(log.resolve("intent-0"), Array.emptyByteArray)
+      val df = Seq(
+        ("d1", """{"_id":"d1","v":1}"""),
+        ("d1", """{"_id":"d1","v":1}"""), // two revisions of one doc
+        ("d3", """{"_id":"d3","v":3}"""),
+        ("d5", """{"_id":"d5","v":5}""")).toDF("id", "doc")
+      val run = BulkDocsSink.forBatch(url, poster, wb)
+      val e = intercept[IllegalStateException] { run(df, 0L) }
+      assert(e.getMessage.contains("did not converge"))
+      assert(BulkDocsSink.appliedBatches(wb).isEmpty)
+    } finally { stub.conflictIds = Set.empty; stub.stop() }
+  }
+
+  test("a delete-carrying batch heals on redelivery: 404 converges a tombstone") {
+    // ADVICE r13: convergence required GET 200, but an ACCEPTED
+    // _deleted:true payload reads back 404 — a crash between spill and
+    // marker on a delete-carrying batch crash-looped forever.
+    import spark.implicits._
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val wb = java.nio.file.Files.createTempDirectory("wb-tomb").toString
+      val df = Seq(
+        ("d0", """{"_id":"d0","v":0}"""),
+        ("d7", """{"_id":"d7","_deleted":true}""")).toDF("id", "doc")
+      val run = BulkDocsSink.forBatch(url, new JdkHttpPoster(), wb)
+      run(df, 0L) // first attempt: d0 stored, d7 tombstoned
+      // crash point: spill + POST happened, completion marker did not
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(wb, "_wb_batches", "batch-0"))
+      run(df, 0L) // both re-POSTs conflict; d0 matches content, d7 404s
+      assert(BulkDocsSink.appliedBatches(wb) == Set(0L),
+        "the tombstone replay echo must converge, not crash-loop")
+    } finally stub.stop()
+  }
 }
