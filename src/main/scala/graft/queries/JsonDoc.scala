@@ -95,7 +95,8 @@ object JsonDoc {
     * SAME bytes against the SAME oracle — that sameness IS the gate. */
   private def stagedReplayFeed(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      typed: Boolean = false, limitDocs: Option[Long] = None): String = {
+      typed: Boolean = false, limitDocs: Option[Long] = None,
+      withText: Boolean = false): String = {
     import s.implicits._
     // `typed` adds a "type" field to every doc payload (log for
     // doc_id%4==1, doc otherwise) so the j29 ingest-filter gate has
@@ -103,14 +104,16 @@ object JsonDoc {
     // j32 checkpoint-view gate needs a feed whose replay cost is
     // SF-independent). Different payloads -> different cache keys.
     val out = Pipeline.cachedArtifact(dir, "documents",
-        (if (typed) "j29feed-v1" else "j19feed-v1") +
+        (if (withText) "j43feed-v1"
+         else if (typed) "j29feed-v1" else "j19feed-v1") +
           limitDocs.fold("")(n => s"-lim$n"),
         ready = "_complete") { o =>
       val base = java.nio.file.Files.createTempDirectory("j19stage")
       val staged = base.resolve("staged")
       val d = T(s, dir, "documents")
         .where(limitDocs.fold(lit(true))($"doc_id" < _))
-        .select($"doc_id".as("d"), md5($"text").as("h"))
+        .select($"doc_id".as("d"), md5($"text").as("h"),
+          $"text", $"lang")
       val rev1 = concat(lit("1-"), $"h")
       val loser = struct(lit("1-!loser").as("rev")) // '!' < any hex char
       val changes =
@@ -123,7 +126,7 @@ object JsonDoc {
             struct(concat(lit("2-"), $"h").as("rev"))))
         .otherwise(array(struct(
           concat($"c.v".cast("string"), lit("-"), $"h").as("rev"))))
-      d.select($"d", $"h", explode(array(
+      d.select($"d", $"h", $"text", $"lang", explode(array(
           struct(($"d" * 3 - 2).as("seq"), lit(1).as("v"), lit(true).as("keep")),
           struct(($"d" * 3 - 1).as("seq"), lit(2).as("v"), ($"d" % 3 === 0).as("keep")),
           struct(($"d" * 3).as("seq"), lit(3).as("v"), ($"d" % 7 === 0).as("keep")))).as("c"))
@@ -134,7 +137,15 @@ object JsonDoc {
           changes.as("changes"),
           when($"c.v" === 3, lit(true)).as("deleted"), // null -> omitted
           when($"c.v" =!= 3,
-            if (typed)
+            if (withText)
+              // state-carrying CDC with the doc TEXT in the payload
+              // (the j43 feature-sink feed): the v=2 update APPENDS a
+              // token so update handling provably replaces rows
+              struct($"c.v".as("v"),
+                when($"c.v" === 2, concat($"text", lit(" upd")))
+                  .otherwise($"text").as("text"),
+                $"lang".as("lang"))
+            else if (typed)
               struct($"c.v".as("v"), $"h".as("h"),
                 when($"d" % 4 === 1, lit("log")).otherwise(lit("doc"))
                   .as("type"))
@@ -167,12 +178,12 @@ object JsonDoc {
   private def replayThrough(
       s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
       minCap: Long = 251L, typed: Boolean = false,
-      limitDocs: Option[Long] = None,
+      limitDocs: Option[Long] = None, withText: Boolean = false,
       order: Seq[org.apache.spark.sql.Column] = Seq(col("id")))(
       run: (java.nio.file.Path, String, Option[Long]) =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     cachedGate(s, dir, GateKeys.forTag(tag), order) {
-      val feed = stagedReplayFeed(s, dir, typed, limitDocs)
+      val feed = stagedReplayFeed(s, dir, typed, limitDocs, withText)
       val base = java.nio.file.Files.createTempDirectory(tag)
       val nLines = new graft.streaming.FileChangesFeed(feed)
         .latestSeq() / 3 // upper bound is fine for the admission cap
@@ -2350,7 +2361,66 @@ object JsonDoc {
              |        md5(text) AS h
              |      FROM documents WHERE doc_id % 5 = 0) t
              |ORDER BY CAST(id AS BIGINT)""".stripMargin),
-      "the reference's closing walkthrough gated: filtered union of two stores -> set_key mutation -> bulk POST into a FRESH db -> re-ingest its _changes -> converge -> nagios count invariant (README.md:552-561,655-664)")
+      "the reference's closing walkthrough gated: filtered union of two stores -> set_key mutation -> bulk POST into a FRESH db -> re-ingest its _changes -> converge -> nagios count invariant (README.md:552-561,655-664)"),
+
+    // ---- Stream-maintained DSIR feature table (VERDICT r13 task 7):
+    // p87c's (doc, is_t, b, n) artifact is batch-built; the 100 TB
+    // posture maintains it AT INGEST — the j20/p80/GramSink standing-
+    // index precedent applied to the selection plane. A text-carrying
+    // variant of the shared CDC feed (inserts, updates appending a
+    // token for doc_id%3==0, deletes for doc_id%7==0) replays through
+    // DsirFeatureSink: per micro-batch, rev-guarded winners get their
+    // feature rows recomputed by the SAME dsirFeatures expressions the
+    // batch builder uses, deletes drop rows, rev-equal echoes keep
+    // stored rows untouched — O(touched buckets) per batch. The builder
+    // REQUIRES the streamed table equals the batch build over the
+    // converged doc states (EXCEPT ALL both ways), and the oracle
+    // re-derives it independently from the source table.
+    QueryDef(
+      "j43_streaming_dsir_features",
+      (s, dir) => {
+        import s.implicits._
+        replayThrough(s, dir, "j43", withText = true,
+          order = Seq($"doc_id", $"b")) { (base, feed, cap) =>
+          val store = base.resolve("feat").toString
+          graft.streaming.ChangesPipeline.runOnceWith(s, feed,
+            base.resolve("ckpt").toString,
+            name = s"j43-${java.util.UUID.randomUUID()}",
+            sink = graft.streaming.DsirFeatureSink.forBatch(
+              store, buckets = 8, nBuckets = 64),
+            maxChangesPerTrigger = cap)
+          val streamed = graft.streaming.DsirFeatureSink
+            .readFeatures(s, store)
+            .select($"id".cast("long").as("doc_id"), $"is_t", $"b", $"n")
+          // the gate: incremental maintenance == batch build over the
+          // feed's converged doc states, exact multiset equality
+          val conv = T(s, dir, "documents")
+            .where($"doc_id" % 7 =!= 0)
+            .select($"doc_id",
+              when($"doc_id" % 3 === 0, concat($"text", lit(" upd")))
+                .otherwise($"text").as("text"),
+              $"lang")
+          val expect = graft.pipeline.Vocab.dsirFeatures(
+              conv, "doc_id", "text", $"lang" === "en", nBuckets = 64)
+            .select($"doc".as("doc_id"), $"is_t", $"b", $"n")
+          require(streamed.exceptAll(expect).isEmpty &&
+            expect.exceptAll(streamed).isEmpty,
+            "stream-maintained DSIR features diverge from the batch build")
+          streamed
+        }
+      },
+      Some("""WITH st AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN text || ' upd' ELSE text END AS text, lang
+             |  FROM documents WHERE doc_id % 7 <> 0),
+             |t AS (SELECT doc_id, lang = 'en' AS is_t, u.tok AS tok
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM st) w,
+             |  UNNEST(w.ws) AS u(tok)),
+             |bt AS (SELECT doc_id, is_t,
+             |  CAST('0x'||substr(md5('dsir:'||tok),1,8) AS BIGINT) % 64 AS b FROM t)
+             |SELECT doc_id, is_t, b, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM bt GROUP BY doc_id, is_t, b
+             |ORDER BY doc_id, b""".stripMargin),
+      "ingest-maintained DSIR feature table: CDC replay through the bucketed feature sink == batch build == oracle, hash-exact")
   )
 
   /** A growable window over a staged feed: the stub serves only the

@@ -63,20 +63,27 @@ object BucketedMergeSink {
 
   /** Current full state (id, rev, doc) across all buckets. */
   def readState(spark: SparkSession, root: String): DataFrame =
+    readStateAs(spark, root, stateSchema)
+
+  /** [[readState]] for a store with a caller-defined row schema (the
+    * generic [[applyBucketed]] counterpart). */
+  def readStateAs(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     readManifest(root) match {
       case Some(m) =>
         val dirs = m.versions.zipWithIndex.collect {
           case (v, b) if v >= 0 => bucketDir(root, b, v)
         }
-        if (dirs.isEmpty) emptyState(spark)
+        if (dirs.isEmpty) emptyState(spark, schema)
         // explicit schema: a bucket emptied by deletes is a bare dir
-        else spark.read.schema(stateSchema).parquet(dirs: _*)
-      case None => emptyState(spark)
+        else spark.read.schema(schema).parquet(dirs: _*)
+      case None => emptyState(spark, schema)
     }
 
-  private def emptyState(spark: SparkSession): DataFrame =
+  private def emptyState(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Apply one micro-batch; rewrites only the buckets containing batch
     * keys. Returns the touched bucket ids (empty when the batch was a
@@ -86,7 +93,26 @@ object BucketedMergeSink {
       batch: DataFrame,
       batchId: Long,
       buckets: Int = 16,
-      excludeTypes: Set[String] = Set.empty): Seq[Int] = {
+      excludeTypes: Set[String] = Set.empty): Seq[Int] =
+    applyBucketed(root, batch, batchId, buckets, stateSchema)(
+      (state, b) => ChangeApply.applyChanges(state, b, excludeTypes))
+
+  /** The generic bucketed-manifest apply the document store above is
+    * one instance of: versioned hash buckets of `id`, atomic manifest
+    * swap, replay-NOOP on a seen batchId — with the per-bucket MERGE
+    * function and row schema supplied by the caller (the DSIR feature
+    * store [[DsirFeatureSink]] is the other instance). `merge(state,
+    * batch)` receives the touched buckets' current rows and the raw
+    * batch, and returns those buckets' complete new contents; every
+    * returned row must keep its `id` STRING column, which decides
+    * bucket placement. */
+  def applyBucketed(
+      root: String,
+      batch: DataFrame,
+      batchId: Long,
+      buckets: Int,
+      schema: org.apache.spark.sql.types.StructType)(
+      merge: (DataFrame, DataFrame) => DataFrame): Seq[Int] = {
     val spark = batch.sparkSession
     val prev = readManifest(root)
     if (prev.exists(_.batchId >= batchId)) return Seq.empty // replay NOOP
@@ -108,13 +134,12 @@ object BucketedMergeSink {
       case b if versions(b) >= 0 => bucketDir(root, b, versions(b))
     }
     val state =
-      if (stateDirs.isEmpty) emptyState(spark)
-      else spark.read.schema(stateSchema).parquet(stateDirs.toIndexedSeq: _*)
+      if (stateDirs.isEmpty) emptyState(spark, schema)
+      else spark.read.schema(schema).parquet(stateDirs.toIndexedSeq: _*)
 
     // per-id merge: state rows and batch rows hash to the same bucket,
     // so merging the union of touched buckets is exact
-    val merged = ChangeApply.applyChanges(
-      state, bucketed.drop("__b"), excludeTypes)
+    val merged = merge(state, bucketed.drop("__b"))
       .withColumn("__b", pmod(hash(col("id")), lit(buckets)))
 
     val staging = s"$root/.staging-$batchId"
