@@ -122,7 +122,7 @@ object Pipeline {
     * but partially aggregates map-side: no task ever holds more than
     * one combined row per cluster, at any skew. Input columns:
     * (doc_id, cluster_id, score_q). */
-  private[queries] def representatives(
+  private[graft] def representatives(
       scored: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     scored
