@@ -17,6 +17,26 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_PIN=1 to measure the resident posture anyway.
   */
 object Bench {
+
+  /** Clean-run total for this SF from the committed BENCH_BASELINE.json
+    * (keyed by the sf dir's basename, "sf0.1"), times the 1.25
+    * inflation budget — the retry trigger that keeps the recorded
+    * artifact within 25% of a known-clean run of the same catalog
+    * (VERDICT r14 task 1). None when the file or the SF's key is
+    * absent (fresh checkout, novel SF). */
+  private def baselineTarget(sfDir: String): Option[Double] = {
+    val path = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
+    val f = new java.io.File(path)
+    if (!f.exists()) None
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f).path("clean_totals")
+        .path(new java.io.File(sfDir).getName)
+      if (node.isNumber) Some(node.asDouble() * 1.25) else None
+    } catch { case _: java.io.IOException => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -125,14 +145,21 @@ object Bench {
     // are re-measured after the sweep — still real end-to-end runs,
     // still min-of-N semantics. Up to 3 passes, each preceded by a JIT
     // settle, until the catalog total is inside the target.
-    // retry stop-condition: a healthy warm full-catalog sweep lands at
-    // ~56-72 s at sf0.1 (round 13: 56.1 final-tree / 71.9 cold-JVM vs a
-    // 186 s DuckDB oracle total), so the default target sits above the
-    // normal-noise band and retries only chase genuinely sick runs
-    // (compile storms measure 5-50x slow) rather than burning 3 full
-    // re-sweeps on an ordinarily-noisy one (ADVICE r13: the old 75.0
-    // default sat just under the cold-JVM total)
-    val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET", "100.0").toDouble
+    // retry stop-condition: RELATIVE to the last recorded clean-run
+    // total for this SF (VERDICT r14 task 1). A fixed absolute target
+    // defanged the retry machinery exactly when it was needed: r14's
+    // driver sweep ran a degraded JVM phase (96.1 s vs 73.5 s clean on
+    // the SAME tree, 61 untouched entries >1.5x slow) and the 100 s
+    // absolute default let it stand as the round's headline artifact.
+    // The committed BENCH_BASELINE.json carries each SF's clean total;
+    // the target is clean x 1.25, so any sweep more than 25% over a
+    // known-clean run of this catalog retries until it converges (or
+    // exhausts 3 passes — still honest, min-of-N). The env var remains
+    // an explicit override for big-SF curve runs; the 100 s absolute
+    // fallback only applies when no baseline was ever recorded.
+    val target = sys.env.get("SPARK_GRAFT_BENCH_TARGET").map(_.toDouble)
+      .orElse(baselineTarget(sfDir))
+      .getOrElse(100.0)
     val best = scala.collection.mutable.LinkedHashMap(results0: _*)
     if (warmup) {
       var pass = 0

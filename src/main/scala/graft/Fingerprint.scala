@@ -79,26 +79,39 @@ object Fingerprint {
     * Computed once per JVM from the code-source location (the
     * `target/scala-2.13/classes` dir under sbt, the jar when packaged)
     * with the same name+length+content-sample walk the corpus keys use.
-    * The system property `graft.test.machineryFp` overrides it so specs
-    * can pin the rekey-on-code-change contract without recompiling.
+    * [[testOverride]] (thread-confined) lets specs pin the
+    * rekey-on-code-change contract without recompiling.
     */
   def machinery: String =
-    sys.props.getOrElse("graft.test.machineryFp", machineryDefault)
+    testOverride.value.getOrElse(machineryDefault)
+
+  /** Spec-only override, a DynamicVariable so it is confined to the
+    * overriding thread: a global system property here let a spec's
+    * temporary fingerprint leak into concurrently-running suites'
+    * cachedArtifact calls mid-run, flipping their cache keys (ADVICE
+    * r14). */
+  private[graft] val testOverride =
+    new scala.util.DynamicVariable[Option[String]](None)
 
   private lazy val machineryDefault: String = {
+    // a non-file code-source URL (jar:/nested classloader) must degrade
+    // like the no-code-source branch, not throw out of the lazy val and
+    // fail every cachedArtifact call (ADVICE r14)
     val src = Option(getClass.getProtectionDomain.getCodeSource)
-      .map(cs => new java.io.File(cs.getLocation.toURI))
+      .flatMap(cs =>
+        scala.util.Try(new java.io.File(cs.getLocation.toURI)).toOption)
     src match {
       case Some(f) if f.isDirectory =>
         md5hex("machinery#" + ofTable(new java.io.File(f, "graft"))).take(12)
       case Some(f) =>
         md5hex("machinery#" + ofTable(f)).take(12)
       case None =>
-        // an exotic classloader with no code source: fall back to
-        // corpus-only keying, loudly — silent is how staleness hides
+        // an exotic classloader with no (or a non-file) code source:
+        // fall back to corpus-only keying, loudly — silent is how
+        // staleness hides
         System.err.println(
-          "[graft] WARNING: no code source for machinery fingerprint; " +
-            "artifact caches will not rekey on code changes")
+          "[graft] WARNING: no usable code source for machinery " +
+            "fingerprint; artifact caches will not rekey on code changes")
         "nocodesource"
     }
   }

@@ -34,19 +34,32 @@ object GateBench {
     * a local filesystem), so a concurrent reader either keeps the old
     * handle's data or sees a clean missing-dir rebuild — never a
     * half-deleted parquet tree. */
+  private def deleteTree(root: java.io.File): Unit =
+    scala.util.Using.resource(java.nio.file.Files.walk(root.toPath)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList
+    }.foreach(java.nio.file.Files.deleteIfExists(_))
+
   private def dropArtifacts(key: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(s"graft-$key-"))
+    val all = Option(tmp.listFiles()).getOrElse(Array.empty)
+    // a rename-aside whose recursive delete then failed leaves a hidden
+    // '.graft-*-dropped-*' tree the key-prefix filter below never
+    // re-matches — sweep those orphans first (best-effort: a tree a
+    // concurrent walker still holds open just waits for the next sweep)
+    // so failed deletions cannot accumulate in the global tmpdir across
+    // rounds (ADVICE r14)
+    all.filter(f => f.getName.startsWith(".graft-") &&
+        f.getName.contains(".dropped-"))
+      .foreach(d => try deleteTree(d)
+        catch { case _: java.io.IOException => () })
+    all.filter(_.getName.startsWith(s"graft-$key-"))
       .foreach { d =>
         val aside = new java.io.File(tmp,
           s".${d.getName}.dropped-${System.nanoTime()}")
         val gone = if (d.renameTo(aside)) aside else d
-        scala.util.Using.resource(java.nio.file.Files.walk(gone.toPath)) { st =>
-          import scala.jdk.CollectionConverters._
-          st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.toList
-        }.foreach(java.nio.file.Files.deleteIfExists(_))
+        deleteTree(gone)
       }
   }
 
@@ -63,8 +76,16 @@ object GateBench {
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // TOTAL registry→catalog mapping (VERDICT r14 task 6): a silent
+    // .filter here once meant a typo'd GateKeys name just vanished from
+    // the sweep — and from the gate-regression baseline — with no error.
+    // Entries that deliberately lead the catalog go in GateKeys.pending.
+    val unknown = gateKeys.keySet -- graft.queries.GateKeys.pending --
+      SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"GateKeys entries with no catalog query (typo?): $unknown")
     val names = gateKeys.keys.toSeq.sorted
-      .filter(SparkEntry.queries.contains) // registry may lead the catalog
+      .filterNot(graft.queries.GateKeys.pending)
       .filter(n => only.forall(_.exists(n.startsWith)))
     def time(name: String): Double = {
       val t0 = System.nanoTime()

@@ -64,8 +64,39 @@ object DistributedRank {
     val spark = df.sparkSession
     spark.conf.getOption(ReliableDirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        sc.getCheckpointDir match {
+          case None =>
+            sc.setCheckpointDir(dir)
+            // reliable checkpoints are NOT reclaimed by default
+            // (spark.cleaner.referenceTracking.cleanCheckpoints=false):
+            // every pin leaves a durable copy under the dir for the
+            // life of the job. A long-running job should either enable
+            // that cleaner conf or point ReliableDirConf at a
+            // TTL-managed path; say so once rather than leak silently
+            // (ADVICE r14).
+            if (!sc.getConf.getBoolean(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+              System.err.println(
+                s"[graft] DistributedRank: reliable pins under $dir are " +
+                  "kept for the job's lifetime (set spark.cleaner." +
+                  "referenceTracking.cleanCheckpoints=true or use a " +
+                  "TTL-managed dir for long-running jobs)")
+          case Some(existing) =>
+            // setCheckpointDir appends a per-context UUID segment, so
+            // compare by prefix after stripping any scheme — if the
+            // context's dir was pinned elsewhere to a DIFFERENT root,
+            // the conf's value is being ignored: warn, don't silently
+            // checkpoint somewhere the operator didn't promise
+            // (ADVICE r14)
+            val want = dir.stripSuffix("/")
+            val got = existing.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+            if (!got.startsWith(want.replaceFirst(
+                "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")))
+              System.err.println(
+                s"[graft] DistributedRank: $ReliableDirConf=$dir ignored " +
+                  s"— the SparkContext checkpoint dir is already $existing")
+        }
         df.checkpoint()
       case None => df.localCheckpoint(true)
     }

@@ -97,10 +97,22 @@ object Dedup {
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
+    // The verify join carries the WIDE shingle-set arrays, so its
+    // shuffle partition count must scale with input bytes, not sit at
+    // the session's fixed value (VERDICT r14 task 5: at sf30 this was
+    // the one superlinear stage in the tree — 32 oversized partitions
+    // spilling, not algorithm). Hash-repartitioning the wide side on
+    // the join key makes EnsureRequirements shuffle the thin candidate
+    // side up to match; at small SF `parts` == the session value and
+    // the shuffle shape is what it always was.
+    val parts = Par.scaledShuffleParts(
+      df.select(col(idCol), col(textCol)))
     val sa = shingleSets.select(
       col("doc").as("doc_a"), col("shingle_set").as("ss_a"))
+      .repartition(parts, col("doc_a"))
     val sb = shingleSets.select(
       col("doc").as("doc_b"), col("shingle_set").as("ss_b"))
+      .repartition(parts, col("doc_b"))
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),

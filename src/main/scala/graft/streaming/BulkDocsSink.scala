@@ -253,10 +253,24 @@ object BulkDocsSink {
     val spark = docs.sparkSession
     // join on the payload's `_id` — the key the server stored and
     // reported the conflict under (the batch's idCol need not match it)
+    //
+    // ...then collapse to ONE payload per _id before any verdict: the
+    // revision that SHOULD be the final state (highest `_rev` ordinal,
+    // CouchDB's winner rule, cdc.Rev; payload text as a deterministic
+    // tie-break for rev-less docs). Judging every row independently let
+    // a batch carrying two DIFFERING revisions of one _id converge on
+    // the STALE row's match while the latest never landed — the batch
+    // then committed with the final state unapplied (ADVICE r14).
     val pending = docs
       .select(get_json_object(col(docCol), "$._id").as("doc_id"),
         col(docCol).as("doc"))
       .join(conflictedIds.select(col("doc_id")), Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("doc"), struct(
+        coalesce(
+          graft.cdc.Rev.ordinalCol(get_json_object(col("doc"), "$._rev")),
+          lit(-1L)),
+        col("doc"))).as("doc"))
     val out = pending.rdd.mapPartitions { it =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       def strip(n: com.fasterxml.jackson.databind.JsonNode)

@@ -21,23 +21,30 @@ class ArtifactCacheSpec extends SparkSpec {
   test("a machinery-fingerprint change forces a rebuild; same code stays warm") {
     val dir = java.nio.file.Files.createTempDirectory("mfp").toString
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
-    sys.props("graft.test.machineryFp") = "fpA"
-    try {
+    // thread-confined override (ADVICE r14): a sys.props override here
+    // leaked into concurrently-running suites' cachedArtifact calls,
+    // flipping THEIR cache keys mid-run — DynamicVariable scopes the
+    // test fingerprint to this spec's thread only
+    def withFp[A](fp: String)(body: => A): A =
+      graft.Fingerprint.testOverride.withValue(Some(fp))(body)
+    withFp("fpA") {
       Pipeline.cachedArtifact(dir, "documents", "mfp-spec-v1")(build(n))
       assert(n.get() == 1)
       // same corpus + same code: warm read, no rebuild
       Pipeline.cachedArtifact(dir, "documents", "mfp-spec-v1")(build(n))
       assert(n.get() == 1)
-      // "edit MergeSink.scala": the bytecode fingerprint changes while
-      // the corpus and the hand-maintained key stay identical
-      sys.props("graft.test.machineryFp") = "fpB"
+    }
+    // "edit MergeSink.scala": the bytecode fingerprint changes while
+    // the corpus and the hand-maintained key stay identical
+    withFp("fpB") {
       Pipeline.cachedArtifact(dir, "documents", "mfp-spec-v1")(build(n))
       assert(n.get() == 2, "a code change must never reuse an old artifact")
-      // and back: the fpA artifact is still present and warm
-      sys.props("graft.test.machineryFp") = "fpA"
+    }
+    // and back: the fpA artifact is still present and warm
+    withFp("fpA") {
       Pipeline.cachedArtifact(dir, "documents", "mfp-spec-v1")(build(n))
       assert(n.get() == 2)
-    } finally sys.props.remove("graft.test.machineryFp")
+    }
   }
 
   test("default machinery fingerprint: computed from the compiled classes, stable in-JVM") {
@@ -53,11 +60,22 @@ class ArtifactCacheSpec extends SparkSpec {
     assert(GateKeys.forTag("j19") == "j19gate-v1")
     assert(GateKeys.forTag("j27") == s"j27annidx-p${GateKeys.j27Planes}-c1")
     intercept[IllegalArgumentException](GateKeys.forTag("j999"))
-    // every registered gate key names a real catalog entry (or a
-    // registry-leads-catalog entry awaiting its gate, filtered by
-    // GateBench at run time)
     GateKeys.byQuery.keys.foreach { n =>
       assert(n.matches("j\\d+_[a-z_]+"), s"odd gate name: $n")
     }
+    // the registry→catalog mapping is TOTAL (VERDICT r14 task 6): a
+    // typo'd GateKeys name used to be silently .filter'd out of
+    // GateBench's sweep, dropping that gate from the regression
+    // baseline with no error. Every non-pending key must resolve to a
+    // real catalog entry; a registry-leads-catalog entry goes in
+    // GateKeys.pending explicitly.
+    val unresolved =
+      GateKeys.byQuery.keySet -- GateKeys.pending --
+        graft.SparkEntry.queries.keySet
+    assert(unresolved.isEmpty,
+      s"GateKeys entries with no catalog query: $unresolved")
+    val stalePending = GateKeys.pending -- GateKeys.byQuery.keySet
+    assert(stalePending.isEmpty,
+      s"pending names not in the registry: $stalePending")
   }
 }

@@ -318,6 +318,51 @@ class WriteBackSpec extends SparkSpec {
     } finally { stub.conflictIds = Set.empty; stub.stop() }
   }
 
+  test("two DIFFERING revisions of one _id: convergence is judged against the LATEST") {
+    // ADVICE r14 (medium): per-row verdicts let the STALE revision's
+    // server match converge the id while the latest payload never
+    // landed — the batch committed with the final state unapplied.
+    // conflictsConverged now collapses to the winning payload per _id
+    // (highest _rev ordinal) before comparing, so this batch must FAIL:
+    // the server holds rev-1 content but the batch's final state is
+    // the rev-2 payload.
+    import spark.implicits._
+    val stub = new CouchStubServer("wb", IndexedSeq.empty, stateful = true)
+    val port = stub.start()
+    try {
+      val url = s"http://127.0.0.1:$port/wb"
+      val poster = new JdkHttpPoster()
+      // the prior attempt landed only the STALE revision's content
+      // (rev-less create; the server assigns its own rev — strip()
+      // drops _id/_rev before compare, so only content matters)
+      assert(poster.post(s"$url/d1", """{"_id":"d1","v":1}""") == 201)
+      stub.conflictIds = Set("d1")
+      val wb = java.nio.file.Files.createTempDirectory("wb-rev").toString
+      val log = java.nio.file.Paths.get(wb, "_wb_batches")
+      java.nio.file.Files.createDirectories(log)
+      java.nio.file.Files.write(log.resolve("intent-0"), Array.emptyByteArray)
+      def twoRevBatch(id: String) = Seq(
+        (id, s"""{"_id":"$id","_rev":"1-a","v":1}"""), // stale
+        (id, s"""{"_id":"$id","_rev":"2-b","v":2}""")) // latest
+        .toDF("id", "doc")
+      val run = BulkDocsSink.forBatch(url, poster, wb)
+      val e = intercept[IllegalStateException] { run(twoRevBatch("d1"), 0L) }
+      assert(e.getMessage.contains("did not converge"))
+      assert(BulkDocsSink.appliedBatches(wb).isEmpty)
+      // and the healthy twin: a doc whose server-side content already
+      // IS the latest revision's converges as a replay echo
+      stub.conflictIds = Set.empty
+      assert(poster.post(s"$url/d2", """{"_id":"d2","v":2}""") == 201)
+      stub.conflictIds = Set("d2")
+      val wb2 = java.nio.file.Files.createTempDirectory("wb-rev2").toString
+      val log2 = java.nio.file.Paths.get(wb2, "_wb_batches")
+      java.nio.file.Files.createDirectories(log2)
+      java.nio.file.Files.write(log2.resolve("intent-0"), Array.emptyByteArray)
+      BulkDocsSink.forBatch(url, poster, wb2)(twoRevBatch("d2"), 0L)
+      assert(BulkDocsSink.appliedBatches(wb2).nonEmpty)
+    } finally { stub.conflictIds = Set.empty; stub.stop() }
+  }
+
   test("a delete-carrying batch heals on redelivery: 404 converges a tombstone") {
     // ADVICE r13: convergence required GET 200, but an ACCEPTED
     // _deleted:true payload reads back 404 — a crash between spill and
