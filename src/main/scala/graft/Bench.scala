@@ -24,18 +24,36 @@ object Bench {
     * artifact within 25% of a known-clean run of the same catalog
     * (VERDICT r14 task 1). None when the file or the SF's key is
     * absent (fresh checkout, novel SF). */
-  private def baselineTarget(sfDir: String): Option[Double] = {
+  private def baselineNode(sfDir: String, key: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val path = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
     val f = new java.io.File(path)
     if (!f.exists()) None
     else try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(f).path("clean_totals")
-        .path(new java.io.File(sfDir).getName)
-      if (node.isNumber) Some(node.asDouble() * 1.25) else None
+        .readTree(f).path(key).path(new java.io.File(sfDir).getName)
+      if (node.isMissingNode) None else Some(node)
     } catch { case _: java.io.IOException => None }
   }
+
+  private def baselineTarget(sfDir: String): Option[Double] =
+    baselineNode(sfDir, "clean_totals").filter(_.isNumber)
+      .map(_.asDouble() * 1.25)
+
+  /** Per-entry clean walls for this SF ("clean_queries" in
+    * BENCH_BASELINE.json) — the reference for the per-entry retry
+    * below. Empty when unrecorded (novel SF). */
+  private def baselineQueries(sfDir: String): Map[String, Double] =
+    baselineNode(sfDir, "clean_queries").map { node =>
+      val it = node.fields()
+      val m = scala.collection.mutable.Map.empty[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) m(e.getKey) = e.getValue.asDouble()
+      }
+      m.toMap
+    }.getOrElse(Map.empty)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,9 +116,15 @@ object Bench {
       // in the warmup sweep, 64.7 s once rounds carried the full
       // catalog's leftovers). Clock stops first — cleanup is not the
       // query's cost.
-      if (!pinned)
+      if (!pinned) {
+        // clearCache drops BOTH the blocks and the CacheManager plan
+        // registry: operators' within-query Par.shared persists must
+        // not leave fragments a LATER query's plan would substitute —
+        // every entry is timed standalone, recomputing from parquet.
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+      }
       t
     }
     val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
@@ -173,6 +197,33 @@ object Bench {
             best(n) = math.min(best(n), r)
           }
         }
+        pass += 1
+      }
+    }
+    // Per-ENTRY outlier retry (r15): the total-based loop above cannot
+    // see one entry poisoned by a sick JVM window inside an otherwise
+    // healthy sweep (r15 measured p63b 41.9 s in-sweep vs 5.97 s
+    // isolated on the same tree while the sweep total stayed under its
+    // 1.25x target; r14 let 61 such entries slide with no alarm). Any
+    // entry more than 1.5x over its recorded per-SF clean wall
+    // (BENCH_BASELINE.json "clean_queries") is re-run — still the same
+    // query, same action, min-of-N semantics — up to 2 passes. Extra
+    // wall is proportional to the flagged set only.
+    if (warmup) {
+      val base = baselineQueries(sfDir)
+      var pass = 0
+      var flagged = best.keys.toSeq.filter(n =>
+        best(n) > 0.5 && base.get(n).exists(b => best(n) > b * 1.5))
+      while (pass < 2 && flagged.nonEmpty) {
+        jitSettle(s"pre-entry-retry-$pass")
+        flagged.foreach { n =>
+          val r = run(n)
+          if (verbose)
+            System.err.println(f"[bench] entry-retry$pass $n%-28s $r%8.3f s")
+          best(n) = math.min(best(n), r)
+        }
+        flagged = flagged.filter(n =>
+          best(n) > 0.5 && base.get(n).exists(b => best(n) > b * 1.5))
         pass += 1
       }
     }

@@ -30,7 +30,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop localCheckpoint blocks the query left behind (see Bench)
+      // drop localCheckpoint blocks AND within-query Par.shared cache
+      // entries the query left behind (see Bench)
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

@@ -40,7 +40,7 @@ object Par {
     * then shuffles the other join side to match instead of re-shuffling
     * the wide one down to the session count. */
   def scaledShuffleParts(df: DataFrame,
-      targetBytesPerPartition: Long = 32L << 20): Int = {
+      targetBytesPerPartition: Long = 8L << 20): Int = {
     val sess = df.sparkSession.sessionState.conf.numShufflePartitions
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val want = (bytes / targetBytesPerPartition).min(BigInt(32768)).toInt + 1
