@@ -102,13 +102,21 @@ object Bench {
     val pinned = sys.env.getOrElse("SPARK_GRAFT_PIN", "0") == "1"
     def run(name: String): Double = {
       val t0 = System.nanoTime()
+      var ok = true
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch {
         case e: Throwable =>
+          ok = false
           failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
           System.err.println(s"[bench] $name FAILED: ${failed(name)}")
       }
-      val t = (System.nanoTime() - t0) / 1e9
+      // A failed execution must never LOWER a recorded time: the retry
+      // loops take min(best, run(..)), and a fast throw would otherwise
+      // overwrite a legitimate wall in the detail artifact (the errors/
+      // failed fields flag it and the process exits 1 either way, but
+      // the per-entry number would be corrupted).
+      val t =
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       // localCheckpoint blocks from iterative operators (CC fixpoint,
       // distributed-rank offsets) outlive their query in this long-lived
       // JVM; at sf10 the accumulated blocks crowd the unified memory
@@ -118,8 +126,9 @@ object Bench {
       // query's cost.
       if (!pinned) {
         // clearCache drops BOTH the blocks and the CacheManager plan
-        // registry: operators' within-query Par.shared persists must
-        // not leave fragments a LATER query's plan would substitute —
+        // registry: operators that persist WITHIN a query (KMeans.train,
+        // Contamination.bloomShingleHits' held-out hashes) must not
+        // leave fragments a LATER query's plan would substitute —
         // every entry is timed standalone, recomputing from parquet.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -185,6 +194,12 @@ object Bench {
       .orElse(baselineTarget(sfDir))
       .getOrElse(100.0)
     val best = scala.collection.mutable.LinkedHashMap(results0: _*)
+    // Retry fire-counts per entry, committed in the detail artifact: the
+    // min-of-N retry suppresses upward noise only, so an entry that is
+    // CHRONICALLY retried (intermittently slow — marginal spill, bimodal
+    // GC) must stay visible even when its recorded min looks healthy.
+    val retried = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     if (warmup) {
       var pass = 0
       while (pass < 3 && best.values.sum > target &&
@@ -195,6 +210,7 @@ object Bench {
             val r = run(n)
             if (verbose) System.err.println(f"[bench] retry$pass $n%-28s $r%8.3f s")
             best(n) = math.min(best(n), r)
+            retried(n) += 1
           }
         }
         pass += 1
@@ -221,6 +237,7 @@ object Bench {
           if (verbose)
             System.err.println(f"[bench] entry-retry$pass $n%-28s $r%8.3f s")
           best(n) = math.min(best(n), r)
+          retried(n) += 1
         }
         flagged = flagged.filter(n =>
           best(n) > 0.5 && base.get(n).exists(b => best(n) > b * 1.5))
@@ -236,11 +253,21 @@ object Bench {
     // doubles once pushed the line past it, leaving the round artifact a
     // truncated, unparseable fragment). Full precision lives in the
     // sibling detail artifact, which is committed to the repo.
-    def jsonLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def jsonLine(fmt: Double => String, withRetries: Boolean): String = {
+      // failed entries carry +Infinity (see run()); emit -1 so the line
+      // stays valid JSON — they are also named in `failed` and force
+      // exit 1, so a -1 can never read as a fast success.
+      def fin(v: Double): String = if (v.isInfinity) "-1" else fmt(v)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fin(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":${failed.size},"failed":$errs,"sf":"$sfDir"}"""
+      // fire-counts go in the committed DETAIL artifact only — the
+      // stdout line feeds the driver's bounded log tail and must not grow
+      val rt = if (!withRetries) "" else ""","retries":""" +
+        retried.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fin(total)},"unit":"sec","queries":$qs""" +
+        s"""$rt,"errors":${failed.size},"failed":$errs,"sf":"$sfDir"}"""
     }
     // Unset SPARK_GRAFT_BENCH_DETAIL to skip; full sweeps default into
     // the repo so each round's headline is reproducible from committed
@@ -249,7 +276,7 @@ object Bench {
       if (only.isEmpty) "BENCH_DETAIL.json" else "")
     if (detailPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (jsonLine(_.toString) + "\n")
+        (jsonLine(_.toString, withRetries = true) + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
@@ -258,13 +285,14 @@ object Bench {
     // break the JSON this line exists to provide.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(jsonLine(ms))
+    println(jsonLine(ms, withRetries = false))
     // The driver's log tail is BOUNDED and clips from the HEAD — at 170+
     // entries the map line alone can overflow it, leaving the round
     // artifact a truncated fragment. A short summary line printed LAST
     // is always fully retained, so every round has one complete,
     // self-parseable JSON object regardless of catalog size.
-    println(s"""{"metric":"total_summary","value":${ms(total)},""" +
+    println(s"""{"metric":"total_summary","value":${
+        if (total.isInfinity) "-1" else ms(total)},""" +
       s""""unit":"sec","n_queries":${results.size},""" +
       s""""errors":${failed.size},"failed":$errs,"sf":"$sfDir"}""")
     if (failed.nonEmpty) {

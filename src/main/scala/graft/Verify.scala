@@ -30,8 +30,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop localCheckpoint blocks AND within-query Par.shared cache
-      // entries the query left behind (see Bench)
+      // drop localCheckpoint blocks AND cache entries left behind by
+      // operators that persist within a query (KMeans.train,
+      // Contamination.bloomShingleHits — see Bench)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

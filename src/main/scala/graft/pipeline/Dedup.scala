@@ -103,8 +103,11 @@ object Dedup {
     // the one superlinear stage in the tree — 32 oversized partitions
     // spilling, not algorithm). Hash-repartitioning the wide side on
     // the join key makes EnsureRequirements shuffle the thin candidate
-    // side up to match; at small SF `parts` == the session value and
-    // the shuffle shape is what it always was.
+    // side up to match. At the 8 MB/partition target the scaled count
+    // starts to exceed a 32-partition session above ~256 MB of
+    // column-pruned (id, text) input — around sf1-sf3 for this corpus;
+    // below that `parts` == the session value and the shuffle shape is
+    // unchanged.
     val parts = Par.scaledShuffleParts(
       df.select(col(idCol), col(textCol)))
     val sa = shingleSets.select(

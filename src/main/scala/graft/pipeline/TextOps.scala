@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokens — split(text, " ") semantics (every token kept,
+    * empties included), via the codegen'd byte-scan kernel
+    * (graft.functions.TokensExpr): the built-in StringSplit routes
+    * through String.split — a full UTF-16 decode per document plus a
+    * String allocation and UTF-8 re-encode per token — on every corpus
+    * pass of every text operator. Bit-identical for valid UTF-8 input
+    * (pinned by TokExprsSpec against the built-in). */
+  def tokens(text: Column): Column = graft.functions.Tok.tokensCol(text)
 
   /** Word n-gram shingles (ordered, with duplicates). Documents shorter
     * than n words yield an empty array.

@@ -32,27 +32,40 @@ object Vocab {
     * @return (doc, n_words, n_chars, bpe_tokens) — one row per doc
     */
   def bpeTokensCached(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-      explode(TextOps.tokens(col(textCol))).as("word"))
+    // fused tokenize+count kernel (r16): the token stream is the
+    // distinct-types-per-doc table weighted by n — every downstream sum
+    // distributes over n, so results are identical with far fewer rows
+    // ever exploded or joined (and no String.split decode per doc).
+    val toks = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .select(col("doc"), col("tc.token").as("word"), col("tc.n").as("n"))
     val types = toks.select("word").distinct()
       .select(col("word"),
         graft.functions.Text.bpeCount(array(col("word"))).as("n_tok"),
         length(col("word")).cast("long").as("n_ch"))
     toks.join(broadcast(types), "word")
       .groupBy("doc")
-      .agg(count(lit(1)).as("n_words"),
-        sum("n_ch").as("n_chars"),
-        sum("n_tok").as("bpe_tokens"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_ch")).as("n_chars"),
+        sum(col("n") * col("n_tok")).as("bpe_tokens"))
   }
 
   /** Corpus-wide (token, tf, df): total occurrences and number of
-    * distinct documents containing the token. */
+    * distinct documents containing the token.
+    *
+    * Fused kernel (r16): tokenCounts emits one (token, n) per distinct
+    * token per doc, so tf = sum(n) and — because (doc, token) rows are
+    * already unique — df = count(*). The countDistinct two-phase
+    * aggregation (an extra exchange keyed (token, doc) over the full
+    * OCCURRENCE stream) disappears; one vocab-sized shuffle remains. */
   def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("__doc"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("tf"),
-        countDistinct(col("__doc")).as("df"))
+    Par.widen(docs.select(col(textCol)))
+      .select(
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(sum(col("tc.n")).as("tf"),
+        count(lit(1)).as("df"))
 
   /** Top-k corpus vocabulary by total frequency (ties broken by token
     * text for determinism). */
@@ -78,9 +91,15 @@ object Vocab {
     * row per doc — the only shuffle carries (doc, count, sum) triples,
     * never text. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-      explode(TextOps.tokens(col(textCol))).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    // fused tokenize+count kernel (r16): both the LM build and the
+    // per-doc scoring consume the distinct-(doc, token, n) stream —
+    // tf = sum(n), per-doc count(*) = sum(n), per-doc sum(lpq over
+    // occurrences) = sum(n * lpq). Same integer micro-nat results.
+    val toks = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .select(col("doc"), col("tc.token").as("token"), col("tc.n").as("n"))
+    val vocab = toks.groupBy("token").agg(sum(col("n")).as("tf"))
     val totals = vocab.agg(sum(col("tf")).as("n"), count(lit(1)).as("vsz"))
     val lm = vocab.crossJoin(broadcast(totals))
       .select(col("token"),
@@ -89,7 +108,8 @@ object Vocab {
           .cast("long").as("lpq"))
     toks.join(broadcast(lm), "token")
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lpq")).as("lp_sum"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lpq")).as("lp_sum"))
       .select(col("doc").as(idCol), col("n_tokens"), col("lp_sum"),
         (col("lp_sum").cast("double") / lit(1e6) /
           col("n_tokens").cast("double")).as("mean_logprob"))
@@ -107,19 +127,24 @@ object Vocab {
     * sparser) and broadcasts; the doc-side bigram stream partial-aggs
     * to one row per doc. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = docs
-      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(col("doc"), col("ws"),
-        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
-      .select(col("doc"),
-        element_at(col("ws"), col("i")).as("prev"),
-        element_at(col("ws"), col("i") + 1).as("cur"))
+    // Single-pass bigram generator (r16): emits (prev, cur) occurrence
+    // structs directly from the byte scan — no token-array
+    // materialization, no sequence() explode, no element_at pair. The
+    // prev-margin is DERIVED from the bigram table (np = Σ_cur nb, one
+    // vocab²-bounded rollup reusing cBig's exchange) instead of a third
+    // corpus pass, and vsz consumes the distinct-types stream. Corpus
+    // passes: 4 → 3 (cBig, final scoring, vsz).
+    val wide = Par.widen(docs.select(col(idCol), col(textCol)))
+    val bg = wide
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Tok.bigramsCol(col(textCol))).as("p"))
+      .select(col("doc"), col("p.a").as("prev"), col("p.b").as("cur"))
     val cBig = bg.groupBy("prev", "cur").agg(count(lit(1)).as("nb"))
-    val cPrev = bg.groupBy("prev").agg(count(lit(1)).as("np"))
-    val vsz = docs.select(explode(TextOps.tokens(col(textCol))).as("t"))
-      .agg(countDistinct(col("t")).as("vsz"))
-    val lm = cBig.join(cPrev, "prev").crossJoin(broadcast(vsz))
+    val cPrev = cBig.groupBy("prev").agg(sum(col("nb")).as("np"))
+    val vsz = wide.select(
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .agg(countDistinct(col("tc.token")).as("vsz"))
+    val lm = cBig.join(broadcast(cPrev), "prev").crossJoin(broadcast(vsz))
       .select(col("prev"), col("cur"),
         floor(log((col("nb").cast("double") + lit(1.0d)) /
           (col("np").cast("double") + col("vsz").cast("double"))) * lit(1e6))
@@ -140,9 +165,10 @@ object Vocab {
     * running window here ranks |docs| rows, not tokens; at extreme doc
     * counts swap it for Packing's two-phase distributed prefix sum. */
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val first = docs.select(col(idCol).as("doc"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(min(col("doc")).as("first_doc"))
+    val first = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .groupBy(col("tc.token").as("token")).agg(min(col("doc")).as("first_doc"))
     val perDoc = first.groupBy("first_doc")
       .agg(count(lit(1)).as("new_tokens"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
@@ -165,19 +191,26 @@ object Vocab {
     * broadcasts. */
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
       maxTokens: Int = 64, minPairCount: Long = 5L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("token"))
-    val docTok = docs.select(col(idCol).as("doc"),
-        explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= maxTokens)
-      .select(col("doc"), col("token"))
+    // r16: the "first maxTokens distinct tokens in token order" cap was
+    // a row_number window — a full (doc)-keyed exchange + sort of the
+    // exploded distinct-token stream — and the pair generation a
+    // doc-keyed self-join (second exchange over the same stream). The
+    // sorted-distinct-capped set is a per-ROW property, so the codegen'd
+    // kernel computes it in the projection, and ordered pairs of a
+    // sorted distinct array ARE the (tok_a < tok_b) self-join output —
+    // zero doc-keyed exchanges remain; only the vocab-sized margin and
+    // pair aggregates shuffle.
+    val capped = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        graft.functions.Tok.sortedDistinctTokensCol(col(textCol), maxTokens)
+          .as("ts"))
+    val docTok = capped.select(col("doc"), explode(col("ts")).as("token"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val margin = docTok.groupBy("token").agg(count(lit(1)).as("m"))
-    val a = docTok.select(col("doc"), col("token").as("tok_a"))
-    val b = docTok.select(col("doc"), col("token").as("tok_b"))
-    val pairs = a.join(b, Seq("doc")).where(col("tok_a") < col("tok_b"))
-      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cab"))
+    val pairs = capped
+      .select(explode(graft.functions.Tok.orderedPairsCol(col("ts"))).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("cab"))
       .where(col("cab") >= minPairCount)
     pairs
       .join(broadcast(margin.select(col("token").as("tok_a"),
@@ -225,11 +258,16 @@ object Vocab {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-      explode(TextOps.tokens(col(textCol))).as("token"))
-    val perDoc = toks.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-    val dfTab = toks.groupBy("token")
-      .agg(countDistinct(col("doc")).as("df"))
+    // r16 fused kernel: tokenCounts IS the per-doc (doc, token, tf)
+    // table — docs are unique rows, so no (doc, token) aggregation (and
+    // its corpus-pairs exchange) is needed at all; df over the unique
+    // pairs is count(*), so the countDistinct two-phase agg (two more
+    // exchanges) collapses to one vocab-sized shuffle.
+    val perDoc = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .select(col("doc"), col("tc.token").as("token"), col("tc.n").as("tf"))
+    val dfTab = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy("doc")
       .orderBy(col("tfidf_q").desc, col("token"))
@@ -253,11 +291,15 @@ object Vocab {
     * broadcast-joins it back onto the per-doc term counts; the ranking
     * window partitions by document. */
   def topTermsPerDoc(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val perDoc = docs.select(col(idCol).as("doc"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy("doc", "token")
-      .agg(count(lit(1)).as("tf"))
-    val df = termStats(docs, idCol, textCol).select(col("token"), col("df"))
+    // r16 fused kernel — same restructure as [[tfidfTopTerms]]: the
+    // generator output IS the per-doc tf table (no corpus-pairs
+    // exchange), and df = count(*) over the unique (doc, token) stream
+    // (no countDistinct double-agg, no second occurrence-stream pass).
+    val perDoc = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .select(col("doc"), col("tc.token").as("token"), col("tc.n").as("tf"))
+    val df = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc")
       .orderBy(col("tf").desc, col("df").asc, col("token"))
     perDoc.join(broadcast(df), "token")
@@ -349,12 +391,12 @@ object Vocab {
   def termDrift(
       docs: DataFrame, idCol: String, textCol: String,
       splitA: org.apache.spark.sql.Column, k: Int = 20): DataFrame = {
-    val counts = docs
+    val counts = Par.widen(docs.select(col(idCol), col(textCol)))
       .select(splitA.as("__a"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy("tok")
-      .agg(count(when(col("__a"), 1)).as("n_a"),
-        count(when(!col("__a"), 1)).as("n_b"))
+        explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
+      .groupBy(col("tc.token").as("tok"))
+      .agg(sum(when(col("__a"), col("tc.n")).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), col("tc.n")).otherwise(0L)).as("n_b"))
     val totals = counts.agg(
       sum("n_a").cast("long").as("__ta"), sum("n_b").cast("long").as("__tb"))
     counts.crossJoin(broadcast(totals))
