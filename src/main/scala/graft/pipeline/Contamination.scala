@@ -30,7 +30,11 @@ object Contamination {
     // distinct shingles per doc, hashed AFTER the generator so md5 runs
     // on the exploded column inside codegen (a transform() lambda would
     // be an interpreted HOF)
-    def hashes(d: DataFrame) = d
+    // widen first (r16): tokenize+shingle+md5 is the compute-dense
+    // stage, and a compressed text table is a handful of byte-sized
+    // parquet splits — at sf10 the whole shingle pass of both sides ran
+    // in ONE task. Pass-through at real scale (see Par.widen).
+    def hashes(d: DataFrame) = Par.widen(d.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
@@ -61,7 +65,8 @@ object Contamination {
       train: DataFrame, heldOut: DataFrame, nGram: Int = 3,
       numBits: Int = 0, numHashes: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def hashes(d: DataFrame) = d
+    // widened for the same single-split reason as [[shingleHits]]
+    def hashes(d: DataFrame) = Par.widen(d.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))
@@ -112,7 +117,7 @@ object Contamination {
   def dupSpanStats(
       docs: DataFrame, nGram: Int = 8, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
+    val sh = Par.widen(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), nGram)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
@@ -175,7 +180,7 @@ object Contamination {
       .map { case (s, i) => s -> (i / BitsPerWord) }.toMap
     val bitMap = srcNames.zipWithIndex
       .map { case (s, i) => s -> (1L << (i % BitsPerWord)) }.toMap
-    val sh = docs
+    val sh = Par.widen(docs.select(col(srcCol), col(textCol)))
       .select(element_at(typedLit(wordMap), col(srcCol).cast("string"))
           .as("w"),
         element_at(typedLit(bitMap), col(srcCol).cast("string")).as("bit"),
@@ -243,7 +248,7 @@ object Contamination {
   def boilerplateStats(
       docs: DataFrame, nGram: Int = 5, minDf: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
+    val sh = Par.widen(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), nGram))).as("s"))

@@ -391,7 +391,9 @@ object Vocab {
   def termDrift(
       docs: DataFrame, idCol: String, textCol: String,
       splitA: org.apache.spark.sql.Column, k: Int = 20): DataFrame = {
-    val counts = Par.widen(docs.select(col(idCol), col(textCol)))
+    // widen the FULL frame: splitA is caller-supplied and may reference
+    // any column of `docs`, so no projection can precede it
+    val counts = Par.widen(docs)
       .select(splitA.as("__a"),
         explode(graft.functions.Tok.tokenCountsCol(col(textCol))).as("tc"))
       .groupBy(col("tc.token").as("tok"))
@@ -483,6 +485,10 @@ object Vocab {
       docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column, nBuckets: Int = 64,
       hugeVocab: Boolean = false): DataFrame = {
+    // NOT widened here: the streaming feature sink (j43) runs this on
+    // micro-batch frames where a round-robin repartition is pure
+    // overhead — the BATCH entries (p87/p87b) widen their input at the
+    // call site instead (single-split parquet text, see Par.widen).
     val raw = docs.select(col(idCol).as("doc"), targetPred.as("is_t"),
       explode(TextOps.tokens(col(textCol))).as("token"))
     val tb = raw.select("token").distinct()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Chunking, Contamination, Dedup, KMeans, Multimodal, Packing, Pca, Retrieval, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
+import graft.pipeline.{Chunking, Contamination, Dedup, KMeans, Multimodal, Packing, Par, Pca, Retrieval, Sampling, Similarity, Sketch, TextAnalysis, TextOps, Vocab}
 
 /** Training-data pipeline operator catalog: deduplication, similarity
   * search, text analysis, multimodal plumbing — the operations a 100 TB
@@ -3268,7 +3268,14 @@ object Pipeline {
       "p87_dsir_select",
       (s, dir) => {
         import s.implicits._
-        Vocab.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+        // widened at the call site (r16): the live tokenize+bucket pass
+        // is compute-dense and the compressed text table is a single
+        // parquet split at bench SFs (see Par.widen; the streaming
+        // feature sink shares dsirFeatures and must NOT widen)
+        Vocab.dsirWeights(
+          Par.widen(T(s, dir, "documents")
+            .select($"doc_id", $"text", $"lang")),
+          "doc_id", "text",
           targetPred = $"lang" === "en", nBuckets = 64, topN = 100)
           .orderBy($"doc_id")
       },
@@ -3301,7 +3308,11 @@ object Pipeline {
       "p87b_dsir_gumbel",
       (s, dir) => {
         import s.implicits._
-        Vocab.dsirResample(T(s, dir, "documents"), "doc_id", "text",
+        // widened at the call site — same single-split reason as p87
+        Vocab.dsirResample(
+          Par.widen(T(s, dir, "documents")
+            .select($"doc_id", $"text", $"lang")),
+          "doc_id", "text",
           targetPred = $"lang" === "en", nBuckets = 64, topN = 100)
           .orderBy($"doc_id")
       },
