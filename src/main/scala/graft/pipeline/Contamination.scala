@@ -190,10 +190,19 @@ object Contamination {
       .select(col("w"), col("bit"), unhex(md5(col("s"))).as("h"))
     // the ONE corpus-scale shuffle: (16-byte h) -> segmented bitmask
     // (each row feeds its own word; the others bit_or in 0), then the
-    // distinct masks collapse to counts
+    // distinct masks collapse to counts. The aggregate's group count is
+    // ~the distinct shingle-hash count — corpus-proportional — so the
+    // exchange must scale with input, not sit at the session's fixed
+    // partition count: at sf30, 32 partitions put ~5M groups of
+    // (16-byte key + masks) in every task's hash map and the aggregate
+    // fell off the memory cliff (measured 4.7 s sf10 -> 70.8 s sf30,
+    // 15x on 3x data; scaled: see OPTIMIZATION_r16.md). Same
+    // Par.scaledShuffleParts posture as the MinHash verify join.
+    val parts = Par.scaledShuffleParts(
+      docs.select(col(srcCol), col(textCol)))
     val wordAggs = (0 until nWords).map(w =>
       expr(s"bit_or(if(w = $w, bit, 0L))").as(s"m$w"))
-    val perHash = sh.groupBy(col("h"))
+    val perHash = sh.repartition(parts, col("h")).groupBy(col("h"))
       .agg(wordAggs.head, wordAggs.tail: _*)
     val maskCol =
       if (nWords == 1) col("m0")
